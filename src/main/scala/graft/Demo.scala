@@ -1,0 +1,50 @@
+package graft
+
+import graft.core.{GunCell, GunValue}
+import graft.graph.Graft
+import org.apache.spark.sql.SparkSession
+
+/** Usage example / smoke entry: drives the public Graft API end-to-end.
+  * Run: sbt "runMain graft.Demo"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Controllable clock so the HAM deferral path is demonstrable.
+    var now = 1700000000000.0
+    val g = new Graft(spark, clock = () => now)
+
+    g.scoped("esgopeta-test", "TestGunGetSimple", "some-field")
+      .put(GunValue.string("some-value"))
+    val r1 = g.scoped("esgopeta-test", "TestGunGetSimple", "some-field").fetchOne()
+    println(s"[demo] read back: $r1")
+
+    // Conflicting write with OLDER state → discarded by HAM.
+    val soul = g.scoped("esgopeta-test", "TestGunGetSimple").soul().get
+    g.putCells(Seq(GunCell(soul, "some-field", GunValue.string("stale"), now - 5000)))
+    val r2 = g.scoped("esgopeta-test", "TestGunGetSimple", "some-field").fetchOne()
+    println(s"[demo] after stale write (must still be some-value): $r2")
+
+    // Conflicting FUTURE write → deferred, then applied when clock advances.
+    g.putCells(Seq(GunCell(soul, "some-field", GunValue.string("from-the-future"), now + 60000)))
+    println(s"[demo] deferred count: ${g.deferred.count()}")
+    now += 120000
+    g.applyDeferred()
+    val r3 = g.scoped("esgopeta-test", "TestGunGetSimple", "some-field").fetchOne()
+    println(s"[demo] after clock advance (must be from-the-future): $r3")
+
+    println("[demo] store contents:")
+    g.store.show(20, truncate = false)
+
+    val entryRows = SparkEntry.entry(spark).count()
+    println(s"[demo] SparkEntry.entry rows: $entryRows")
+    spark.stop()
+  }
+}

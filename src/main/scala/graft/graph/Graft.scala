@@ -1,0 +1,192 @@
+package graft.graph
+
+import graft.core._
+import graft.operators.HamMerge
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native gun engine: a session-scoped cell store with the reference's
+  * path-scoped API (reference: gun/gun.go:147-156, gun/scoped.go,
+  * gun/scoped_fetch.go, gun/scoped_put.go).
+  *
+  * The reference's peers collapse into the single authoritative distributed
+  * store, so `FetchOne` (local-then-remote) and `FetchOneLocal` coincide;
+  * "broadcast to peers" is the store merge itself (SURVEY §3.1/§3.2).
+  *
+  * Point reads/writes are driver-coordinated actions (they return scalar
+  * results, like the reference's channel results) over a distributed cell
+  * DataFrame; the data-plane bulk paths are the pure-DataFrame operators in
+  * [[graft.operators.HamMerge]] and [[PathOps]].
+  */
+final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
+    val clock: () => Double = () => System.currentTimeMillis().toDouble,
+    soulGen: () => String = () => SoulGen()) {
+  import spark.implicits._
+
+  // Current merged snapshot + parked future writes. Both are small-metadata
+  // references to distributed datasets; re-assigned per merge batch exactly
+  // like a streaming microbatch would.
+  @volatile private var storeDf: DataFrame =
+    if (initial.isEmpty) emptyCells else initial.toDF()
+  @volatile private var deferredDf: DataFrame = emptyCells
+
+  private def emptyCells: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      org.apache.spark.sql.types.StructType(GunCell.schema.map(f =>
+        f.copy(nullable = true))))
+
+  def store: DataFrame = storeDf
+  def deferred: DataFrame = deferredDf
+
+  def scoped(field: String, children: String*): Scoped =
+    children.foldLeft(new Scoped(this, None, field))((p, f) => new Scoped(this, Some(p), f))
+
+  /** Merge a batch of cells through HAM (with deferral) into the store. */
+  def putCells(cells: Seq[GunCell]): Unit = synchronized {
+    val sys = clock()
+    val (merged, newDeferred) = HamMerge.merge(storeDf, cells.toDF(), sys)
+    storeDf = merged.localCheckpoint(true)
+    deferredDf = deferredDf.unionByName(newDeferred).localCheckpoint(true)
+  }
+
+  /** Re-apply matured deferred writes (reference: gun/storage.go:107-117). */
+  def applyDeferred(): Unit = synchronized {
+    val sys = clock()
+    val (merged, still) = HamMerge.applyDeferred(storeDf, deferredDf, sys)
+    storeDf = merged.localCheckpoint(true)
+    deferredDf = still.localCheckpoint(true)
+  }
+
+  /** TTL purge pass (reference: gun/storage.go:56-75). */
+  def purge(ttlMs: Double = HamMerge.DefaultTtlMs): Unit = synchronized {
+    storeDf = storeDf.filter(col("state") >= lit(clock() - ttlMs)).localCheckpoint(true)
+  }
+
+  /** Point read of one cell. Absent ⇒ ValueExists=false, not an error
+    * (gun/scoped_fetch.go:56-74).
+    */
+  private[graph] def fetchCell(soul: String, field: String): FetchResult = {
+    val rows = storeDf
+      .filter(col("soul") === soul && col("field") === field)
+      .select("value.kind", "value.str", "value.num", "value.bool", "value.rel",
+        "state", "valueExists")
+      .limit(1).collect()
+    rows.headOption match {
+      case None => FetchResult(field, None, None, valueExists = false)
+      case Some(r) =>
+        val v = GunValue(r.getString(0), Option(r.getString(1)), Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3)), Option(r.getString(4)))
+        FetchResult(field, Some(v), Some(r.getDouble(5)), r.getBoolean(6))
+    }
+  }
+
+  private[graph] def genSoul(): String = soulGen()
+}
+
+object Graft {
+  sealed abstract class GraftError(msg: String) extends Exception(msg)
+  /** Mirrors the reference's ErrNotObject (gun/scoped.go:36-42). */
+  final case class ErrNotObject(soul: String, field: String)
+      extends GraftError(s"field '$field' under '$soul' is not a relation")
+  final case class ErrLookupOnTopLevel(field: String)
+      extends GraftError(s"cannot put on top-level field '$field'")
+  final case class ErrParentMissing(path: String)
+      extends GraftError(s"parent missing for path '$path' (failWithoutParent)")
+}
+
+/** A lazy path scope `top/f1/f2/...` — the reference's Scoped linked list
+  * (gun/scoped.go:10-34). No I/O until fetch/put; resolved souls are
+  * memoized per scope (gun/scoped.go:51-81).
+  */
+final class Scoped private[graph] (g: Graft, private val parent: Option[Scoped], val field: String) {
+  import Graft._
+
+  @volatile private var cachedSoul: Option[String] = None
+
+  def scoped(children: String*): Scoped =
+    children.foldLeft(this)((p, f) => new Scoped(g, Some(p), f))
+
+  def pathString: String =
+    parent.map(_.pathString + "/").getOrElse("") + field
+
+  /** Resolve this scope's soul. A top-level field *is* its own soul
+    * (gun/scoped_fetch.go:59-62); deeper scopes hold the relation value of
+    * `field` under the parent's soul. Returns None when the path does not
+    * exist; throws ErrNotObject when a non-relation occupies the slot.
+    */
+  def soul(): Option[String] = cachedSoul.orElse {
+    val resolved = parent match {
+      case None => Some(field) // top-level field is its own soul
+      case Some(p) =>
+        p.soul().flatMap { ps =>
+          val r = g.fetchCell(ps, field)
+          if (!r.valueExists) None
+          else r.value match {
+            case Some(v) if v.kind == ValueKind.Rel => v.rel
+            case _ => throw ErrNotObject(ps, field)
+          }
+        }
+    }
+    cachedSoul = resolved
+    resolved
+  }
+
+  /** Point read (the reference's FetchOne / Gun JS `once`). */
+  def fetchOne(): FetchResult = parent match {
+    case None =>
+      // Reading a top-level scope yields its identity relation, mirroring
+      // the reference's self-soul rule.
+      FetchResult(field, Some(GunValue.relation(field)), None, valueExists = true)
+    case Some(p) =>
+      p.soul() match {
+        case None => FetchResult(field, None, None, valueExists = false)
+        case Some(ps) => g.fetchCell(ps, field)
+      }
+  }
+
+  /** Write with lazy path materialization (gun/scoped_put.go:50-185): every
+    * missing intermediate node gets a generated soul and a relation cell in
+    * the same HAM batch, stamped with one shared state (gun/scoped_put.go:102).
+    */
+  def put(value: GunValue, failWithoutParent: Boolean = false): Unit = {
+    val chain = ancestors // root-first, excluding this leaf scope
+    if (chain.isEmpty) throw ErrLookupOnTopLevel(field)
+    val state = g.clock()
+    val batch = Seq.newBuilder[GunCell]
+    // Walk down from the root, materializing missing links.
+    var parentSoul = chain.head.field // top-level: soul == field
+    chain.head.cachedSoul = Some(parentSoul)
+    for (sc <- chain.tail) {
+      sc.soulNoThrowCached() match {
+        case Some(s) => parentSoul = s
+        case None =>
+          val existing = g.fetchCell(parentSoul, sc.field)
+          existing.value match {
+            case Some(v) if v.kind == ValueKind.Rel && existing.valueExists =>
+              parentSoul = v.rel.get
+              sc.cachedSoul = Some(parentSoul)
+            case Some(_) if existing.valueExists => throw ErrNotObject(parentSoul, sc.field)
+            case _ =>
+              if (failWithoutParent) throw ErrParentMissing(sc.pathString)
+              val newSoul = g.genSoul()
+              batch += GunCell(parentSoul, sc.field, GunValue.relation(newSoul), state)
+              sc.cachedSoul = Some(newSoul)
+              parentSoul = newSoul
+          }
+      }
+    }
+    batch += GunCell(parentSoul, field, value, state)
+    g.putCells(batch.result())
+  }
+
+  private def soulNoThrowCached(): Option[String] = cachedSoul
+
+  /** Ancestor scopes root-first (excluding this scope). */
+  private def ancestors: List[Scoped] = {
+    def up(s: Option[Scoped], acc: List[Scoped]): List[Scoped] = s match {
+      case None => acc
+      case Some(p) => up(p.parent, p :: acc)
+    }
+    up(parent, Nil)
+  }
+}

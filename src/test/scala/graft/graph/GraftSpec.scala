@@ -1,0 +1,94 @@
+package graft.graph
+
+import graft.SparkSuite
+import graft.core.{GunValue, ValueKind}
+
+/** The SURVEY §7 minimum slice: the exact query of the reference's
+  * TestGunGetSimple (gun/tests/gun_test.go:31-33) — put at
+  * esgopeta-test/TestGunGetSimple/some-field, read it back — plus lazy path
+  * materialization, exists-vs-nil, and ErrNotObject semantics.
+  */
+class GraftSpec extends SparkSuite {
+
+  private def newGraft(now: Double = 1700000000000.0): Graft = {
+    var seq = 0L
+    new Graft(spark, Nil, () => now,
+      () => { seq += 1; s"S$seq" })
+  }
+
+  test("put + fetchOne round-trip on the reference's smoke path") {
+    val g = newGraft()
+    val sc = g.scoped("esgopeta-test", "TestGunGetSimple", "some-field")
+    sc.put(GunValue.string("some-value"))
+    val r = g.scoped("esgopeta-test", "TestGunGetSimple", "some-field").fetchOne()
+    assert(r.valueExists && r.value.contains(GunValue.string("some-value")))
+    assert(r.state.contains(1700000000000.0))
+  }
+
+  test("lazy path materialization creates intermediate relation cells") {
+    val g = newGraft()
+    g.scoped("top", "a", "b", "leaf").put(GunValue.number(42L))
+    // top.a must now be a relation to a generated soul; two intermediate
+    // nodes (a, b) plus the leaf = 3 cells.
+    assert(g.store.count() == 3)
+    val rel = g.scoped("top", "a").fetchOne()
+    assert(rel.value.exists(_.kind == ValueKind.Rel))
+    val leaf = g.scoped("top", "a", "b", "leaf").fetchOne()
+    assert(leaf.value.contains(GunValue.number(42L)))
+  }
+
+  test("absent path reads as not-exists, not an error") {
+    val g = newGraft()
+    val r = g.scoped("nope", "missing").fetchOne()
+    assert(!r.valueExists && r.value.isEmpty)
+  }
+
+  test("exists-vs-nil: a written null is exists=true with kind null") {
+    val g = newGraft()
+    g.scoped("top", "node", "f").put(GunValue.nullValue)
+    val r = g.scoped("top", "node", "f").fetchOne()
+    assert(r.valueExists && r.value.contains(GunValue.nullValue))
+  }
+
+  test("ErrNotObject when traversing through a scalar") {
+    val g = newGraft()
+    g.scoped("top", "node", "scalar").put(GunValue.string("x"))
+    intercept[Graft.ErrNotObject] {
+      g.scoped("top", "node", "scalar", "deeper").fetchOne()
+    }
+  }
+
+  test("failWithoutParent refuses lazy creation") {
+    val g = newGraft()
+    intercept[Graft.ErrParentMissing] {
+      g.scoped("top", "ghost", "leaf").put(GunValue.string("x"), failWithoutParent = true)
+    }
+  }
+
+  test("second write at same path wins by newer state (HAM)") {
+    var now = 1700000000000.0
+    var seq = 0L
+    val g = new Graft(spark, Nil, () => now, () => { seq += 1; s"S$seq" })
+    g.scoped("top", "n", "f").put(GunValue.string("v1"))
+    now += 1000
+    g.scoped("top", "n", "f").put(GunValue.string("v2"))
+    val r = g.scoped("top", "n", "f").fetchOne()
+    assert(r.value.contains(GunValue.string("v2")) && r.state.contains(now))
+  }
+
+  test("future conflicting write is deferred then applied") {
+    var now = 1700000000000.0
+    var seq = 0L
+    val g = new Graft(spark, Nil, () => now, () => { seq += 1; s"S$seq" })
+    g.scoped("top", "n", "f").put(GunValue.string("v1"))
+    // Conflicting write stamped in the future via putCells directly.
+    val soul = g.scoped("top", "n").soul().get
+    g.putCells(Seq(graft.core.GunCell(soul, "f", GunValue.string("future"), now + 60000)))
+    assert(g.scoped("top", "n", "f").fetchOne().value.contains(GunValue.string("v1")))
+    assert(g.deferred.count() == 1)
+    now += 120000
+    g.applyDeferred()
+    assert(g.scoped("top", "n", "f").fetchOne().value.contains(GunValue.string("future")))
+    assert(g.deferred.count() == 0)
+  }
+}

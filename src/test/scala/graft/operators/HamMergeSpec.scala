@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.core.{GunCell, GunValue}
+import org.apache.spark.sql.DataFrame
+
+class HamMergeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cells(rows: (String, String, GunValue, Double)*): DataFrame =
+    rows.map { case (s, f, v, st) => GunCell(s, f, v, st) }.toDF()
+
+  private def winners(df: DataFrame): Map[(String, String), (GunValue, Double)] =
+    df.as[GunCell].collect().map(c => (c.soul, c.field) -> (c.value, c.state)).toMap
+
+  test("mergeSnapshot picks newest state per key") {
+    val m = winners(HamMerge.mergeSnapshot(cells(
+      ("s1", "f", GunValue.string("old"), 1000),
+      ("s1", "f", GunValue.string("new"), 2000),
+      ("s2", "f", GunValue.number(7L), 500))))
+    assert(m(("s1", "f")) == (GunValue.string("new"), 2000.0))
+    assert(m(("s2", "f")) == (GunValue.number(7L), 500.0))
+  }
+
+  test("mergeSnapshot breaks state ties by canonical json bytes (larger wins)") {
+    val m = winners(HamMerge.mergeSnapshot(cells(
+      ("s1", "f", GunValue.string("a"), 1000),
+      ("s1", "f", GunValue.string("b"), 1000),
+      // bool false ("false") vs number 99 ("99"): '9'(0x39) < 'f'(0x66)
+      ("s2", "f", GunValue.bool(false), 1000),
+      ("s2", "f", GunValue.number(99L), 1000))))
+    assert(m(("s1", "f"))._1 == GunValue.string("b"))
+    assert(m(("s2", "f"))._1 == GunValue.bool(false))
+  }
+
+  test("merge defers conflicting future writes but applies never-seen ones") {
+    val store = cells(("s1", "f", GunValue.string("cur"), 1000))
+    val incoming = cells(
+      ("s1", "f", GunValue.string("future"), 9000), // conflicts → deferred
+      ("s9", "f", GunValue.string("brand-new-future"), 9000)) // never-seen → applies
+    val (merged, deferred) = HamMerge.merge(store, incoming, sysState = 2000)
+    val m = winners(merged)
+    assert(m(("s1", "f"))._1 == GunValue.string("cur"))
+    assert(m(("s9", "f"))._1 == GunValue.string("brand-new-future"))
+    val d = deferred.as[GunCell].collect()
+    assert(d.length == 1 && d.head.soul == "s1" && d.head.state == 9000.0)
+  }
+
+  test("applyDeferred re-merges matured cells only") {
+    val store = cells(("s1", "f", GunValue.string("cur"), 1000))
+    val deferred = cells(
+      ("s1", "f", GunValue.string("soon"), 3000),
+      ("s1", "g", GunValue.string("later"), 9000))
+    val (merged, still) = HamMerge.applyDeferred(store, deferred, sysState = 5000)
+    val m = winners(merged)
+    assert(m(("s1", "f"))._1 == GunValue.string("soon"))
+    assert(!m.contains(("s1", "g")))
+    assert(still.as[GunCell].collect().map(_.state).toSeq == Seq(9000.0))
+  }
+
+  test("purge drops cells older than ttl") {
+    val df = cells(
+      ("s1", "f", GunValue.string("old"), 0),
+      ("s1", "g", GunValue.string("recent"), 10000))
+    val kept = HamMerge.purge(df, nowMs = 10500, ttlMs = 1000).as[GunCell].collect()
+    assert(kept.map(_.field).toSeq == Seq("g"))
+  }
+
+  test("tracking policies: everything / requested / nothing") {
+    val store = cells(("s1", "f", GunValue.string("x"), 100))
+    val in = cells(
+      ("s1", "f", GunValue.string("y"), 200),
+      ("s2", "f", GunValue.string("z"), 200))
+    assert(HamMerge.applyTracking(store, in, HamMerge.TrackingEverything).count() == 2)
+    val req = HamMerge.applyTracking(store, in, HamMerge.TrackingRequested).as[GunCell].collect()
+    assert(req.map(_.soul).toSeq == Seq("s1"))
+    assert(HamMerge.applyTracking(store, in, HamMerge.TrackingNothing).count() == 0)
+  }
+
+  test("typed aggregator merge matches DataFrame merge") {
+    val data = Seq(
+      GunCell("s1", "f", GunValue.string("a"), 1000),
+      GunCell("s1", "f", GunValue.string("b"), 1000),
+      GunCell("s1", "f", GunValue.string("z"), 900))
+    val typed = HamMerge.mergeTyped(data.toDS()).collect().head
+    val df = winners(HamMerge.mergeSnapshot(data.toDF()))(("s1", "f"))
+    assert(typed.value == df._1 && typed.state == df._2)
+  }
+}
