@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface (SURVEY §2 Part B): scans, filters,
+  * aggregations, joins (incl. semi/anti/as-of), windows, sorts/top-k, set
+  * ops, grouping sets, and event-time bucketing — all Spark built-ins over
+  * the driver tables, each with a DuckDB oracle.
+  *
+  * Determinism: money is aggregated as integer cents ([[Tables.cents]]);
+  * any double output is derived from exact integers by identical expressions
+  * on both engines. Every top-k has a total deterministic ordering.
+  *
+  * Scale: aggregations are partial-agg friendly (no distinct-heavy shapes),
+  * dimension joins are broadcast, fact-fact joins shuffle on their keys.
+  */
+object RelationalQueries {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full-scan aggregation with map-side combine (TPC-H Q1 shape).
+    "q1_pricing" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_c"),
+          sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("sum_disc_price_c4"),
+          (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Fact-fact join + broadcast dim + agg + deterministic top-k (Q3 shape).
+    "q3_shipping" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = tbl(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("orderdate"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // 5-way join through the star schema (Q5 shape), broadcast dims.
+    "q5_region_volume" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val ord = tbl(s, dir, "orders")
+      val cust = tbl(s, dir, "customer")
+      val nat = tbl(s, dir, "nation")
+      val reg = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_c4"))
+    }),
+
+    // Semi + anti join: customers with vs without orders, per segment.
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val ordKeys = tbl(s, dir, "orders").select("o_custkey")
+      val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+      val withoutO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with"), lit(0L)).as("n_with"),
+          coalesce(col("n_without"), lit(0L)).as("n_without"))
+    }),
+
+    // Window: per-supplier running quantity, first 5 shipments each.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      tbl(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("rn") <= 5)
+        .select(col("l_suppkey"), col("rn").cast("long").as("rn"), col("running_qty"))
+    }),
+
+    // Ranking top-k per group: 3 priciest parts per brand.
+    "q_topk_brand" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(cents(col("p_retailprice")).desc, col("p_partkey"))
+      tbl(s, dir, "part")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("rk").cast("long").as("rk"),
+          col("p_partkey"), cents(col("p_retailprice")).as("price_c"))
+    }),
+
+    // Set operations: nations with customers vs with suppliers.
+    "q_setops" -> ((s, dir) => {
+      val custN = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      val suppN = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+      val both = custN.intersect(suppN).withColumn("op", lit("both"))
+      val custOnly = custN.except(suppN).withColumn("op", lit("cust_only"))
+      val suppOnly = suppN.except(custN).withColumn("op", lit("supp_only"))
+      both.unionByName(custOnly).unionByName(suppOnly)
+        .groupBy("op").agg(count(lit(1)).as("n"))
+    }),
+
+    // Grouping sets / rollup over returnflag × linestatus.
+    "q_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+    }),
+
+    // Event-time tumbling window (5 min), arithmetic bucketing: identical
+    // to Structured Streaming's window() origin (epoch-aligned).
+    "q_events_tumbling" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("bucket_us", col("state_us") - col("state_us") % 300000000L)
+        .groupBy("bucket_us", "event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+    }),
+
+    // As-of join: for each purchase, the user's latest prior click (classic
+    // union-and-window formulation — scales as one shuffle + sort per key,
+    // no point-lookup joins).
+    "q_events_asof" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("state_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("state_us"))
+        .withColumn("prev_click_us",
+          max(when(col("event_type") === "click", col("state_us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("prev_click_us"))
+    }),
+
+    // Sessionization: 30-min inactivity gap, per-user session count (lag +
+    // cumulative-sum gap detection — the scalable batch formulation).
+    "q_events_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("state_us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("state_us"), col("event_id"))
+        .withColumn("new_sess",
+          when(col("state_us") - lag(col("state_us"), 1).over(byUser) > 1800000000L
+            || lag(col("state_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+                CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+                    (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
+                CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_qty,
+                COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                o_orderpriority,
+                CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+                    (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""",
+    "q5_region_volume" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+                    (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "q_semi_anti" ->
+      """SELECT c_mktsegment,
+                COALESCE(CAST(SUM(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_with,
+                COALESCE(CAST(SUM(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT), 0) AS n_without
+         FROM (SELECT c_mktsegment,
+                      EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+               FROM customer)
+         GROUP BY c_mktsegment""",
+    "q_window_running" ->
+      """SELECT l_suppkey, rn, running_qty FROM (
+           SELECT l_suppkey,
+                  row_number() OVER w AS rn,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER
+                    (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+         WHERE rn <= 5""",
+    "q_topk_brand" ->
+      """SELECT p_brand, rk, p_partkey, price_c FROM (
+           SELECT p_brand, p_partkey,
+                  CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+                  row_number() OVER (PARTITION BY p_brand
+                    ORDER BY CAST(round(p_retailprice*100) AS BIGINT) DESC, p_partkey) AS rk
+           FROM part)
+         WHERE rk <= 3""",
+    "q_setops" ->
+      """SELECT op, COUNT(*) AS n FROM (
+           SELECT nationkey, 'both' AS op FROM
+             (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+           UNION ALL
+           SELECT nationkey, 'cust_only' FROM
+             (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+           UNION ALL
+           SELECT nationkey, 'supp_only' FROM
+             (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+              EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+         ) GROUP BY op""",
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_events_tumbling" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS bucket_us,
+                event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events GROUP BY 1, 2""",
+    "q_events_asof" ->
+      """SELECT event_id, user_id, prev_click_us FROM (
+           SELECT event_id, user_id, event_type,
+                  MAX(CASE WHEN event_type = 'click' THEN state_us END) OVER
+                    (PARTITION BY user_id ORDER BY state_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
+           FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS state_us FROM events))
+         WHERE event_type = 'purchase'""",
+    "q_events_sessions" ->
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+           SELECT user_id,
+                  CASE WHEN state_us - lag(state_us) OVER
+                         (PARTITION BY user_id ORDER BY state_us, event_id) > 1800000000
+                       OR lag(state_us) OVER
+                         (PARTITION BY user_id ORDER BY state_us, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, epoch_us(ts) AS state_us, event_id FROM events))
+         GROUP BY user_id"""
+  )
+}

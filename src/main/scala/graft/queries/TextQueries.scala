@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface (BASELINE.json north star): token
+  * counting, quality scoring, language-ID heuristic, fingerprinting,
+  * normalized-key exact dedup, and n-gram Jaccard similarity.
+  *
+  * All functions are Spark built-ins (codegen'd, no UDFs) with identical
+  * DuckDB SQL, so every operator is oracle-checked. Scale: token ops are
+  * per-row map work (no shuffle); dedup groups shuffle on the dedup key;
+  * the Jaccard pair join blocks by (source, shingle) to bound the
+  * candidate space — the standard blocking trick that keeps the self-join
+  * from going O(n²) at 100 TB.
+  */
+object TextQueries {
+  import Tables._
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Whitespace tokens, lowercased. */
+  private def tokens(c: org.apache.spark.sql.Column) =
+    split(lower(trim(c)), "\\s+")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + distinct tokens + chars.
+    "doc_tokens" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+    }),
+
+    // Quality scoring: length, mean token length, stopword ratio,
+    // type-token ratio — all exact-integer-derived doubles.
+    "doc_quality" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopArr = array(stopEn.map(lit): _*)
+      val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok)
+          .as("mean_token_len"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        (size(array_distinct(toks)).cast("double") / nTok).as("type_token_ratio"))
+    }),
+
+    // Language-ID heuristic: argmax of per-language marker-word hits.
+    // (Deterministic CASE cascade; markers chosen per language.)
+    "doc_lang_guess" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      def hits(words: Seq[String]) =
+        size(filter(toks, t => array_contains(array(words.map(lit): _*), t))).cast("long")
+      val en = hits(Seq("the", "a", "and", "of"))
+      val es = hits(Seq("el", "la", "de", "y"))
+      val de = hits(Seq("der", "die", "und", "das"))
+      tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+        when(en >= es && en >= de, "en")
+          .when(es >= de, "es")
+          .otherwise("de").as("lang_guess"))
+    }),
+
+    // Document fingerprint: md5 of whitespace-normalized lowercase text.
+    "doc_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+    }),
+
+    // Exact dedup on a normalized key (first 64 chars, lowercased):
+    // hash-groupBy — one shuffle on the key; emit only duplicate clusters.
+    "doc_dedup_exact" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(md5(substring(lower(col("text")), 1, 64)).as("key_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // N-gram (word-3-gram) Jaccard near-dup pairs, blocked by source.
+    // explode shingles → self-join on (source, shingle) → |∩| per pair;
+    // |∪| = n1 + n2 − |∩|; keep pairs over threshold.
+    "doc_ngram_jaccard" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val shingled = docs
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("source"),
+          array_distinct(
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("shingles"))
+      val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+      val ex = shingled.select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("source"), col("sh"))
+      a.join(b, Seq("source", "sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+    })
+  )
+
+  private val tokensSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "doc_tokens" ->
+      s"""SELECT doc_id,
+                 len($tokensSql) AS n_tokens,
+                 len(list_distinct($tokensSql)) AS n_uniq_tokens,
+                 length(text) AS n_chars_actual
+          FROM documents""",
+    "doc_quality" ->
+      s"""SELECT doc_id,
+                 len($tokensSql) AS n_tokens,
+                 CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                   / len($tokensSql) AS mean_token_len,
+                 CAST(len(list_filter($tokensSql,
+                   t -> t IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+                   / len($tokensSql) AS stopword_ratio,
+                 CAST(len(list_distinct($tokensSql)) AS DOUBLE)
+                   / len($tokensSql) AS type_token_ratio
+          FROM documents""",
+    "doc_lang_guess" ->
+      s"""SELECT doc_id, lang, en_hits, es_hits, de_hits,
+                 CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                      WHEN es_hits >= de_hits THEN 'es'
+                      ELSE 'de' END AS lang_guess
+          FROM (SELECT doc_id, lang,
+                 len(list_filter($tokensSql, t -> t IN ('the','a','and','of'))) AS en_hits,
+                 len(list_filter($tokensSql, t -> t IN ('el','la','de','y'))) AS es_hits,
+                 len(list_filter($tokensSql, t -> t IN ('der','die','und','das'))) AS de_hits
+                FROM documents)""",
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+    "doc_dedup_exact" ->
+      """SELECT md5(substr(lower(text), 1, 64)) AS key_hash,
+                COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+         FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
+    "doc_ngram_jaccard" ->
+      s"""WITH shingled AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(
+                     generate_series(1, len($tokensSql) - 2),
+                     i -> array_to_string($tokensSql[i:i+2], ' '))) AS shingles
+            FROM documents
+            WHERE len($tokensSql) >= 3),
+          counts AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+          ex AS (SELECT doc_id, source, unnest(shingles) AS sh FROM shingled),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM ex a JOIN ex b ON a.source = b.source AND a.sh = b.sh
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_inter, ca.n_sh + cb.n_sh - n_inter AS n_union
+          FROM inter
+          JOIN counts ca ON ca.doc_id = doc_a
+          JOIN counts cb ON cb.doc_id = doc_b
+          WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.2"""
+  )
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local oracle-parity harness: mirrors the driver's DuckDB compare.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers each testdata parquet as a
+view named after the table, runs every oracle SQL in DuckDB, and compares
+against the Spark result parquet at <verifyOutDir>/<name>/ — columns sorted
+by name, rows sorted by all columns, exact value equality.
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(rows):
+    out = []
+    for r in rows:
+        rr = []
+        for v in r:
+            if isinstance(v, float):
+                rr.append(("f", repr(v)))
+            else:
+                rr.append((str(type(v).__name__), str(v)))
+        out.append(tuple(rr))
+    out.sort()
+    return out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"MISSING spark output: {name}")
+            n_fail += 1
+            continue
+        try:
+            oracle = con.sql(sql).df()
+        except Exception as e:
+            print(f"ORACLE-ERROR {name}: {e}")
+            n_fail += 1
+            continue
+        spark = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        ocols, scols = sorted(oracle.columns), sorted(spark.columns)
+        if [c.lower() for c in ocols] != [c.lower() for c in scols]:
+            print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        o = norm(oracle[ocols].itertuples(index=False, name=None))
+        s = norm(spark[scols].itertuples(index=False, name=None))
+        if o == s:
+            print(f"PASS {name} ({len(s)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: oracle {len(o)} rows vs spark {len(s)} rows")
+            for i, (a, b) in enumerate(zip(o, s)):
+                if a != b:
+                    print(f"  first diff at sorted row {i}:\n   oracle={a}\n   spark ={b}")
+                    break
+            else:
+                extra = o[len(s):] if len(o) > len(s) else s[len(o):]
+                print(f"  extra rows on {'oracle' if len(o)>len(s) else 'spark'} side: {extra[:3]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
