@@ -1,0 +1,90 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX analytics over the gun relation-cell graph (the "analytics
+  * subset" of BASELINE.json): the reference's edges are fields holding
+  * relation values (gun/node.go:149-159); here they become a GraphX edge
+  * RDD keyed by a 64-bit hash of the soul, carrying the field name.
+  *
+  * Scale: vertex ids are hashed souls (no driver-side id assignment —
+  * `zipWithUniqueId`-style global indexing would serialize at 100 TB);
+  * GraphX partitions edges by 2-D hashing, and all algorithms below are
+  * message-passing (Pregel-class), the standard scale-out formulation.
+  */
+object Analytics {
+
+  /** Build a GraphX graph from an edge DataFrame (src, field, dst).
+    * Vertex ids are xxhash64 of the soul, computed on the DataFrame side
+    * (codegen'd, 64-bit — collision-safe at 100 TB vertex counts, unlike a
+    * 32-bit hash which birthday-collides past ~10^5 souls).
+    */
+  def fromEdges(edges: DataFrame): Graph[String, String] = {
+    val edgeRdd: RDD[Edge[String]] = edges
+      .select(xxhash64(col("src")).as("sid"), col("field"), xxhash64(col("dst")).as("did"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(2), r.getString(1)))
+    val verts: RDD[(VertexId, String)] = edges
+      .select(col("src").as("soul")).unionByName(edges.select(col("dst").as("soul")))
+      .distinct()
+      .select(xxhash64(col("soul")).as("id"), col("soul"))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+    Graph(verts, edgeRdd)
+  }
+
+  /** xxhash64 of a soul, for pinning sources in [[reachable]]. */
+  def soulIdDf(spark: SparkSession, souls: Seq[String]): Map[String, VertexId] = {
+    import spark.implicits._
+    souls.toDF("soul").select(col("soul"), xxhash64(col("soul")).as("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Connected components, reported as (component representative soul,
+    * component size). Deterministic: representative = lexicographically
+    * smallest soul in the component.
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val g = fromEdges(edges)
+    val cc = g.connectedComponents()
+    // join component id back to soul names; pick min soul per component
+    val comp = cc.vertices.join(g.vertices.map(identity))
+      .map { case (_, (compId, soul)) => (compId, soul) }
+      .toDF("comp_id", "soul")
+    comp.groupBy("comp_id")
+      .agg(min(col("soul")).as("component_rep"), count(lit(1)).as("component_size"))
+      .select("component_rep", "component_size")
+  }
+
+  /** PageRank over the relation graph (no SQL oracle — iterative fp). */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val g = fromEdges(edges)
+    val pr = g.staticPageRank(iters)
+    pr.vertices.join(g.vertices.map(identity))
+      .map { case (_, (rank, soul)) => (soul, rank) }
+      .toDF("soul", "rank")
+  }
+
+  /** Multi-hop reachability from a set of source souls along edge
+    * direction, via Pregel BFS. Returns (soul, hops) for every reached
+    * vertex (hops = shortest hop count, sources at 0).
+    */
+  def reachable(spark: SparkSession, edges: DataFrame, sources: Set[String]): DataFrame = {
+    import spark.implicits._
+    val g = fromEdges(edges)
+    val srcIds = soulIdDf(spark, sources.toSeq).values.toSet
+    val init = g.mapVertices((id, _) => if (srcIds.contains(id)) 0 else Int.MaxValue)
+    val bfs = init.pregel(Int.MaxValue)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    bfs.vertices.filter(_._2 != Int.MaxValue)
+      .join(g.vertices.map(identity))
+      .map { case (_, (hops, soul)) => (soul, hops.toLong) }
+      .toDF("soul", "hops")
+  }
+}

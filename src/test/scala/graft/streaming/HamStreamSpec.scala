@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.core.{GunCell, GunValue}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class HamStreamSpec extends SparkSuite {
+  import HamStream._
+
+  private val empty = KeyState(None, None, Nil)
+  private val k = ("s1", "f")
+  private def cell(v: String, st: Double) = GunCell("s1", "f", GunValue.string(v), st)
+
+  test("step: first write emits; newer wins; older discarded") {
+    val (st1, out1) = step(k, Seq(cell("a", 1000)), empty, nowMs = 2000, ttlMs = 1e9)
+    assert(out1.map(_.value) == Seq(GunValue.string("a")))
+    val (st2, out2) = step(k, Seq(cell("b", 1500), cell("stale", 500)), st1, 2000, 1e9)
+    assert(out2.map(_.value) == Seq(GunValue.string("b")))
+    assert(st2.value.contains(GunValue.string("b")) && st2.state.contains(1500.0))
+  }
+
+  test("step: duplicate value+state not re-emitted (subscription dedupe)") {
+    val (st1, _) = step(k, Seq(cell("a", 1000)), empty, 2000, 1e9)
+    val (_, out2) = step(k, Seq(cell("a", 1000)), st1, 2000, 1e9)
+    assert(out2.isEmpty)
+  }
+
+  test("step: same-state tiebreak by canonical json") {
+    val (st1, _) = step(k, Seq(cell("a", 1000)), empty, 2000, 1e9)
+    val (st2, out2) = step(k, Seq(cell("b", 1000)), st1, 2000, 1e9)
+    assert(out2.map(_.value) == Seq(GunValue.string("b")))
+    val (_, out3) = step(k, Seq(cell("a", 1000)), st2, 2000, 1e9)
+    assert(out3.isEmpty) // lexically smaller → keep
+  }
+
+  test("step: conflicting future write deferred, applied when clock catches up") {
+    val (st1, _) = step(k, Seq(cell("now", 1000)), empty, 2000, 1e9)
+    val (st2, out2) = step(k, Seq(cell("future", 5000)), st1, 2000, 1e9)
+    assert(out2.isEmpty && st2.deferred.map(_.state) == List(5000.0))
+    val (st3, out3) = step(k, Nil, st2, nowMs = 6000, ttlMs = 1e9)
+    assert(out3.map(_.value) == Seq(GunValue.string("future")))
+    assert(st3.deferred.isEmpty && st3.state.contains(5000.0))
+  }
+
+  test("step: ttl evicts idle value") {
+    val (st1, _) = step(k, Seq(cell("a", 1000)), empty, 2000, ttlMs = 1e9)
+    val (st2, out) = step(k, Nil, st1, nowMs = 1000 + 2e9, ttlMs = 1e9)
+    assert(st2.value.isEmpty && out.isEmpty)
+  }
+
+  test("streaming end-to-end: MemoryStream → HAM updates → memory sink") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[GunCell]
+    val q = updates(in.toDS(), timers = false).writeStream
+      .format("memory").queryName("ham_updates").outputMode("append").start()
+    try {
+      in.addData(
+        GunCell("s1", "f", GunValue.string("v1"), 1000),
+        GunCell("s1", "f", GunValue.string("v0"), 500), // arrives with older state
+        GunCell("s2", "g", GunValue.number(7L), 1200))
+      q.processAllAvailable()
+      in.addData(GunCell("s1", "f", GunValue.string("v2"), 2000))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT soul, field, value.str, value.num, state FROM ham_updates")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getDouble(4)))
+        .toSet
+      assert(rows.contains(("s1", "f", "v1", null, 1000.0)))
+      assert(rows.contains(("s1", "f", "v2", null, 2000.0)))
+      assert(rows.contains(("s2", "g", null, "7", 1200.0)))
+      // the out-of-order older write must NOT have been emitted
+      assert(!rows.exists(_._3 == "v0"))
+    } finally q.stop()
+  }
+}
