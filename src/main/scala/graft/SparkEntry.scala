@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{GraphQueries, GunQueries, RelationalQueries, TextQueries}
+import graft.queries.{GraphQueries, GunQueries, MlQueries, RelationalQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GunQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++ MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     GunQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++ MlQueries.oracles
 }

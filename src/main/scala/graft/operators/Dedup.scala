@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-deduplication operators for document-scale pipelines: MinHash+LSH
+  * and SimHash, built entirely from codegen'd Spark built-ins with
+  * *arithmetically deterministic* hashes (md5-hex → integer, then affine
+  * transforms mod a prime), so every stage is reproducible across engines
+  * and is oracle-checkable in SQL.
+  *
+  * Scale shape (the standard one for 100 TB corpora):
+  *   - shingle/token explode is map-side only;
+  *   - signatures need one shuffle on (doc, hashIndex);
+  *   - candidate generation joins on (band, bandKey) — the LSH blocking
+  *     step that keeps the pair space near-linear instead of O(n²);
+  *   - only candidates are verified, never the full cross product.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+  val NumHashes = 16
+  val BandRows = 4 // 4 bands × 4 rows
+
+  /** Deterministic 60-bit integer hash of a string: first 15 hex chars of
+    * md5, parsed base-16 (identical in DuckDB via positional hex parse).
+    */
+  def strHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word k-gram shingles of a token array (needs >= k tokens). */
+  def shingles(toks: Column, k: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** MinHash signatures: one row per (doc_id, hash index 0..NumHashes-1)
+    * with the min affine-transformed shingle hash. Affine params derive
+    * from the index alone: a_i = ((i+1)·2654435761) mod P,
+    * b_i = ((i+1)·40503 + 7) mod P.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+      .select(col("doc_id"), (strHash(col("sh")) % P).as("h"))
+    sh.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        (((col("i") + 1) * lit(2654435761L) % P) * col("h")
+          + ((col("i") + 1) * lit(40503L) + 7) % P) % P)
+      .toDF("doc_id", "i", "v")
+      .groupBy("doc_id", "i")
+      .agg(min(col("v")).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing at least one full band of the
+    * signature. Returns (doc_a, doc_b, n_shared_bands).
+    */
+  def minhashCandidates(signatures: DataFrame): DataFrame = {
+    val bands = signatures
+      .withColumn("band", col("i") / lit(BandRows) cast "long")
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("sig")))),
+        s => s.getField("sig").cast("string")), ",").as("band_key"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  val SimHashBits = 48
+
+  /** SimHash per document over token hashes: bit j of the fingerprint is
+    * the sign of Σ_tokens (2·bit_j(hash(token)) − 1). Returns
+    * (doc_id, simhash) with simhash in [0, 2^48).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), strHash(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(SimHashBits - 1))).as("j"))
+      .withColumn("contrib",
+        (expr("(h div shiftleft(cast(1 as bigint), j)) % 2") * 2 - 1).cast("long"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a blocking key (e.g. source), with
+    * Hamming distance at most `maxHamming`.
+    */
+  def simhashPairs(sims: DataFrame, blockedBy: DataFrame, maxHamming: Int): DataFrame = {
+    val withBlock = sims.join(blockedBy, "doc_id")
+    val a = withBlock.select(col("doc_id").as("doc_a"), col("block"),
+      col("simhash").as("sim_a"))
+    val b = withBlock.select(col("doc_id").as("doc_b"), col("block"),
+      col("simhash").as("sim_b"))
+    a.join(b, "block")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}
