@@ -84,6 +84,10 @@ object MlQueries {
     "emb_lsh_ann" -> ((s, dir) =>
       Similarity.lshKnn(tbl(s, dir, "embeddings"), k = 5)),
 
+    // Exact cosine near-dup pairs above threshold (embedding-space dedup).
+    "emb_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.3)),
+
     "mm_binary_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -141,6 +145,10 @@ object MlQueries {
                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
            WHERE e.vec_id <> q.vec_id)
          WHERE rank <= 5""",
+    "emb_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
                 sha256(text) AS content_sha256,

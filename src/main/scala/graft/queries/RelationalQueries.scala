@@ -110,6 +110,18 @@ object RelationalQueries {
         .groupBy("op").agg(count(lit(1)).as("n"))
     }),
 
+    // Outer join with null-side aggregation: per customer, order count and
+    // spend incl. customers with no orders (null-preserving path).
+    "q_outer_join" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("spend_c"))
+    }),
+
     // Grouping sets / rollup over returnflag × linestatus.
     "q_rollup" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -236,6 +248,15 @@ object RelationalQueries {
              (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
               EXCEPT SELECT DISTINCT c_nationkey FROM customer)
          ) GROUP BY op""",
+    "q_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+                COALESCE(CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT), 0)
+                  AS spend_c
+         FROM customer
+         LEFT JOIN (SELECT * FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01') o
+           ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                 COALESCE(l_linestatus, 'ALL') AS linestatus,
