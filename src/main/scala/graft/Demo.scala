@@ -43,6 +43,14 @@ object Demo {
     println("[demo] store contents:")
     g.store.show(20, truncate = false)
 
+    // Wire ingest: a double-encoded websocket batch frame → cells → merge.
+    import spark.implicits._
+    val frame =
+      """["{\"#\":\"m1\",\"put\":{\"W1\":{\"_\":{\"#\":\"W1\",\">\":{\"f\":1000}},\"f\":\"old\"}}}","{\"#\":\"m2\",\"put\":{\"W1\":{\"_\":{\"#\":\"W1\",\">\":{\"f\":2000}},\"f\":\"new\"}}}"]"""
+    val wireCells = graft.sources.GunWire.framesToCells(Seq(frame).toDF("frame"), "frame")
+    println("[demo] wire-ingested cells after HAM merge:")
+    graft.operators.HamMerge.mergeSnapshot(wireCells).show(5, truncate = false)
+
     val entryRows = SparkEntry.entry(spark).count()
     println(s"[demo] SparkEntry.entry rows: $entryRows")
     spark.stop()

@@ -173,6 +173,13 @@ object GunWire {
         lit(null).cast("string").as("rel")))
   }
 
+  /** Full ingest pipeline (SURVEY §3.3): wire frames → messages → put
+    * fragments → cells, ready for [[graft.operators.HamMerge.merge]] (batch)
+    * or [[graft.streaming.HamStream.updates]] (streaming).
+    */
+  def framesToCells(frames: DataFrame, frameCol: String): DataFrame =
+    putToCells(parseEnvelope(explodeBatch(frames, frameCol), "msg_json"), "put_json")
+
   /** Encode cells back into put-message JSON (one message per soul), the
     * sink side of a wire-compat connector. Node JSON: `_` metadata with
     * soul + state vector, then the value fields (gun/node.go:33-41).

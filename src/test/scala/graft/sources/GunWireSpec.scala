@@ -57,6 +57,21 @@ class GunWireSpec extends SparkSuite {
     assert(cells.values.forall(_._2 == 1.7e12))
   }
 
+  test("full ingest: batch frame → cells → HAM merge picks the winner") {
+    import graft.operators.HamMerge
+    // Two puts for the same cell in one double-encoded frame; newer state
+    // must win after the merge (the reference's §3.3 standing dataflow).
+    val frame =
+      """["{\"#\":\"m1\",\"put\":{\"S1\":{\"_\":{\"#\":\"S1\",\">\":{\"f\":1000}},\"f\":\"old\"}}}","{\"#\":\"m2\",\"put\":{\"S1\":{\"_\":{\"#\":\"S1\",\">\":{\"f\":2000}},\"f\":\"new\"}}}"]"""
+    val cells = GunWire.framesToCells(Seq(frame).toDF("frame"), "frame")
+    val merged = HamMerge.mergeSnapshot(cells).collect()
+    assert(merged.length == 1)
+    val r = merged.head
+    assert(r.getAs[String]("soul") == "S1")
+    assert(r.getStruct(r.fieldIndex("value")).getAs[String]("str") == "new")
+    assert(r.getAs[Double]("state") == 2000.0)
+  }
+
   test("cells → put json round-trips through the decoder") {
     val cells = Seq(
       graft.core.GunCell("S1", "f", GunValue.string("hello"), 1.7e12),
