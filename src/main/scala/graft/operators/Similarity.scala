@@ -3,42 +3,70 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths, as a 100 TB pipeline needs both:
-  *   - [[bruteForceKnn]]: exact cosine top-k for a bounded query set —
-  *     a broadcast of the queries against a single scan of the corpus
-  *     (no shuffle of the big side; per-row dot products stay inside
-  *     whole-stage codegen via `zip_with`/`aggregate`).
+  *   - [[bruteForceKnn]] / [[nearDupPairs]]: exact cosine — vectors are
+  *     unit-normalized ONCE (per row, persisted) so every pair costs a
+  *     single dot product instead of three norm folds; the corpus side is
+  *     scanned, never shuffled, and only the bounded query set broadcasts.
   *   - [[lshBuckets]] / [[lshKnn]]: random-hyperplane LSH with
-  *     *deterministic* integer hyperplanes (derived from (plane, dim)
-  *     by an LCG formula, no RNG state) — bucketing keeps the candidate
-  *     join near-linear; the scale path when the query set is large.
+  *     *deterministic* integer hyperplanes (derived from (plane, dim) by an
+  *     LCG formula, no RNG state) — bucketing keeps the candidate join
+  *     near-linear; the scale path when the query set is large.
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double with
-    * a deterministic left fold.
+  /** Deterministic left-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (u, v) => u * v), lit(0.0), (acc, z) => acc + z)
+
+  /** Unrolled dot product for a KNOWN dimensionality: 64 straight-line
+    * multiply-adds stay fully inside whole-stage codegen, unlike the
+    * higher-order `aggregate` fold which interprets its lambda per
+    * element. Same left-to-right accumulation order → identical fp result.
+    */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  /** Cosine similarity of two float-array columns (self-contained form —
+    * prefer the unit-vector path for bulk pair work).
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
+    def d(x: Column, y: Column) = aggregate(
       zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
       lit(0.0), (acc, z) => acc + z)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
+
+  /** Project (vec_id, unit-normalized double vector), persisted: the norm
+    * fold runs once per vector, not once per pair.
+    */
+  def unitVectors(vectors: DataFrame): DataFrame = {
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    vectors
+      .select(col("vec_id"), asDouble.as("v"))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("uv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact top-k neighbors for each query vector. Output:
     * (query_id, neighbor_id, rank), rank by cosine desc then neighbor id.
     */
-  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 0): DataFrame = {
+    val unit = unitVectors(corpus)
+    val q = unit.join(queries.select("vec_id"), "vec_id")
+      .select(col("vec_id").as("query_id"), col("uv").as("qv"))
+    val c = unit.select(col("vec_id").as("neighbor_id"), col("uv").as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    val d = if (dim > 0) dotUnrolled(col("qv"), col("cv"), dim) else dot(col("qv"), col("cv"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", d)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -59,30 +87,29 @@ object Similarity {
     vectors
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(NumPlanes - 1))).as("p"))
-      .withColumn("dot", aggregate(
+      .withColumn("dotp", aggregate(
         zip_with(col("embedding"),
           sequence(lit(0), size(col("embedding")) - 1),
           (v, d) => v.cast("double") * planeWeight(col("p"), d).cast("double")),
         lit(0.0), (acc, z) => acc + z))
       .withColumn("bit",
-        when(col("dot") > 0, expr("shiftleft(cast(1 as bigint), p)")).otherwise(lit(0L)))
+        when(col("dotp") > 0, expr("shiftleft(cast(1 as bigint), p)")).otherwise(lit(0L)))
       .groupBy("vec_id")
       .agg(sum(col("bit")).as("bucket"))
   }
 
   /** Approximate top-k: brute-force within each LSH bucket. */
-  def lshKnn(vectors: DataFrame, k: Int): DataFrame = {
-    val b = lshBuckets(vectors)
-    // persist: both sides of the bucket self-join reuse this projection
-    val withB = vectors.join(b, "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withB.select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-    val c = withB.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+  def lshKnn(vectors: DataFrame, k: Int, dim: Int = 0): DataFrame = {
+    val withB = unitVectors(vectors).join(lshBuckets(vectors), "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = withB.select(col("vec_id").as("query_id"), col("uv").as("qv"), col("bucket"))
+    val c = withB.select(col("vec_id").as("neighbor_id"), col("uv").as("cv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    val d = if (dim > 0) dotUnrolled(col("qv"), col("cv"), dim) else dot(col("qv"), col("cv"))
     a.join(c, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", d)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -92,12 +119,14 @@ object Similarity {
     * duplicate detection; keep the threshold away from the data's natural
     * similarity range).
     */
-  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val c = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+  def nearDupPairs(vectors: DataFrame, threshold: Double, dim: Int = 0): DataFrame = {
+    val unit = unitVectors(vectors)
+    val a = unit.select(col("vec_id").as("vec_a"), col("uv").as("va"))
+    val c = unit.select(col("vec_id").as("vec_b"), col("uv").as("vb"))
+    val d = if (dim > 0) dotUnrolled(col("va"), col("vb"), dim) else dot(col("va"), col("vb"))
     a.crossJoin(c)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", d)
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
   }
