@@ -60,15 +60,29 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing at least one full band of the
     * signature. Returns (doc_a, doc_b, n_shared_bands).
+    *
+    * `maxBucket > 0` drops band buckets with more than that many docs
+    * before the self-join — the hot-bucket guard for boilerplate-heavy
+    * corpora where one viral band key would otherwise make the candidate
+    * join quadratic (SCALE.md). Disabled by default so results stay exact.
     */
-  def minhashCandidates(signatures: DataFrame): DataFrame = {
-    val bands = signatures
+  def minhashCandidates(signatures: DataFrame, maxBucket: Int = 0): DataFrame = {
+    val allBands = signatures
       .withColumn("band", col("i") / lit(BandRows) cast "long")
       .groupBy("doc_id", "band")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("i"), col("sig")))),
         s => s.getField("sig").cast("string")), ",").as("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands =
+      if (maxBucket <= 0) allBands
+      else {
+        val sizes = allBands.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucket)
+          .select("band", "band_key")
+        allBands.join(sizes, Seq("band", "band_key"), "left_semi")
+      }
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))

@@ -145,4 +145,36 @@ object HamStream {
     */
   def subscribe(updates: Dataset[Update], soul: String, field: String): Dataset[Update] =
     updates.filter(u => u.soul == soul && u.field == field)
+
+  /** Merged-store sink (SURVEY §3.3 output (a)): each micro-batch of
+    * updates HAM-merges into a parquet cell store via foreachBatch. The
+    * per-key state machine already collapsed each batch to net winners, so
+    * the merge below is a plain snapshot re-merge; HAM idempotence makes
+    * at-least-once replays safe. At scale the store directory would be
+    * bucketed by soul and compacted on the TTL cadence (SCALE.md).
+    */
+  def mergeIntoStore(
+      updates: Dataset[Update],
+      storePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Update], _: Long) =>
+        val spark = batch.sparkSession
+        val newCells = batch.toDF()
+          .select(col("soul"), col("field"), col("value"), col("state"),
+            lit(true).as("valueExists"))
+        val existing =
+          try spark.read.parquet(storePath)
+          catch { case _: Exception => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            newCells.schema) }
+        val merged = graft.operators.HamMerge
+          .mergeSnapshot(existing.unionByName(newCells))
+          .localCheckpoint(true) // cut lineage before overwriting the source dir
+        merged.write.mode("overwrite").parquet(storePath)
+        ()
+      }
+      .start()
+  }
 }

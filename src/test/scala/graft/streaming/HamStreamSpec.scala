@@ -48,6 +48,46 @@ class HamStreamSpec extends SparkSuite {
     assert(st2.value.isEmpty && out.isEmpty)
   }
 
+  test("merged-store sink: updates foreachBatch-merge into a parquet store") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ham_store").toString + "/cells"
+    val in = MemoryStream[GunCell]
+    val q = mergeIntoStore(updates(in.toDS(), timers = false), dir)
+    try {
+      in.addData(GunCell("s1", "f", GunValue.string("v1"), 1000))
+      q.processAllAvailable()
+      in.addData(
+        GunCell("s1", "f", GunValue.string("v2"), 2000), // newer → wins
+        GunCell("s2", "g", GunValue.number(9L), 500))
+      q.processAllAvailable()
+      val store = spark.read.parquet(dir).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getStruct(2).getAs[String]("str"), r.getStruct(2).getAs[String]("num"),
+          r.getDouble(3)))
+        .toSet
+      assert(store == Set(
+        ("s1", "f", "v2", null, 2000.0),
+        ("s2", "g", null, "9", 500.0)))
+    } finally q.stop()
+  }
+
+  test("lsh candidate hot-bucket cap drops oversized buckets") {
+    import graft.operators.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 docs share band key "X" (bucket of 3), 2 docs share "Y" (bucket of 2)
+    val sigs = Seq(
+      (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L),
+      (4L, 0L, 200L), (5L, 0L, 200L)).toDF("doc_id", "i", "sig")
+    val uncapped = Dedup.minhashCandidates(sigs).count()
+    val capped = Dedup.minhashCandidates(sigs, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == 4) // 3C2 + 1
+    assert(capped == Set((4L, 5L))) // hot bucket X dropped
+  }
+
   test("streaming end-to-end: MemoryStream → HAM updates → memory sink") {
     val spark2 = spark
     import spark2.implicits._
