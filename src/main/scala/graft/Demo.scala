@@ -51,6 +51,13 @@ object Demo {
     println("[demo] wire-ingested cells after HAM merge:")
     graft.operators.HamMerge.mergeSnapshot(wireCells).show(5, truncate = false)
 
+    // SQL surface: the native canonical-JSON expression via extensions.
+    graft.plans.GraftExtensions.register(spark)
+    graft.operators.HamMerge.mergeSnapshot(wireCells).createOrReplaceTempView("wire_cells")
+    println("[demo] gun_canonical_json over the merged wire cells:")
+    spark.sql("SELECT soul, field, gun_canonical_json(value) AS cj FROM wire_cells")
+      .show(5, truncate = false)
+
     val entryRows = SparkEntry.entry(spark).count()
     println(s"[demo] SparkEntry.entry rows: $entryRows")
     spark.stop()
