@@ -23,10 +23,13 @@ object Similarity {
   def dot(a: Column, b: Column): Column = aggregate(
     zip_with(a, b, (u, v) => u * v), lit(0.0), (acc, z) => acc + z)
 
-  /** Unrolled dot product for a KNOWN dimensionality: 64 straight-line
-    * multiply-adds stay fully inside whole-stage codegen, unlike the
-    * higher-order `aggregate` fold which interprets its lambda per
-    * element. Same left-to-right accumulation order → identical fp result.
+  /** Unrolled dot product for a KNOWN dimensionality. Same left-to-right
+    * accumulation order as the fold → identical fp result. MEASURED SLOWER
+    * than the `aggregate` fold at dim=64 on this Spark version (sf0.1
+    * near-dup scan: 13 s fold vs 36 s unrolled): the 64-term element_at
+    * tree exceeds Janino method limits and drops the whole stage out of
+    * codegen. Kept for small dims / future codegen improvements; the
+    * queries default to the fold (`dim = 0`).
     */
   def dotUnrolled(a: Column, b: Column, dim: Int): Column =
     (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)

@@ -77,16 +77,16 @@ object MlQueries {
 
     "emb_knn" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
     // Approximate ANN — rows-only check (bucketed approximation).
     "emb_lsh_ann" -> ((s, dir) =>
-      Similarity.lshKnn(tbl(s, dir, "embeddings"), k = 5, dim = 64)),
+      Similarity.lshKnn(tbl(s, dir, "embeddings"), k = 5)),
 
     // Exact cosine near-dup pairs above threshold (embedding-space dedup).
     "emb_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.3, dim = 64)),
+      Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.3)),
 
     "mm_binary_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents")
