@@ -110,6 +110,20 @@ object RelationalQueries {
         .groupBy("op").agg(count(lit(1)).as("n"))
     }),
 
+    // Correlated-subquery shape: customers above their nation's average
+    // balance. Comparison done by cross-multiplication of integer cents
+    // (bal·n > sum) — exact, no fp division on either engine.
+    "q_above_avg" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+      val natAgg = cust.groupBy("c_nationkey")
+        .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n"))
+      cust.join(broadcast(natAgg), "c_nationkey")
+        .filter(col("bal_c") * col("n") > col("sum_c"))
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+          col("bal_c"))
+    }),
+
     // Outer join with null-side aggregation: per customer, order count and
     // spend incl. customers with no orders (null-preserving path).
     "q_outer_join" -> ((s, dir) => {
@@ -248,6 +262,16 @@ object RelationalQueries {
              (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
               EXCEPT SELECT DISTINCT c_nationkey FROM customer)
          ) GROUP BY op""",
+    "q_above_avg" ->
+      """SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS nationkey,
+                CAST(round(c.c_acctbal*100) AS BIGINT) AS bal_c
+         FROM customer c
+         JOIN (SELECT c_nationkey,
+                      CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_c,
+                      COUNT(*) AS n
+               FROM customer GROUP BY c_nationkey) a
+           ON c.c_nationkey = a.c_nationkey
+         WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * a.n > a.sum_c""",
     "q_outer_join" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
                 COALESCE(CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT), 0)

@@ -83,6 +83,18 @@ object TextQueries {
         .filter(col("n_docs") > 1)
     }),
 
+    // Corpus vocabulary: top-20 tokens by document frequency (token
+    // counting at corpus granularity; deterministic tiebreak by token).
+    "doc_vocab_top" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("df").desc, col("tok"))
+      tbl(s, dir, "documents")
+        .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+    }),
+
     // N-gram (word-3-gram) Jaccard near-dup pairs, blocked by source.
     // explode shingles → self-join on (source, shingle) → |∩| per pair;
     // |∪| = n1 + n2 − |∩|; keep pairs over threshold.
@@ -149,6 +161,14 @@ object TextQueries {
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
          FROM documents""",
+    "doc_vocab_top" ->
+      s"""SELECT tok, df, rk FROM (
+            SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS rk
+            FROM (SELECT tok, COUNT(*) AS df
+                  FROM (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok
+                        FROM documents)
+                  GROUP BY tok))
+          WHERE rk <= 20""",
     "doc_dedup_exact" ->
       """SELECT md5(substr(lower(text), 1, 64)) AS key_hash,
                 COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
