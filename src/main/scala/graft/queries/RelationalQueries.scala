@@ -110,6 +110,16 @@ object RelationalQueries {
         .groupBy("op").agg(count(lit(1)).as("n"))
     }),
 
+    // Ordered-set aggregate: exact median balance per segment. Computed
+    // over integer cents, so the interpolated midpoint is an exact half —
+    // bit-identical across engines.
+    "q_median" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(percentile(cents(col("c_acctbal")), lit(0.5)).as("median_bal_c"),
+          count(lit(1)).as("n"))
+    }),
+
     // Correlated-subquery shape: customers above their nation's average
     // balance. Comparison done by cross-multiplication of integer cents
     // (bal·n > sum) — exact, no fp division on either engine.
@@ -262,6 +272,11 @@ object RelationalQueries {
              (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
               EXCEPT SELECT DISTINCT c_nationkey FROM customer)
          ) GROUP BY op""",
+    "q_median" ->
+      """SELECT c_mktsegment,
+                quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.5) AS median_bal_c,
+                COUNT(*) AS n
+         FROM customer GROUP BY c_mktsegment""",
     "q_above_avg" ->
       """SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS nationkey,
                 CAST(round(c.c_acctbal*100) AS BIGINT) AS bal_c
