@@ -1,9 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,12 +20,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop this query's persisted intermediates so the next query's time
+      // isn't cross-contaminated by cache memory pressure.
+      spark.catalog.clearCache()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for the driver's tail-grep AND a file for reliable parsing
+    // (sbt [info] prefixes make the stdout line fragile to extract).
+    println(json)
+    try Files.writeString(Paths.get(outFile), json)
+    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -10,8 +10,13 @@ package graft.core
   *     `&` by default — mirrored here.
   *   - Control chars: `\n`, `\r`, `\t` get short escapes; other chars < 0x20
   *     become `\u00xx`. Valid UTF-8 passes through unescaped.
-  *   - Numbers are stored as strings in the reference (gun/node.go:130-133)
-  *     and marshaled raw (like `json.Number`), so no float formatting issues.
+  *   - Numbers: `ValueNumber` is a named STRING type in the reference
+  *     (gun/node.go:130-133) with no custom marshaler, so Go's
+  *     `json.Marshal` emits it as a QUOTED JSON string (`"42.5"`, not
+  *     `42.5`) — unlike `json.Number`, which marshals raw. The tiebreak
+  *     therefore compares numbers with quotes; we match that byte-for-byte.
+  *     (Wire encoding is a separate concern: protocol-correct JSON keeps
+  *     numbers raw — see GunWire.cellsToPutJson.)
   *   - A relation marshals as `{"#":"<soul>"}` (gun/node.go:156-159).
   */
 object CanonicalJson {
@@ -19,7 +24,7 @@ object CanonicalJson {
   def encode(v: GunValue): String = v.kind match {
     case ValueKind.Null => "null"
     case ValueKind.Str  => quote(v.str.getOrElse(""))
-    case ValueKind.Num  => v.num.getOrElse("0") // raw, like json.Number
+    case ValueKind.Num  => quote(v.num.getOrElse("0")) // Go marshals the named string type quoted
     case ValueKind.Bool => if (v.bool.contains(true)) "true" else "false"
     case ValueKind.Rel  => "{\"#\":" + quote(v.rel.getOrElse("")) + "}"
     case other          => throw new IllegalArgumentException(s"unknown kind: $other")

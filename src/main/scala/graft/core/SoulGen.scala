@@ -18,13 +18,17 @@ object SoulGen {
   private val lastMs = new AtomicLong(-1L)
   private val uniqPerMs = new AtomicLong(0L)
 
+  /** One shared CSPRNG, matching the reference's crypto/rand entropy class
+    * (gun/util.go:11-21); SecureRandom is thread-safe.
+    */
+  private val secureRnd = new scala.util.Random(new java.security.SecureRandom())
+
   /** Production generator: wall-clock + SecureRandom suffix. */
   def apply(): String = {
     val ms = System.currentTimeMillis()
     val prev = lastMs.getAndSet(ms)
     val uniq = if (prev == ms) uniqPerMs.incrementAndGet() else { uniqPerMs.set(0); 0L }
-    val rnd = new scala.util.Random()
-    fromParts(ms, uniq, randString(12, rnd))
+    fromParts(ms, uniq, randString(12, secureRnd))
   }
 
   /** Deterministic generator for replayable batch plans and tests. */

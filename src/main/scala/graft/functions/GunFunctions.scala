@@ -19,7 +19,7 @@ object GunFunctions {
     * the escapes Go emits: backslash, quote, \n \r \t, and HTML escapes
     * (< > &). Other sub-0x20 control chars fall back to the UDF form.
     */
-  private def goQuoteBuiltin(c: Column): Column = {
+  def goQuoteBuiltin(c: Column): Column = {
     val escaped = Seq(
       "\\" -> "\\\\",
       "\"" -> "\\\"",
@@ -34,9 +34,28 @@ object GunFunctions {
   }
 
   /** Canonical JSON of a gun value struct column (kind/str/num/bool/rel),
-    * built-ins only (codegen-friendly).
+    * built-ins only (codegen-friendly). This is the HAM-tiebreak key:
+    * numbers are QUOTED like Go's json.Marshal of the reference's
+    * named-string ValueNumber type (see [[CanonicalJson]]); use
+    * [[wireJsonBuiltin]] for protocol-correct wire output.
     */
   def canonicalJsonBuiltin(value: Column): Column = {
+    val kind = value.getField("kind")
+    when(kind === ValueKind.Null, lit("null"))
+      .when(kind === ValueKind.Num, goQuoteBuiltin(value.getField("num")))
+      .when(kind === ValueKind.Bool,
+        when(value.getField("bool"), lit("true")).otherwise(lit("false")))
+      .when(kind === ValueKind.Str, goQuoteBuiltin(value.getField("str")))
+      .when(kind === ValueKind.Rel,
+        concat(lit("{\"#\":"), goQuoteBuiltin(value.getField("rel")), lit("}")))
+  }
+
+  /** Wire JSON of a gun value struct column: identical to
+    * [[canonicalJsonBuiltin]] except numbers stay RAW (protocol-correct
+    * JSON for gun peers — a number on the wire is a JSON number,
+    * gun/node.go:44-46 UseNumber decode).
+    */
+  def wireJsonBuiltin(value: Column): Column = {
     val kind = value.getField("kind")
     when(kind === ValueKind.Null, lit("null"))
       .when(kind === ValueKind.Num, value.getField("num"))

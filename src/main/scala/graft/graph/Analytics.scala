@@ -58,11 +58,19 @@ object Analytics {
       .select("component_rep", "component_size")
   }
 
-  /** PageRank over the relation graph (no SQL oracle — iterative fp). */
+  /** PageRank over the relation graph. Fixed-iteration, UNNORMALIZED
+    * (`normalized = false`): the final global rank-sum rescale that
+    * `staticPageRank` applies by default is skipped, so every output value
+    * is a pure local recurrence (rank = 0.15 + 0.85·Σ incoming, init 1.0)
+    * — reproducible in SQL without a global fp reduction, which makes the
+    * query oracle-checkable on a quantized lattice (GraphQueries).
+    */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
     import spark.implicits._
     val g = fromEdges(edges)
-    val pr = g.staticPageRank(iters)
+    val pr = org.apache.spark.graphx.lib.PageRank
+      .runWithOptions(g, numIter = iters, resetProb = 0.15, srcId = None,
+        normalized = false)
     pr.vertices.join(g.vertices.map(identity))
       .map { case (_, (rank, soul)) => (soul, rank) }
       .toDF("soul", "rank")

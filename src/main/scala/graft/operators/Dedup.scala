@@ -41,6 +41,13 @@ object Dedup {
     * with the min affine-transformed shingle hash. Affine params derive
     * from the index alone: a_i = ((i+1)·2654435761) mod P,
     * b_i = ((i+1)·40503 + 7) mod P.
+    *
+    * The NumHashes mins are computed as NumHashes aggregate COLUMNS over
+    * the (doc_id, shingle-hash) rows — the same trick [[simhash]] uses —
+    * so the shuffle carries one row per shingle, not ×NumHashes exploded
+    * copies (16× less exchange volume at any scale). The per-index rows
+    * the downstream banding expects are re-derived by a posexplode of the
+    * 16-element result per doc (output rows = docs × 16, trivial).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = docs
@@ -48,14 +55,16 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
       .select(col("doc_id"), (strHash(col("sh")) % P).as("h"))
-    sh.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        (((col("i") + 1) * lit(2654435761L) % P) * col("h")
-          + ((col("i") + 1) * lit(40503L) + 7) % P) % P)
-      .toDF("doc_id", "i", "v")
-      .groupBy("doc_id", "i")
-      .agg(min(col("v")).as("sig"))
+    val minCols = (0 until NumHashes).map { i =>
+      val a = ((i + 1) * 2654435761L) % P
+      val b = ((i + 1) * 40503L + 7) % P
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
+    }
+    sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until NumHashes).map(i => col(s"m$i")): _*)))
+      .toDF("doc_id", "i", "sig")
   }
 
   /** LSH candidate pairs: docs sharing at least one full band of the
@@ -121,7 +130,9 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within a blocking key (e.g. source), with
-    * Hamming distance at most `maxHamming`.
+    * Hamming distance at most `maxHamming`. O(block²) within a block —
+    * superseded as the declared query by [[simhashPairsBanded]], which has
+    * no quadratic region; kept for corpora with many small natural blocks.
     */
   def simhashPairs(sims: DataFrame, blockedBy: DataFrame, maxHamming: Int): DataFrame = {
     // The fingerprint table is tiny relative to its compute cost; persist
@@ -137,5 +148,44 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** SimHash near-dup pairs, fingerprint-segment-banded (Manku et al.'s
+    * pigeonhole blocking, the standard web-scale formulation): the 48-bit
+    * fingerprint splits into `segments` equal slices; candidate pairs must
+    * agree exactly on at least one slice, then the exact Hamming filter
+    * runs on candidates only. The plan is an equi-join on (segment index,
+    * segment value) + distinct — near-linear, no per-source O(block²).
+    *
+    * Recall contract: pigeonhole guarantees recall 1.0 for pairs with
+    * Hamming < `segments`; above that the banding is part of the operator
+    * definition (mirrored exactly in the oracle — the fingerprint is
+    * integer arithmetic, so both engines compute identical candidates).
+    * With the defaults (4 × 12-bit segments, maxHamming 16) a 100 TB run
+    * would raise `segments`/fingerprint bits with corpus size to keep
+    * per-bucket counts bounded.
+    */
+  def simhashPairsBanded(
+      sims: DataFrame,
+      maxHamming: Int,
+      segments: Int = 4): DataFrame = {
+    val segBits = SimHashBits / segments
+    // persist: the segment self-join's two branches reuse the fingerprints
+    val fp = sims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segArr = array((0 until segments).map { k =>
+      shiftright(col("simhash"), k * segBits) % lit(1L << segBits)
+    }: _*)
+    val seg = fp.select(col("doc_id"), col("simhash"),
+      posexplode(segArr)).toDF("doc_id", "simhash", "seg_i", "seg_v")
+    val a = seg.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("seg_i"), col("seg_v"))
+    val b = seg.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("seg_i"), col("seg_v"))
+    a.join(b, Seq("seg_i", "seg_v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 }

@@ -48,11 +48,19 @@ object HamMerge {
     * Returns (mergedStore, deferred).
     */
   def merge(store: DataFrame, incoming: DataFrame, sysState: Double): (DataFrame, DataFrame) = {
+    // A key counts as "seen" if it exists in the store OR a non-future cell
+    // for it arrives in this same batch: the reference applies writes one at
+    // a time (gun/storage.go:91-122), so the batch's present-time write for
+    // a new key would land first and the future write for that key would
+    // then hit the conflict path and defer — set-at-a-time must reproduce
+    // that, not let the future cell win because the key "didn't exist yet".
+    val presentNow = incoming.filter(col("state") <= sysState)
     val existingKeys = store.select("soul", "field")
+      .unionByName(presentNow.select("soul", "field"))
     val future = incoming.filter(col("state") > sysState)
-    // Deferred = future AND key already exists (left-semi keeps incoming cols).
+    // Deferred = future AND key already seen (left-semi keeps incoming cols).
     val deferred = future.join(existingKeys, Seq("soul", "field"), "left_semi")
-    val applicableNow = incoming.filter(col("state") <= sysState)
+    val applicableNow = presentNow
       .unionByName(future.join(existingKeys, Seq("soul", "field"), "left_anti"))
     val merged = mergeSnapshot(store.unionByName(applicableNow))
     (merged, deferred)

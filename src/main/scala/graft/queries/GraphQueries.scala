@@ -6,8 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** GraphX analytics queries over the relation-cell graph
   * (order→customer→nation→region). CC and BFS have exact SQL oracles
-  * because this graph is a forest rooted at regions; PageRank is
-  * iterative-fp and gets the weaker rows-only check.
+  * because this graph is a forest rooted at regions. PageRank is also
+  * oracle-checked: every non-sink vertex here has out-degree exactly 1, so
+  * GraphX's (unnormalized) pagerank recurrence (rank = 0.15 + 0.85·Σ
+  * incoming, init 1.0) unrolls into plain SQL. Output quantization uses
+  * the recurrence's OWN exact lattice: 0.15 = 3/20 and 0.85 = 17/20, so
+  * after t iterations every achievable rank is an exact multiple of 20^-t
+  * — rank·20⁵ is a true integer, and round() of either engine's double
+  * (noise ≪ 0.5) recovers it identically. (A decimal grid like
+  * floor(rank·10⁴) would NOT work: achievable ranks are finite decimals
+  * that land exactly ON that grid's boundaries, and one did at sf0.01.)
   */
 object GraphQueries {
 
@@ -29,13 +37,47 @@ object GraphQueries {
       Analytics.reachable(s, rev, Set("region:2"))
     }),
 
-    // PageRank over the forward graph (rows-only check: iterative fp).
+    // PageRank over the forward graph — GraphX, output in exact-lattice
+    // units of 20^-5 (see class doc for why this is oracle-exact).
     "graph_pagerank" -> ((s, dir) =>
-      Analytics.pageRank(s, edges(s, dir), iters = 10)
-        .select(col("soul"), col("rank")))
+      Analytics.pageRank(s, edges(s, dir), iters = 5)
+        .select(col("soul"),
+          round(col("rank") * (20L * 20 * 20 * 20 * 20)).cast("long").as("rank_q")))
   )
 
+  /** One power-iteration step of the staticPageRank recurrence in SQL:
+    * rank = 0.15 + 0.85 · Σ_{u→v} prev(u) (every src has out-degree 1 in
+    * this graph, so the 1/outdeg edge weight is 1).
+    */
+  private def prStep(prev: String): String =
+    s"""SELECT v.soul, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank
+        FROM verts v LEFT JOIN (
+          SELECT e.dst AS soul, SUM(p.rank) AS s
+          FROM pr_edges e JOIN $prev p ON p.soul = e.src
+          GROUP BY e.dst) m USING (soul)"""
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH pr_edges AS (
+            SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS src,
+                   'cust:' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+            UNION ALL
+            SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                   'nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+            UNION ALL
+            SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+                   'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+          verts AS (
+            SELECT DISTINCT soul FROM (
+              SELECT src AS soul FROM pr_edges
+              UNION ALL SELECT dst FROM pr_edges)),
+          r0 AS (SELECT soul, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+          r1 AS (${prStep("r0")}),
+          r2 AS (${prStep("r1")}),
+          r3 AS (${prStep("r2")}),
+          r4 AS (${prStep("r3")}),
+          r5 AS (${prStep("r4")})
+          SELECT soul, CAST(round(rank * 3200000) AS BIGINT) AS rank_q FROM r5""",
     "graph_components" ->
       """WITH members AS (
            SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS soul,

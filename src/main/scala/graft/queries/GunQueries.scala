@@ -89,11 +89,14 @@ object GunQueries {
         .agg(count(lit(1)).as("in_degree"))
     }),
 
-    // A13: TTL purge — retention window relative to the newest state.
+    // A13: TTL purge — retention window relative to the newest state. The
+    // cutoff is a scalar subquery (1-row broadcast), not a driver-side
+    // action: the whole query stays one lazy plan.
     "gun_ttl_purge" -> ((s, dir) => {
       val cells = eventCells(s, dir)
-      val cutoff = cells.agg(max(col("state"))).head().getDouble(0) - 7.0 * 3600 * 1e6
-      cells.filter(col("state") >= cutoff)
+      val mx = cells.agg(max(col("state")).as("mx_state"))
+      cells.crossJoin(broadcast(mx))
+        .filter(col("state") >= col("mx_state") - 7.0 * 3600 * 1e6)
         .groupBy("field").agg(count(lit(1)).as("n_kept"))
     }),
 

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators over `documents`/`embeddings`: MinHash+LSH,
   * SimHash, embedding kNN (exact + LSH-bucketed), and multimodal binary
-  * plumbing. All hashes are arithmetically deterministic, so even the
-  * fuzzy-dedup stages are exact-oracle-checked; only the iterative-fp /
-  * approximate outputs (LSH ANN) take the rows-only check.
+  * plumbing. Every stage is arithmetically deterministic — text hashes are
+  * md5-derived integers, and the embedding LSH sketches run on quantized
+  * integer vectors — so ALL queries here, including the banded/approximate
+  * ones, are exact-oracle-checked (the banding rules are reproduced
+  * bit-for-bit in the DuckDB SQL).
   */
 object MlQueries {
   import Tables.tbl
@@ -67,26 +69,34 @@ object MlQueries {
     "simhash_sig" -> ((s, dir) =>
       Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")),
 
-    "simhash_pairs" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
-      Dedup.simhashPairs(
-        Dedup.simhash(docs, "doc_id", "text"),
-        docs.select(col("doc_id"), col("source").as("block")),
-        maxHamming = 16)
-    }),
+    // Fingerprint-segment banding (Manku-style pigeonhole), global corpus —
+    // no per-source quadratic region; candidates + Hamming verify both
+    // integer-exact, so the full banded pipeline is oracle-checked.
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairsBanded(
+        Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text"),
+        maxHamming = 16)),
 
     "emb_knn" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
-    // Approximate ANN — rows-only check (bucketed approximation).
+    // Approximate ANN: integer-exact LSH buckets (oracle-checked — the
+    // sketch arithmetic is reproduced bit-for-bit in SQL; ranks within a
+    // bucket compare by cosine, rank-stable across engines).
     "emb_lsh_ann" -> ((s, dir) =>
       Similarity.lshKnn(tbl(s, dir, "embeddings"), k = 5)),
 
-    // Exact cosine near-dup pairs above threshold (embedding-space dedup).
+    // Embedding near-dup pairs: multi-table LSH candidates + exact cosine
+    // verify — near-linear (equi-join on (table, bucket)), no
+    // CartesianProduct. Measured on this corpus: the cosine tail is
+    // continuous through 0.3 (221 pairs in [0.30,0.31) at sf0.01), so
+    // recall-1.0 LSH at 0.3 is impossible sub-quadratically; the banding
+    // is therefore part of the operator definition and oracle-mirrored
+    // (exact nearDupPairs remains available for full-recall needs).
     "emb_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.3)),
+      Similarity.nearDupPairsLsh(tbl(s, dir, "embeddings"), threshold = 0.3)),
 
     "mm_binary_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents")
@@ -110,6 +120,19 @@ object MlQueries {
     })
   )
 
+  /** DuckDB SQL for [[Similarity.quantized]]: integer-exact embedding
+    * quantization (floor(v·2^20) — float→double→shift, bit-identical to
+    * the Spark side).
+    */
+  private val quantSql =
+    s"""SELECT vec_id, list_transform(embedding,
+          v -> CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS q
+        FROM embeddings"""
+
+  /** DuckDB SQL for the deterministic plane weight at global plane `pg`. */
+  private def weightSql(pg: String): String =
+    s"(((1103515245::BIGINT * (($pg)*1024 + d) + 12345) % 2147483648) - 1073741824)"
+
   val oracles: Map[String, String] = Map(
     "minhash_sig" -> sigSql,
     "minhash_lsh_pairs" ->
@@ -126,13 +149,14 @@ object MlQueries {
           GROUP BY 1, 2""",
     "simhash_sig" -> simhashSql,
     "simhash_pairs" ->
-      s"""WITH sim AS ($simhashSql)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      s"""WITH sim AS ($simhashSql),
+          seg AS (
+            SELECT doc_id, simhash, g AS seg_i, (simhash >> (g*12)) % 4096 AS seg_v
+            FROM sim, generate_series(0, 3) t(g))
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
-          FROM sim a
-          JOIN documents da ON da.doc_id = a.doc_id
-          JOIN sim b ON a.doc_id < b.doc_id
-          JOIN documents db ON db.doc_id = b.doc_id AND da.source = db.source
+          FROM seg a JOIN seg b
+            ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""",
     "emb_knn" ->
       """SELECT query_id, neighbor_id, rank FROM (
@@ -145,10 +169,52 @@ object MlQueries {
                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
            WHERE e.vec_id <> q.vec_id)
          WHERE rank <= 5""",
+    "emb_lsh_ann" ->
+      s"""WITH quant AS ($quantSql),
+          dots AS (
+            SELECT vec_id, p, SUM(q[d+1] * ${weightSql("p")}) AS dotp
+            FROM quant, generate_series(0, ${Similarity.NumPlanes - 1}) tp(p),
+                 generate_series(0, 63) td(d)
+            WHERE d < len(q)
+            GROUP BY vec_id, p),
+          b AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM dots GROUP BY vec_id)
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY list_cosine_similarity(ea.embedding, ec.embedding) DESC,
+                              c.vec_id) AS rank
+            FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id <> a.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings ec ON ec.vec_id = c.vec_id)
+          WHERE rank <= 5""",
     "emb_neardup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
+      s"""WITH quant AS ($quantSql),
+          dots AS (
+            SELECT vec_id, t, p, SUM(q[d+1] * ${weightSql("t*8 + p")}) AS dotp
+            FROM quant, generate_series(0, 15) tt(t), generate_series(0, 7) tp(p),
+                 generate_series(0, 63) td(d)
+            WHERE d < len(q)
+            GROUP BY vec_id, t, p),
+          tb AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
+                     AS tbucket
+            FROM dots GROUP BY vec_id, t),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+            FROM tb a JOIN tb c
+              ON a.t = c.t AND a.tbucket = c.tbucket AND a.vec_id < c.vec_id)
+          SELECT vec_a, vec_b FROM cand
+          JOIN embeddings ea ON ea.vec_id = vec_a
+          JOIN embeddings eb ON eb.vec_id = vec_b
+          WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3""",
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
                 sha256(text) AS content_sha256,

@@ -85,14 +85,19 @@ object TextQueries {
 
     // Corpus vocabulary: top-20 tokens by document frequency (token
     // counting at corpus granularity; deterministic tiebreak by token).
+    // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    // top-20 then a 20-row driver merge — no global single-partition
+    // window over the full vocabulary); the rank is derived on the 20-row
+    // result with an explicit constant partition key.
     "doc_vocab_top" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("df").desc, col("tok"))
+      val w = Window.partitionBy(lit(0)).orderBy(col("df").desc, col("tok"))
       tbl(s, dir, "documents")
         .select(explode(array_distinct(tokens(col("text")))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(20)
         .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 20)
     }),
 
     // N-gram (word-3-gram) Jaccard near-dup pairs, blocked by source.

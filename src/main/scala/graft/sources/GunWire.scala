@@ -185,17 +185,24 @@ object GunWire {
     * soul + state vector, then the value fields (gun/node.go:33-41).
     */
   def cellsToPutJson(cells: DataFrame): DataFrame = {
-    val valueJson = graft.functions.GunFunctions.canonicalJsonBuiltin(col("value"))
+    import graft.functions.GunFunctions.{goQuoteBuiltin, wireJsonBuiltin}
+    // wireJsonBuiltin keeps numbers raw (protocol JSON); field and soul
+    // names go through the same Go-style escape chain as string values —
+    // a quote or backslash in a field name (legal in gun) must not break
+    // the frame.
+    val valueJson = wireJsonBuiltin(col("value"))
+    val fieldJson = goQuoteBuiltin(col("field"))
     cells
       .groupBy("soul")
       .agg(
         concat_ws(",", collect_list(
-          concat(lit("\""), col("field"), lit("\":"), valueJson))).as("fields_json"),
+          concat(fieldJson, lit(":"), valueJson))).as("fields_json"),
         concat_ws(",", collect_list(
-          concat(lit("\""), col("field"), lit("\":"), col("state").cast("string"))))
+          concat(fieldJson, lit(":"), col("state").cast("string"))))
           .as("states_json"))
       .select(col("soul"), concat(
-        lit("{\"_\":{\"#\":\""), col("soul"), lit("\",\">\":{"), col("states_json"),
+        lit("{\"_\":{\"#\":"), goQuoteBuiltin(col("soul")), lit(",\">\":{"),
+        col("states_json"),
         lit("}},"), col("fields_json"), lit("}")).as("node_json"))
   }
 }

@@ -73,8 +73,15 @@ object HamStream {
     var cands: Seq[(GunValue, Double)] =
       matured.map(d => (d.value, d.state)) ++ cells.map(c => (c.value, c.state))
 
-    if (cur.isDefined) {
-      val (future, applicable) = cands.partition(_._2 > nowMs)
+    // Future cells defer when they CONFLICT with something: an existing
+    // value, or a present-time cell for the same key in this very batch
+    // (batch order is declared present-before-future — the reference
+    // applies sequentially, so the present write would land first and the
+    // future one would then hit the conflict path, gun/storage.go:100-117).
+    // Only a key with no current value and no present-time cell accepts a
+    // future state immediately (never-seen rule).
+    val (future, applicable) = cands.partition(_._2 > nowMs)
+    if (cur.isDefined || applicable.nonEmpty) {
       deferred = future.map { case (v, s) => DeferredCell(v, s) }.toList ::: deferred
       cands = applicable
     }
@@ -146,33 +153,98 @@ object HamStream {
   def subscribe(updates: Dataset[Update], soul: String, field: String): Dataset[Update] =
     updates.filter(u => u.soul == soul && u.field == field)
 
-  /** Merged-store sink (SURVEY §3.3 output (a)): each micro-batch of
-    * updates HAM-merges into a parquet cell store via foreachBatch. The
-    * per-key state machine already collapsed each batch to net winners, so
-    * the merge below is a plain snapshot re-merge; HAM idempotence makes
-    * at-least-once replays safe. At scale the store directory would be
-    * bucketed by soul and compacted on the TTL cadence (SCALE.md).
+  /** Snapshot-then-stream subscription — the reference's `Fetch` contract
+    * (gun/scoped_fetch.go:98-110, initial emit at :104-107): a new
+    * subscriber first receives the CURRENT local value of the cell (if
+    * any), then every subsequent transition. The snapshot side is a point
+    * read of the merged store (≤1 row — a legitimate driver-side lookup,
+    * same class as Scoped.fetchOne) seeded into a one-shot in-memory
+    * stream and unioned with the live subscription, so the result is a
+    * single streaming Dataset a sink can consume uniformly.
+    */
+  def subscribeWithSnapshot(
+      store: Dataset[GunCell],
+      updates: Dataset[Update],
+      soul: String,
+      field: String): Dataset[Update] = {
+    val spark = updates.sparkSession
+    implicit val updEnc: Encoder[Update] = Encoders.product[Update]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val initial = store
+      .filter(c => c.soul == soul && c.field == field)
+      .collect()
+      .map(c => Update(c.soul, c.field, c.value, c.state))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Update]
+    if (initial.nonEmpty) mem.addData(initial.toIndexedSeq)
+    mem.toDS().unionByName(subscribe(updates, soul, field))
+  }
+
+  /** Merged-store streaming sink (SURVEY §3.3 output (a)), incremental and
+    * bucketed: the store directory is laid out as `bucket=N/` partitions
+    * (N = xxhash64(soul) mod numBuckets), and each micro-batch
+    *   1. computes the buckets its updates touch,
+    *   2. reads ONLY those partitions back (partition pruning on the
+    *      bucket column — per-batch I/O is proportional to touched
+    *      buckets, not store size),
+    *   3. HAM-merges them with the batch (per-key state already collapsed
+    *      each batch to net winners; HAM idempotence makes at-least-once
+    *      replays safe),
+    *   4. writes the merged buckets to a staging dir and atomically swaps
+    *      each bucket directory into place (write-ahead + rename — an
+    *      executor death mid-write leaves the staging dir, never a
+    *      half-written store; a crash mid-swap loses at most the swap of
+    *      some buckets, which the next batch's re-merge repairs).
+    *
+    * Missing-store detection is an explicit FileSystem existence check;
+    * any OTHER read error (permissions, corruption) propagates — it must
+    * fail the batch, not silently restart from an empty store.
     */
   def mergeIntoStore(
       updates: Dataset[Update],
-      storePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, lit}
+      storePath: String,
+      numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     updates.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Update], _: Long) =>
+      .foreachBatch { (batch: Dataset[Update], batchId: Long) =>
         val spark = batch.sparkSession
         val newCells = batch.toDF()
           .select(col("soul"), col("field"), col("value"), col("state"),
-            lit(true).as("valueExists"))
-        val existing =
-          try spark.read.parquet(storePath)
-          catch { case _: Exception => spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            newCells.schema) }
-        val merged = graft.operators.HamMerge
-          .mergeSnapshot(existing.unionByName(newCells))
-          .localCheckpoint(true) // cut lineage before overwriting the source dir
-        merged.write.mode("overwrite").parquet(storePath)
+            lit(true).as("valueExists"),
+            pmod(xxhash64(col("soul")), lit(numBuckets.toLong)).as("bucket"))
+          .localCheckpoint(true) // materialize once: reused for buckets + merge
+        val touched = newCells.select("bucket").distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (touched.nonEmpty) {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val storeDir = new org.apache.hadoop.fs.Path(storePath)
+          val fs = storeDir.getFileSystem(hconf)
+          val existing =
+            if (!fs.exists(storeDir)) {
+              spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), newCells.schema)
+            } else {
+              // partition pruning keeps this read to the touched buckets
+              spark.read.parquet(storePath)
+                .filter(col("bucket").isin(touched: _*))
+                .select(newCells.columns.map(col): _*)
+            }
+          val merged = graft.operators.HamMerge
+            .mergeSnapshot(
+              existing.drop("bucket").unionByName(newCells.drop("bucket")))
+            .withColumn("bucket",
+              pmod(xxhash64(col("soul")), lit(numBuckets.toLong)))
+          val staging = new org.apache.hadoop.fs.Path(storePath, s".staging-$batchId")
+          merged.write.mode("overwrite")
+            .partitionBy("bucket").parquet(staging.toString)
+          touched.foreach { b =>
+            val live = new org.apache.hadoop.fs.Path(storeDir, s"bucket=$b")
+            val next = new org.apache.hadoop.fs.Path(staging, s"bucket=$b")
+            if (fs.exists(live)) fs.delete(live, true)
+            if (fs.exists(next)) fs.rename(next, live)
+          }
+          fs.delete(staging, true)
+        }
         ()
       }
       .start()

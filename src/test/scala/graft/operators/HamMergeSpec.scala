@@ -26,7 +26,8 @@ class HamMergeSpec extends SparkSuite {
     val m = winners(HamMerge.mergeSnapshot(cells(
       ("s1", "f", GunValue.string("a"), 1000),
       ("s1", "f", GunValue.string("b"), 1000),
-      // bool false ("false") vs number 99 ("99"): '9'(0x39) < 'f'(0x66)
+      // bool false (`false`) vs number 99 (`"99"`, quoted like Go's
+      // json.Marshal of the named string type): '"'(0x22) < 'f'(0x66)
       ("s2", "f", GunValue.bool(false), 1000),
       ("s2", "f", GunValue.number(99L), 1000))))
     assert(m(("s1", "f"))._1 == GunValue.string("b"))
@@ -44,6 +45,20 @@ class HamMergeSpec extends SparkSuite {
     assert(m(("s9", "f"))._1 == GunValue.string("brand-new-future"))
     val d = deferred.as[GunCell].collect()
     assert(d.length == 1 && d.head.soul == "s1" && d.head.state == 9000.0)
+  }
+
+  test("future write conflicting with an in-batch present write defers") {
+    // Key is new to the store, but the same batch carries a present-time
+    // cell for it: sequential application (reference semantics) would land
+    // the present write first, so the future write must defer, not win.
+    val store = cells()
+    val incoming = cells(
+      ("s1", "f", GunValue.string("present"), 1500),
+      ("s1", "f", GunValue.string("future"), 9000))
+    val (merged, deferred) = HamMerge.merge(store, incoming, sysState = 2000)
+    assert(winners(merged)(("s1", "f"))._1 == GunValue.string("present"))
+    val d = deferred.as[GunCell].collect()
+    assert(d.length == 1 && d.head.state == 9000.0)
   }
 
   test("applyDeferred re-merges matured cells only") {

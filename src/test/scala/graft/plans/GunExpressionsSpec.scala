@@ -24,7 +24,7 @@ class GunExpressionsSpec extends SparkSuite {
     val expected = cells.map(c => c.field -> CanonicalJson.encode(c.value)).toMap
     assert(out == expected)
     assert(out("a") == "\"a\\u003cb\\u003e\\u0026\\\"x\\\\y\"")
-    assert(out("b") == "42.50") // raw number text preserved
+    assert(out("b") == "\"42.50\"") // quoted like Go json.Marshal(ValueNumber), raw text preserved
   }
 
   test("registered as SQL function gun_canonical_json") {

@@ -73,6 +73,78 @@ class HamStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("subscribeWithSnapshot: current value delivered first, then transitions") {
+    // gun/scoped_fetch.go:104-107 — a subscriber to an already-written cell
+    // sees the current local value immediately, then each later update.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = Seq(GunCell("s1", "f", GunValue.string("current"), 1000),
+      GunCell("s9", "x", GunValue.string("other-cell"), 900)).toDS()
+    val in = MemoryStream[GunCell]
+    val sub = subscribeWithSnapshot(snapshot, updates(in.toDS(), timers = false), "s1", "f")
+    val q = sub.writeStream
+      .format("memory").queryName("snap_sub").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql("SELECT value.str, state FROM snap_sub")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(first == Seq(("current", 1000.0))) // initial emit, nothing else
+      in.addData(GunCell("s1", "f", GunValue.string("next"), 2000),
+        GunCell("s9", "x", GunValue.string("not-subscribed"), 2000))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT value.str FROM snap_sub ORDER BY state")
+        .collect().map(_.getString(0)).toSeq
+      assert(all == Seq("current", "next")) // soul-interest filter held
+    } finally q.stop()
+  }
+
+  test("merged-store sink is incremental: untouched buckets' files stay put") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ham_store_inc").toString + "/cells"
+    val in = MemoryStream[GunCell]
+    val q = mergeIntoStore(updates(in.toDS(), timers = false), dir, numBuckets = 8)
+    try {
+      // seed several souls across buckets
+      in.addData((1 to 20).map(i => GunCell(s"soul$i", "f", GunValue.number(i.toLong), 1000)): _*)
+      q.processAllAvailable()
+      def bucketFiles(): Map[String, Set[(String, Long)]] = {
+        val root = new java.io.File(dir)
+        root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .map(d => d.getName ->
+            d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.lastModified())).toSet)
+          .toMap
+      }
+      val before = bucketFiles()
+      assert(before.size > 1) // data actually spread over several buckets
+      // second batch touches exactly one soul → one bucket
+      in.addData(GunCell("soul1", "f", GunValue.number(999L), 2000))
+      q.processAllAvailable()
+      val after = bucketFiles()
+      val touchedBucket = {
+        val b = spark.range(1).select(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.lit("soul1")),
+            org.apache.spark.sql.functions.lit(8L))).head().getLong(0)
+        s"bucket=$b"
+      }
+      // untouched buckets: identical file listings AND timestamps (no rewrite)
+      (before.keySet - touchedBucket).foreach { b =>
+        assert(after(b) == before(b), s"bucket $b was rewritten")
+      }
+      assert(after(touchedBucket) != before(touchedBucket))
+      // and the merge is correct: soul1 updated, others intact
+      val store = spark.read.parquet(dir)
+        .select($"soul", $"value.num".as("num")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(store("soul1") == "999" && store("soul2") == "2" && store.size == 20)
+    } finally q.stop()
+  }
+
   test("lsh candidate hot-bucket cap drops oversized buckets") {
     import graft.operators.Dedup
     val spark2 = spark
