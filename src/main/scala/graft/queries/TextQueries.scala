@@ -87,11 +87,15 @@ object TextQueries {
     // counting at corpus granularity; deterministic tiebreak by token).
     // orderBy+limit compiles to TakeOrderedAndProject (per-partition
     // top-20 then a 20-row driver merge — no global single-partition
-    // window over the full vocabulary); the rank is derived on the 20-row
-    // result with an explicit constant partition key.
+    // window over the full vocabulary); the rank is then derived on the
+    // 20-row result. The partition key must be NON-FOLDABLE to survive
+    // constant folding (a lit() gets optimized out, reviving the
+    // single-partition-window warning), so it's an empty substring of a
+    // real column — constant per row, opaque to the optimizer.
     "doc_vocab_top" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(lit(0)).orderBy(col("df").desc, col("tok"))
+      val w = Window.partitionBy(substring(col("tok"), 0, 0))
+        .orderBy(col("df").desc, col("tok"))
       tbl(s, dir, "documents")
         .select(explode(array_distinct(tokens(col("text")))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("df"))

@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.core.{GunCell, GunValue}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Control-plane protocol behavior over an in-memory peer pair: DAM
+  * handshake (gun/gun.go:309-325), ack correlation (gun/gun.go:288-297),
+  * soul-interest routing (gun/gun.go:299-307), and the double-encoded
+  * batch frame codec (gun/websocket.go:92-159).
+  */
+class GunClientSpec extends AnyFunSuite {
+
+  test("frame codec: single message stays bare, batch double-encodes") {
+    val single = WireCodec.joinFrame(Seq("""{"#":"m1"}"""))
+    assert(single == """{"#":"m1"}""")
+    val batch = WireCodec.joinFrame(Seq("""{"#":"m1"}""", """{"#":"m2"}"""))
+    assert(batch == """["{\"#\":\"m1\"}","{\"#\":\"m2\"}"]""")
+    assert(WireCodec.splitFrame(batch) == Seq("""{"#":"m1"}""", """{"#":"m2"}"""))
+    assert(WireCodec.splitFrame(single) == Seq(single))
+  }
+
+  test("envelope decode extracts gun keys and raw put fragment") {
+    val env = WireCodec.decodeEnvelope(
+      """{"@":"a1","#":"m1","ok":1,"put":{"s1":{"_":{"#":"s1",">":{"f":1000}},"f":"v"}}}""")
+    assert(env.ackId.contains("a1") && env.msgId.contains("m1") && env.ok.contains(1))
+    val cells = GunWire.decodePutFragment(env.putJson.get)
+    assert(cells == Seq(GunCell("s1", "f", GunValue.string("v"), 1000.0)))
+  }
+
+  test("DAM handshake: request answered with our pid, reply records theirs") {
+    val (a, b) = InMemoryPeerConn.pair()
+    val client = new GunClient(a, myPid = "us")
+    try {
+      // peer asks who we are (gun/server.go:55 sends dam:"?" on connect)
+      b.send(WireCodec.damRequest)
+      val reply = b.receive(2000)
+      assert(reply.contains("""{"dam":"?","pid":"us"}"""))
+      // peer tells us theirs
+      b.send(WireCodec.damReply("them"))
+      val deadline = System.currentTimeMillis() + 2000
+      while (client.peerPid.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(client.peerPid.contains("them"))
+    } finally { client.close(); a.close(); b.close() }
+  }
+
+  test("put → remote ack correlates by message id") {
+    val (a, b) = InMemoryPeerConn.pair()
+    val client = new GunClient(a)
+    try {
+      val id = client.put(Seq(GunCell("s1", "f", GunValue.string("v"), 1000)))
+      // fake peer: receive the put, check shape, ack it
+      val frame = b.receive(2000).get
+      val env = WireCodec.decodeEnvelope(frame)
+      assert(env.msgId.contains(id))
+      val cells = GunWire.decodePutFragment(env.putJson.get)
+      assert(cells == Seq(GunCell("s1", "f", GunValue.string("v"), 1000.0)))
+      b.send(WireCodec.ackMessage(id, ok = 1))
+      val ack = client.awaitAck(id, 2000)
+      assert(ack.exists(_.ok.contains(1)))
+      client.doneWith(id)
+    } finally { client.close(); a.close(); b.close() }
+  }
+
+  test("get → first response wins; soul listeners get non-consumed puts") {
+    val (a, b) = InMemoryPeerConn.pair()
+    val client = new GunClient(a)
+    try {
+      val updates = client.subscribeSoul("s9")
+      val id = client.get("s9", "f")
+      val frame = b.receive(2000).get
+      val env = WireCodec.decodeEnvelope(frame)
+      assert(env.getSoul.contains("s9") && env.getField.contains("f"))
+      // answer the get (ack-correlated, consumed) and push an unsolicited
+      // update for the same soul (soul-routed, non-consumed)
+      b.send("""{"@":"""" + id + """","put":{"s9":{"_":{"#":"s9",">":{"f":500}},"f":"ans"}}}""")
+      b.send("""{"#":"x1","put":{"s9":{"_":{"#":"s9",">":{"f":600}},"f":"next"}}}""")
+      val ack = client.awaitAck(id, 2000)
+      assert(ack.flatMap(_.putJson).isDefined)
+      val pushed = updates.poll(2000, java.util.concurrent.TimeUnit.MILLISECONDS)
+      assert(pushed == Seq(GunCell("s9", "f", GunValue.string("next"), 600.0)))
+      client.doneWith(id); client.unsubscribeSoul("s9")
+    } finally { client.close(); a.close(); b.close() }
+  }
+
+  test("put message wire shape matches the reference node JSON layout") {
+    val msg = WireCodec.putMessage("m1", Seq(
+      GunCell("s1", "f", GunValue.number("42.5"), 1000),
+      GunCell("s1", "g", GunValue.relation("s2"), 1000)))
+    // numbers RAW on the wire; metadata under "_" with soul + state vector
+    assert(msg ==
+      """{"#":"m1","put":{"s1":{"_":{"#":"s1",">":{"f":1000,"g":1000}},"f":42.5,"g":{"#":"s2"}}}}""")
+    // and it round-trips through the codec
+    val cells = GunWire.decodePutFragment(WireCodec.decodeEnvelope(msg).putJson.get)
+    assert(cells.toSet == Set(
+      GunCell("s1", "f", GunValue.number("42.5"), 1000.0),
+      GunCell("s1", "g", GunValue.relation("s2"), 1000.0)))
+  }
+}
