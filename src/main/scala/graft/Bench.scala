@@ -17,13 +17,21 @@ object Bench {
     // Warm the JVM/codegen paths so the first measured query doesn't pay
     // session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop this query's persisted intermediates so the next query's time
-      // isn't cross-contaminated by cache memory pressure.
-      spark.catalog.clearCache()
+    // Local profiling aids (the driver passes neither): positional args
+    // filter to the named queries; SPARK_GRAFT_REPEAT=n runs each query n
+    // times and reports the MIN (isolates plan cost from host noise).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt max 1
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val results = selected.map { case (name, fn) =>
+      val dt = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // Drop this query's persisted intermediates so the next query's
+        // time isn't cross-contaminated by cache memory pressure.
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
     val clock: () => Double = () => System.currentTimeMillis().toDouble,
-    soulGen: () => String = () => SoulGen()) {
+    soulGen: () => String = () => SoulGen(),
+    publisher: Seq[GunCell] => Unit = _ => ()) {
   import spark.implicits._
 
   // Current merged snapshot + parked future writes. Both are small-metadata
@@ -41,12 +42,22 @@ final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
   def scoped(field: String, children: String*): Scoped =
     children.foldLeft(new Scoped(this, None, field))((p, f) => new Scoped(this, Some(p), f))
 
-  /** Merge a batch of cells through HAM (with deferral) into the store. */
-  def putCells(cells: Seq[GunCell]): Unit = synchronized {
-    val sys = clock()
-    val (merged, newDeferred) = HamMerge.merge(storeDf, cells.toDF(), sys)
-    storeDf = merged.localCheckpoint(true)
-    deferredDf = deferredDf.unionByName(newDeferred).localCheckpoint(true)
+  /** Merge a batch of cells through HAM (with deferral) into the store,
+    * then — unless the write is local-only — hand the batch to the
+    * session's publisher (the reference's broadcast-to-peers step,
+    * gun/scoped_put.go:139-183; wire it to `GunClient.put` for a live
+    * peer, or to a MemoryStream feeding `HamStream.updates`). Local store
+    * always happens first, exactly like the reference's immediate local
+    * ack before fan-out (gun/scoped_put.go:129-137).
+    */
+  def putCells(cells: Seq[GunCell], storeLocalOnly: Boolean = false): Unit = {
+    synchronized {
+      val sys = clock()
+      val (merged, newDeferred) = HamMerge.merge(storeDf, cells.toDF(), sys)
+      storeDf = merged.localCheckpoint(true)
+      deferredDf = deferredDf.unionByName(newDeferred).localCheckpoint(true)
+    }
+    if (!storeLocalOnly) publisher(cells)
   }
 
   /** Re-apply matured deferred writes (reference: gun/storage.go:107-117). */
@@ -147,8 +158,11 @@ final class Scoped private[graph] (g: Graft, private val parent: Option[Scoped],
   /** Write with lazy path materialization (gun/scoped_put.go:50-185): every
     * missing intermediate node gets a generated soul and a relation cell in
     * the same HAM batch, stamped with one shared state (gun/scoped_put.go:102).
+    * `storeLocalOnly` is the reference's PutOptionStoreLocalOnly
+    * (gun/scoped_put.go:31-48): store locally, skip the publish step.
     */
-  def put(value: GunValue, failWithoutParent: Boolean = false): Unit = {
+  def put(value: GunValue, failWithoutParent: Boolean = false,
+      storeLocalOnly: Boolean = false): Unit = {
     val chain = ancestors // root-first, excluding this leaf scope
     if (chain.isEmpty) throw ErrLookupOnTopLevel(field)
     val state = g.clock()
@@ -176,7 +190,7 @@ final class Scoped private[graph] (g: Graft, private val parent: Option[Scoped],
       }
     }
     batch += GunCell(parentSoul, field, value, state)
-    g.putCells(batch.result())
+    g.putCells(batch.result(), storeLocalOnly)
   }
 
   private def soulNoThrowCached(): Option[String] = cachedSoul

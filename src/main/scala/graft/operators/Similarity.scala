@@ -105,9 +105,15 @@ object Similarity {
     lit(0L), (acc, z) => acc + z)
 
   /** Sign-bucket id (0..2^NumPlanes) per vector: bit p = sign of the exact
-    * integer dot product with deterministic plane p. One map-side pass.
+    * integer dot product with deterministic plane p. One map-side pass
+    * (single-table form of [[lshTablesFast]]).
     */
-  def lshBuckets(vectors: DataFrame): DataFrame = {
+  def lshBuckets(vectors: DataFrame): DataFrame =
+    lshTablesFast(vectors, tables = 1, bits = NumPlanes)
+      .select(col("vec_id"), col("tbucket").as("bucket"))
+
+  /** Declarative single-table buckets (reference form for tests). */
+  def lshBucketsDeclarative(vectors: DataFrame): DataFrame = {
     quantized(vectors)
       .select(col("vec_id"),
         (0 until NumPlanes).map { p =>
@@ -121,6 +127,9 @@ object Similarity {
     * must collide in at least one table, which keeps pair generation
     * near-linear (Σ_buckets n_b² instead of n²) while multi-table OR-ing
     * keeps recall high in the true near-dup range.
+    *
+    * Declarative reference form — see [[lshTablesFast]] for the production
+    * kernel (same integers, ~10× less per-row overhead).
     */
   def lshTables(vectors: DataFrame, tables: Int, bits: Int): DataFrame = {
     quantized(vectors)
@@ -131,6 +140,57 @@ object Similarity {
           when(intPlaneDot(col("q"), col("t") * bits + p) > 0, lit(1L << p))
             .otherwise(lit(0L))
         }.reduce(_ + _).as("tbucket"))
+  }
+
+  /** Production sketch kernel: bit-identical to [[lshTables]] (same
+    * floor(v·2^20) quantization, same LCG plane weights, same sign rule)
+    * but as one typed per-partition loop over primitive arrays.
+    *
+    * Why imperative here: the declarative form evaluates tables·bits
+    * `zip_with`+`aggregate` folds per vector, and Catalyst interprets
+    * higher-order-function lambdas per element (they don't enter
+    * whole-stage codegen), so the sketch pays ~boxing×8192 per vector.
+    * This is the tight-numeric-kernel case where `mapPartitions` over
+    * unboxed arrays is the right tool (same class as the multimodal
+    * decode batch boundary): pure map-side work, no shuffle, verified
+    * equal to the declarative form in SimilaritySpec — and the oracle SQL
+    * mirrors the arithmetic, so the whole pipeline stays hash-checked.
+    */
+  def lshTablesFast(vectors: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, emb) =>
+          val dims = emb.length
+          val q = new Array[Long](dims)
+          var d = 0
+          while (d < dims) {
+            q(d) = math.floor(emb(d).toDouble * QuantScale).toLong
+            d += 1
+          }
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var p = 0
+            while (p < bits) {
+              val pg = t * bits + p
+              var s = 0L
+              var dd = 0
+              while (dd < dims) {
+                val w = (1103515245L * (pg.toLong * 1024L + dd) + 12345L) %
+                  2147483648L - 1073741824L
+                s += q(dd) * w
+                dd += 1
+              }
+              if (s > 0) bucket |= (1L << p)
+              p += 1
+            }
+            (id, t, bucket)
+          }
+        }
+      }
+      .toDF("vec_id", "t", "tbucket")
   }
 
   /** Approximate top-k: brute-force within each LSH bucket. */
@@ -187,7 +247,7 @@ object Similarity {
       threshold: Double,
       tables: Int = 16,
       bits: Int = 8): DataFrame = {
-    val tb = lshTables(vectors, tables, bits)
+    val tb = lshTablesFast(vectors, tables, bits)
     val a = tb.select(col("vec_id").as("vec_a"), col("t"), col("tbucket"))
     val b = tb.select(col("vec_id").as("vec_b"), col("t"), col("tbucket"))
     val cand = a.join(b, Seq("t", "tbucket"))

@@ -65,6 +65,21 @@ class GraftSpec extends SparkSuite {
     }
   }
 
+  test("storeLocalOnly suppresses the publish step; default put publishes") {
+    // PutOptionStoreLocalOnly (gun/scoped_put.go:31-48, applied :135-137):
+    // local store always happens; broadcast is skipped for local-only.
+    val published = scala.collection.mutable.Buffer[graft.core.GunCell]()
+    var seq = 0L
+    val g = new Graft(spark, Nil, () => 1700000000000.0,
+      () => { seq += 1; s"S$seq" }, cells => published ++= cells)
+    g.scoped("top", "a", "local").put(GunValue.string("quiet"), storeLocalOnly = true)
+    assert(published.isEmpty)
+    assert(g.scoped("top", "a", "local").fetchOne().valueExists) // stored anyway
+    g.scoped("top", "a", "loud").put(GunValue.string("broadcast"))
+    assert(published.exists(c => c.field == "loud" &&
+      c.value == GunValue.string("broadcast")))
+  }
+
   test("second write at same path wins by newer state (HAM)") {
     var now = 1700000000000.0
     var seq = 0L

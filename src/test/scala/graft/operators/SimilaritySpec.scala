@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The production LSH sketch kernel must produce bit-identical buckets to
+  * the declarative Catalyst form — both mirror the integer arithmetic the
+  * DuckDB oracle re-implements, so equality here is what keeps the banded
+  * queries hash-checkable.
+  */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    // deterministic pseudo-embeddings incl. negatives and zeros
+    (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("lshTablesFast matches the declarative lshTables bit-for-bit") {
+    val fast = Similarity.lshTablesFast(vecs, tables = 4, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val slow = Similarity.lshTables(vecs, tables = 4, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fast == slow)
+    assert(fast.size == 40 * 4)
+  }
+
+  test("single-table lshBuckets equals its declarative form") {
+    val fast = Similarity.lshBuckets(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val slow = Similarity.lshBucketsDeclarative(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == slow)
+  }
+
+  test("banded near-dup pairs are a subset of the exact pairs") {
+    val exact = Similarity.nearDupPairs(vecs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.nearDupPairsLsh(vecs, threshold = 0.5, tables = 8, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact))
+  }
+}
