@@ -210,6 +210,100 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF (inverted-file) coarse quantizer — the other standard ANN index
+    * family next to LSH. Centroids are the first `nLists` vectors by id
+    * (deterministic "sampling" — no iterative k-means, so the whole index
+    * is reproducible in SQL); assignment is argmax of the exact INTEGER
+    * inner product between quantized vectors (|q·c| ≤ 2^41·64 < 2^63),
+    * ties to the lowest centroid id. Returns (vec_id, list_id).
+    *
+    * Scale shape: the centroid table is tiny and driver-collected (an
+    * index parameter, like a broadcast dimension); assignment is pure
+    * map-side work over the corpus — one pass, no shuffle.
+    */
+  def ivfLists(vectors: DataFrame, nLists: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Long])] = quantized(
+      vectors.filter(col("vec_id") < nLists))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          val q = new Array[Long](emb.length)
+          var d = 0
+          while (d < emb.length) {
+            q(d) = math.floor(emb(d).toDouble * QuantScale).toLong; d += 1
+          }
+          var bestId = -1L
+          var bestDp = Long.MinValue
+          cents.foreach { case (cid, cq) =>
+            var s = 0L
+            var dd = 0
+            val n = math.min(q.length, cq.length)
+            while (dd < n) { s += q(dd) * cq(dd); dd += 1 }
+            if (s > bestDp || (s == bestDp && cid < bestId)) { bestDp = s; bestId = cid }
+          }
+          (id, bestId)
+        }
+      }
+      .toDF("vec_id", "list_id")
+  }
+
+  /** IVF ANN top-k: each query probes its `nprobe` best lists (same
+    * integer inner-product ordering, ties to lowest centroid id), scans
+    * only those lists, and ranks candidates by exact cosine. The list
+    * join is an equi-join on list_id — per-query work is corpus/nLists ×
+    * nprobe, the standard IVF trade-off.
+    */
+  def ivfKnn(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nLists: Int,
+      nprobe: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Long])] = quantized(
+      vectors.filter(col("vec_id") < nLists))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val probes = vectors.join(queries.select("vec_id"), "vec_id")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, emb) =>
+          val q = new Array[Long](emb.length)
+          var d = 0
+          while (d < emb.length) {
+            q(d) = math.floor(emb(d).toDouble * QuantScale).toLong; d += 1
+          }
+          cents.map { case (cid, cq) =>
+            var s = 0L
+            var dd = 0
+            val n = math.min(q.length, cq.length)
+            while (dd < n) { s += q(dd) * cq(dd); dd += 1 }
+            (id, cid, s)
+          }.sortBy { case (_, cid, s) => (-s, cid) }.take(nprobe)
+            .map { case (id, cid, _) => (id, cid) }
+        }
+      }
+      .toDF("query_id", "list_id")
+    val lists = ivfLists(vectors, nLists)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+    val unit = unitVectors(vectors)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(lists, "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(unit.select(col("vec_id").as("query_id"), col("uv").as("qv")), "query_id")
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("uv").as("cv")), "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Exact near-duplicate pairs over a similarity threshold — the O(n²)
     * reference answer, kept for verification/unit tests only. The declared
     * query uses [[nearDupPairsLsh]], the scale path.

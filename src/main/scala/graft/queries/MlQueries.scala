@@ -98,6 +98,17 @@ object MlQueries {
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsLsh(tbl(s, dir, "embeddings"), threshold = 0.3)),
 
+    // IVF ANN — the inverted-file index family (vs emb_lsh_ann's
+    // hyperplane family): deterministic integer coarse quantizer
+    // (centroids = first 16 vectors, inner-product argmax assignment),
+    // nprobe=2, exact-cosine rank within probed lists. Fully
+    // oracle-mirrored like the LSH queries.
+    "emb_ivf_ann" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10),
+        k = 5, nLists = 16, nprobe = 2)
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -192,6 +203,35 @@ object MlQueries {
             FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id <> a.vec_id
             JOIN embeddings ea ON ea.vec_id = a.vec_id
             JOIN embeddings ec ON ec.vec_id = c.vec_id)
+          WHERE rank <= 5""",
+    "emb_ivf_ann" ->
+      s"""WITH quant AS ($quantSql),
+          cents AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < 16),
+          dots AS (
+            SELECT v.vec_id, c.cid, SUM(v.q[d+1] * c.cq[d+1]) AS dp
+            FROM quant v, cents c, generate_series(0, 63) t(d)
+            WHERE d < len(v.q)
+            GROUP BY v.vec_id, c.cid),
+          assign AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+              FROM dots) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS query_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+              FROM dots WHERE vec_id < 10) WHERE rn <= 2)
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY list_cosine_similarity(eq.embedding, en.embedding) DESC,
+                              a.vec_id) AS rank
+            FROM probes p
+            JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings en ON en.vec_id = a.vec_id)
           WHERE rank <= 5""",
     "emb_neardup" ->
       s"""WITH quant AS ($quantSql),

@@ -34,6 +34,49 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_actual"))
     }),
 
+    // BPE-style pretokenization counting: letter runs, digit runs, and
+    // single punctuation marks (the GPT-2-pretokenizer shape restricted
+    // to an ASCII-safe class so Java and RE2 regex semantics coincide).
+    // regexp_extract_all with group 0 matches DuckDB's default.
+    "doc_tokens_bpe" -> ((s, dir) => {
+      val pieces = regexp_extract_all(
+        lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(pieces).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(pieces)).cast("long").as("n_uniq_bpe"))
+    }),
+
+    // Winnowing document fingerprints (the rolling-hash scheme used for
+    // near-dup detection robust to small edits): hash every 8-char gram
+    // of the whitespace-normalized text, take the min hash of each
+    // 4-gram window, emit the distinct mins. Pure per-row map work —
+    // explode only multiplies output rows, not shuffle input.
+    //
+    // The gram-hash array is MATERIALIZED as its own projection before
+    // the window pass: referencing the hash expression inside the
+    // window-min lambda would re-evaluate all ~L md5s per window
+    // invocation (L× blow-up — observed as a multi-minute hang), while an
+    // attribute reference evaluates once per row.
+    "doc_winnow" -> ((s, dir) => {
+      val k = 8; val w = 4
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val hash = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 1000000007L
+      tbl(s, dir, "documents")
+        .filter(length(norm) >= k + w - 1)
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          transform(sequence(lit(1), length(col("norm")) - (k - 1)),
+            i => hash(col("norm").substr(i, lit(k)))).as("grams"))
+        // projection boundary holds: CollapseProject won't inline a
+        // non-cheap expression referenced more than once (size + slice)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("grams")) - (w - 1)),
+            j => array_min(slice(col("grams"), j, lit(w)))).as("mins"))
+        .select(col("doc_id"), explode(array_distinct(col("mins"))).as("fp"))
+    }),
+
     // Quality scoring: length, mean token length, stopword ratio,
     // type-token ratio — all exact-integer-derived doubles.
     "doc_quality" -> ((s, dir) => {
@@ -138,7 +181,37 @@ object TextQueries {
 
   private val tokensSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** DuckDB mirror of the 60-bit md5-prefix hash (no base-16 conv there). */
+  private def strHashSql(e: String): String = {
+    val terms = (1 to 15).map { kk =>
+      val pow = java.lang.Long.parseLong("1" + "0" * (15 - kk), 16)
+      s"(strpos('0123456789abcdef', substr(md5($e), $kk, 1)) - 1) * ${pow}::BIGINT"
+    }
+    "(" + terms.mkString(" + ") + ")"
+  }
+
   val oracles: Map[String, String] = Map(
+    "doc_tokens_bpe" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                  AS n_bpe_tokens,
+                len(list_distinct(
+                  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+                  AS n_uniq_bpe
+         FROM documents""",
+    "doc_winnow" ->
+      s"""WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents),
+          grams AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, length(t) - 7),
+                     i -> ${strHashSql("substr(t, i, 8)")} % 1000000007) AS hs
+            FROM norm WHERE length(t) >= 11)
+          SELECT doc_id, unnest(list_distinct(
+                   list_transform(generate_series(1, len(hs) - 3),
+                     j -> list_min(hs[j:j+3])))) AS fp
+          FROM grams""",
     "doc_tokens" ->
       s"""SELECT doc_id,
                  len($tokensSql) AS n_tokens,

@@ -249,4 +249,37 @@ object HamStream {
       }
       .start()
   }
+
+  /** TTL compaction of a bucketed store — the reference's periodic purge
+    * tick (5 s scan dropping cells older than the retention window,
+    * gun/storage.go:56-75; 7 h default gun/gun.go:84-85) as a batch job
+    * run on the compaction cadence. Cells with `state < nowMs - ttlMs`
+    * are dropped; surviving buckets rewrite via the same staging + atomic
+    * swap as [[mergeIntoStore]]; buckets left empty are removed.
+    */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      nowMs: Double,
+      ttlMs: Double = graft.operators.HamMerge.DefaultTtlMs): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(storeDir)) return
+    val liveBuckets = fs.listStatus(storeDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName)
+    if (liveBuckets.isEmpty) return
+    val kept = spark.read.parquet(storePath)
+      .filter(col("state") >= lit(nowMs - ttlMs))
+    val staging = new org.apache.hadoop.fs.Path(storePath, ".compact-staging")
+    kept.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    liveBuckets.foreach { name =>
+      val live = new org.apache.hadoop.fs.Path(storeDir, name)
+      val next = new org.apache.hadoop.fs.Path(staging, name)
+      fs.delete(live, true)
+      if (fs.exists(next)) fs.rename(next, live) // absent = bucket fully expired
+    }
+    fs.delete(staging, true)
+  }
 }

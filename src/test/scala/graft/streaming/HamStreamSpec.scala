@@ -145,6 +145,32 @@ class HamStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("compactStore drops expired cells and removes fully-expired buckets") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ham_store_ttl").toString + "/cells"
+    val in = MemoryStream[GunCell]
+    val q = mergeIntoStore(updates(in.toDS(), timers = false), dir, numBuckets = 4)
+    try {
+      in.addData(
+        GunCell("old1", "f", GunValue.string("a"), 1000),
+        GunCell("old2", "f", GunValue.string("b"), 2000),
+        GunCell("new1", "f", GunValue.string("c"), 99000))
+      q.processAllAvailable()
+    } finally q.stop()
+    HamStream.compactStore(spark, dir, nowMs = 100000, ttlMs = 5000)
+    val kept = spark.read.parquet(dir).select("soul").as[String].collect().toSet
+    assert(kept == Set("new1"))
+    // no bucket dir holds only-expired data anymore
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      assert(d.listFiles().exists(_.getName.endsWith(".parquet")))
+    }
+  }
+
   test("lsh candidate hot-bucket cap drops oversized buckets") {
     import graft.operators.Dedup
     val spark2 = spark
