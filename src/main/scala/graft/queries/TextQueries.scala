@@ -66,6 +66,10 @@ object TextQueries {
       tbl(s, dir, "documents")
         .filter(length(norm) >= k + w - 1)
         .select(col("doc_id"), norm.as("norm"))
+        // the corpus arrives as few file splits but the gram hashing is
+        // the heaviest per-row map work in the suite — spread it across
+        // all cores (tiny shuffle of (id, text) rows, big parallelism win)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           transform(sequence(lit(1), length(col("norm")) - (k - 1)),
             i => hash(col("norm").substr(i, lit(k)))).as("grams"))
