@@ -76,12 +76,15 @@ final case class GunOffset(n: Long) extends Offset {
 final class GunMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream {
 
-  private val conn: PeerConn = {
+  // A conn looked up by name is BORROWED from the application (which may
+  // keep using it after the query stops); only a conn this source dialed
+  // itself is closed on stop().
+  private val (conn: PeerConn, ownsConn: Boolean) = {
     val byName = Option(options.get("conn")).map { key =>
       InMemoryPeerConn.lookup(key).getOrElse(
-        throw new IllegalArgumentException(s"no registered conn named '$key'"))
+        throw new IllegalArgumentException(s"no registered conn named '$key'")) -> false
     }
-    byName.orElse(Option(options.get("url")).map(WebSocketPeerConn.dial))
+    byName.orElse(Option(options.get("url")).map(WebSocketPeerConn.dial(_) -> true))
       .getOrElse(throw new IllegalArgumentException(
         "gun source requires option 'conn' (registered name) or 'url'"))
   }
@@ -132,7 +135,7 @@ final class GunMicroBatchStream(options: CaseInsensitiveStringMap)
     if (drop > 0) { buffered.remove(0, math.min(drop, buffered.length)); base = e }
   }
 
-  override def stop(): Unit = conn.close()
+  override def stop(): Unit = if (ownsConn) conn.close()
 }
 
 final case class GunFramesPartition(frames: Array[String]) extends InputPartition

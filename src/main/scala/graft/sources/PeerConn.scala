@@ -51,11 +51,13 @@ object InMemoryPeerConn {
   }
 
   /** Named registry so a Spark DSv2 source (instantiated by class name on
-    * the driver) can find a conn created by the host application.
+    * the driver) can find a conn created by the host application. Takes
+    * ANY transport — in-memory pairs, dialed websockets, or server-
+    * accepted connections all feed the same source.
     */
-  private val registry = new ConcurrentHashMap[String, InMemoryPeerConn]()
-  def register(name: String, conn: InMemoryPeerConn): Unit = registry.put(name, conn)
-  def lookup(name: String): Option[InMemoryPeerConn] = Option(registry.get(name))
+  private val registry = new ConcurrentHashMap[String, PeerConn]()
+  def register(name: String, conn: PeerConn): Unit = registry.put(name, conn)
+  def lookup(name: String): Option[PeerConn] = Option(registry.get(name))
   def unregister(name: String): Unit = registry.remove(name)
 }
 
@@ -76,7 +78,8 @@ final class WebSocketPeerConn private (
     Option(inbox.poll(timeoutMs, TimeUnit.MILLISECONDS))
 
   override def close(): Unit =
-    ws.sendClose(WebSocket.NORMAL_CLOSURE, "bye").join()
+    try ws.sendClose(WebSocket.NORMAL_CLOSURE, "bye").join()
+    catch { case _: Exception => ws.abort() } // peer already gone
 }
 
 object WebSocketPeerConn {

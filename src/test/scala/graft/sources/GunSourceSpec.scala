@@ -11,6 +11,48 @@ import graft.streaming.HamStream
   */
 class GunSourceSpec extends SparkSuite {
 
+  test("full wire e2e: real websocket peer → server accept → gun source → HAM stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    val peers = new java.util.concurrent.LinkedBlockingQueue[PeerConn]()
+    val server = new GunWebSocketServer(0, peers.put(_), sendDamOnConnect = false)
+    var client: WebSocketPeerConn = null
+    try {
+      client = WebSocketPeerConn.dial(s"ws://127.0.0.1:${server.boundPort}/gun")
+      val accepted = peers.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(accepted != null)
+      InMemoryPeerConn.register("e2e-ws", accepted)
+      val frames = spark.readStream.format("gun")
+        .option("conn", "e2e-ws").option("pid", "spark-engine").load()
+      val cells = GunWire.framesToCells(frames, "frame").as[GunCell]
+      val q = HamStream.updates(cells, timers = false).writeStream
+        .format("memory").queryName("gun_ws_updates").outputMode("append").start()
+      try {
+        // the remote peer asks who we are, then pushes a put — over a
+        // REAL socket through the RFC 6455 server
+        client.send(WireCodec.damRequest)
+        client.send("""{"#":"m1","put":{"w1":{"_":{"#":"w1",">":{"f":1500}},"f":"live"}}}""")
+        // socket delivery is async: keep draining micro-batches until the
+        // update lands (or time out)
+        def collected() = spark.sql("SELECT soul, value.str, state FROM gun_ws_updates")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+        val deadline = System.currentTimeMillis() + 15000
+        var rows = Set.empty[(String, String, Double)]
+        while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100)
+          q.processAllAvailable()
+          rows = collected()
+        }
+        assert(rows == Set(("w1", "live", 1500.0)))
+        assert(client.receive(5000).contains("""{"dam":"?","pid":"spark-engine"}"""))
+      } finally q.stop()
+    } finally {
+      InMemoryPeerConn.unregister("e2e-ws")
+      if (client != null) client.close()
+      server.close()
+    }
+  }
+
   test("gun source: frames → cells → HAM update stream; DAM answered, not emitted") {
     val spark2 = spark
     import spark2.implicits._

@@ -86,4 +86,22 @@ class GunWireSpec extends SparkSuite {
     assert(decoded("f").getAs[String]("str") == "hello")
     assert(decoded("g").getAs[String]("rel") == "S2")
   }
+
+  test("field and soul names with quotes/backslashes survive the wire") {
+    // legal in gun (fields are arbitrary strings); an unescaped quote
+    // used to produce a malformed frame
+    val hostile = """fi"eld\x"""
+    val cells = Seq(
+      graft.core.GunCell("S1", hostile, GunValue.string("v"), 1.7e12),
+      graft.core.GunCell("S1", "n", GunValue.number("42.5"), 1.7e12)).toDF()
+    val nodeJson = GunWire.cellsToPutJson(cells)
+      .collect().head.getAs[String]("node_json")
+    // numbers stay RAW on the wire (protocol JSON), unlike the quoted
+    // HAM-tiebreak encoding
+    assert(nodeJson.contains("\"n\":42.5"))
+    val decoded = GunWire.decodePutFragment(s"""{"S1":$nodeJson}""")
+      .map(c => c.field -> c.value).toMap
+    assert(decoded(hostile) == GunValue.string("v"))
+    assert(decoded("n") == GunValue.number("42.5"))
+  }
 }
