@@ -180,6 +180,42 @@ object GunWire {
   def framesToCells(frames: DataFrame, frameCol: String): DataFrame =
     putToCells(parseEnvelope(explodeBatch(frames, frameCol), "msg_json"), "put_json")
 
+  /** Streaming publish sink — the fan-out half of a wire-compat engine
+    * (gun/gun.go:206-234 peer send; gun/scoped_put.go:139-151 put-message
+    * shape): every micro-batch of updates is encoded into one put message
+    * per soul and sent as a single double-encoded batch frame. The
+    * per-key state machine upstream already collapsed each batch to net
+    * winners, so a frame carries each cell's final state once.
+    *
+    * The conn lives on the driver (control plane), so the encoded
+    * node-JSON rows are collected per batch — bounded by the batch's net
+    * update count, not the store. A multi-peer deployment would shard
+    * conns across `foreachPartition` sinks; same encoding.
+    */
+  def publishStream(
+      updates: org.apache.spark.sql.Dataset[graft.streaming.HamStream.Update],
+      conn: PeerConn): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.HamStream.Update],
+         _: Long) =>
+          val nodes = cellsToPutJson(batch.toDF())
+            .collect()
+            .map(r => (r.getString(0), r.getString(1)))
+            .sortBy(_._1)
+          if (nodes.nonEmpty) {
+            val messages = nodes.map { case (soul, nodeJson) =>
+              "{\"#\":" + graft.core.CanonicalJson.quote(graft.core.SoulGen()) +
+                ",\"put\":{" + graft.core.CanonicalJson.quote(soul) + ":" +
+                nodeJson + "}}"
+            }
+            conn.send(WireCodec.joinFrame(messages.toIndexedSeq))
+          }
+          ()
+      }
+      .start()
+
   /** Encode cells back into put-message JSON (one message per soul), the
     * sink side of a wire-compat connector. Node JSON: `_` metadata with
     * soul + state vector, then the value fields (gun/node.go:33-41).

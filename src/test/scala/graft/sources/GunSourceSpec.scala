@@ -53,6 +53,30 @@ class GunSourceSpec extends SparkSuite {
     }
   }
 
+  test("publish sink: merged updates fan out as decodable put frames") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.GunValue
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    val in = MemoryStream[GunCell]
+    val q = GunWire.publishStream(HamStream.updates(in.toDS(), timers = false), ours)
+    try {
+      in.addData(
+        GunCell("p1", "f", GunValue.string("v1"), 1000),
+        GunCell("p1", "f", GunValue.string("v0"), 500)) // loses the merge
+      q.processAllAvailable()
+      val frame = theirs.receive(5000)
+      assert(frame.isDefined)
+      val cells = WireCodec.splitFrame(frame.get).flatMap { m =>
+        GunWire.decodePutFragment(WireCodec.decodeEnvelope(m).putJson.get)
+      }
+      // only the net winner crossed the wire, at its own state
+      assert(cells == Seq(GunCell("p1", "f", GunValue.string("v1"), 1000.0)))
+    } finally { q.stop(); ours.close(); theirs.close() }
+  }
+
   test("gun source: frames → cells → HAM update stream; DAM answered, not emitted") {
     val spark2 = spark
     import spark2.implicits._
