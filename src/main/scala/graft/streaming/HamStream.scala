@@ -160,7 +160,11 @@ object HamStream {
     * read of the merged store (≤1 row — a legitimate driver-side lookup,
     * same class as Scoped.fetchOne) seeded into a one-shot in-memory
     * stream and unioned with the live subscription, so the result is a
-    * single streaming Dataset a sink can consume uniformly.
+    * single streaming Dataset a sink can consume uniformly. The
+    * per-subscription dedupe (gun/scoped_fetch.go:173-178) suppresses a
+    * repeated (value, state) pair — in particular the case where the
+    * write that produced the snapshot is still in flight on the update
+    * stream when the subscription starts.
     */
   def subscribeWithSnapshot(
       store: Dataset[GunCell],
@@ -177,6 +181,7 @@ object HamStream {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Update]
     if (initial.nonEmpty) mem.addData(initial.toIndexedSeq)
     mem.toDS().unionByName(subscribe(updates, soul, field))
+      .dropDuplicates(Seq("soul", "field", "value", "state"))
   }
 
   /** Merged-store streaming sink (SURVEY §3.3 output (a)), incremental and
