@@ -166,6 +166,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
     }),
 
+    // Event-time SLIDING window (10 min window, 5 min slide): the real
+    // Structured-Streaming window() operator over micros timestamps —
+    // each event lands in exactly window/slide = 2 buckets; output keyed
+    // by window start in epoch micros (engine-exact integers).
+    "q_events_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .select(timestamp_micros(col("state_us")).as("tts"), col("event_type"))
+        .groupBy(window(col("tts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n"))
+    }),
+
     // As-of join: for each purchase, the user's latest prior click (classic
     // union-and-window formulation — scales as one shuffle + sort per key,
     // no point-lookup joins).
@@ -308,6 +321,14 @@ object RelationalQueries {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
          FROM events GROUP BY 1, 2""",
+    "q_events_sliding" ->
+      """SELECT w_start_us, event_type, COUNT(*) AS n FROM (
+           SELECT unnest([(epoch_us(ts) // 300000000) * 300000000,
+                          (epoch_us(ts) // 300000000) * 300000000 - 300000000])
+                    AS w_start_us,
+                  event_type
+           FROM events)
+         GROUP BY 1, 2""",
     "q_events_asof" ->
       """SELECT event_id, user_id, prev_click_us FROM (
            SELECT event_id, user_id, event_type,
