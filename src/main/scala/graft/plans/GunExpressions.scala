@@ -3,8 +3,6 @@ package graft.plans
 import graft.core.{CanonicalJson, GunValue}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,14 +12,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * This is the (b)-tier extension point from the build plan (custom
   * `Expression` over UDF): unlike a Scala UDF it needs no
   * serialization-boundary row conversion and composes with null-safety in
-  * the expression tree. Evaluation goes through [[CanonicalJson]] (the same
-  * code the typed Aggregator uses), with `CodegenFallback` — the builtin
-  * replace-chain in [[graft.functions.GunFunctions.canonicalJsonBuiltin]]
-  * remains the fully-codegen'd fast path; this expression is the
-  * byte-exact reference form, also exposed to SQL as `gun_canonical_json`.
+  * the expression tree. `doGenCode` emits a direct static call on the
+  * struct's InternalRow — the expression stays inside whole-stage codegen
+  * with no per-row boxing or `eval` indirection (the CodegenFallback
+  * path would box every input); interpreted eval shares the exact same
+  * encoder, so both paths are byte-identical. Also exposed to SQL as
+  * `gun_canonical_json`.
   */
 case class GunCanonicalJson(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -38,25 +37,49 @@ case class GunCanonicalJson(child: Expression)
     }
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val row = input.asInstanceOf[InternalRow]
+  private lazy val fieldIdx: (Int, Int, Int, Int, Int) = {
     val s = child.dataType.asInstanceOf[StructType]
-    def str(name: String): Option[String] = {
-      val i = s.fieldIndex(name)
-      if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
-    }
-    val boolIdx = s.fieldIndex("bool")
-    val v = GunValue(
-      kind = str("kind").getOrElse("null"),
-      str = str("str"),
-      num = str("num"),
-      bool = if (row.isNullAt(boolIdx)) None else Some(row.getBoolean(boolIdx)),
-      rel = str("rel"))
-    UTF8String.fromString(CanonicalJson.encode(v))
+    (s.fieldIndex("kind"), s.fieldIndex("str"), s.fieldIndex("num"),
+      s.fieldIndex("bool"), s.fieldIndex("rel"))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (k, st, n, b, r) = fieldIdx
+    GunCanonicalJson.encodeFromRow(input.asInstanceOf[InternalRow], k, st, n, b, r)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val (k, st, n, b, r) = fieldIdx
+    defineCodeGen(ctx, ev, row =>
+      s"graft.plans.GunCanonicalJson.encodeFromRow($row, $k, $st, $n, $b, $r)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object GunCanonicalJson {
+  /** Static encoder shared by interpreted eval and generated code: reads
+    * the gun value struct's fields directly off the InternalRow (no
+    * boxing) and defers to [[CanonicalJson]] for the Go-byte-exact text.
+    * Public + JVM-static-reachable so Janino can call it.
+    */
+  def encodeFromRow(
+      row: InternalRow,
+      kindIdx: Int, strIdx: Int, numIdx: Int, boolIdx: Int, relIdx: Int): UTF8String = {
+    def str(i: Int): Option[String] =
+      if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+    val v = GunValue(
+      kind = str(kindIdx).getOrElse("null"),
+      str = str(strIdx),
+      num = str(numIdx),
+      bool = if (row.isNullAt(boolIdx)) None else Some(row.getBoolean(boolIdx)),
+      rel = str(relIdx))
+    UTF8String.fromString(CanonicalJson.encode(v))
+  }
 }
 
 /** Session extensions: registers the gun SQL surface. Use with
