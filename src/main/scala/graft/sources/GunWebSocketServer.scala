@@ -96,6 +96,8 @@ final class GunWebSocketServer(
     override def receive(timeoutMs: Long): Option[String] =
       Option(inbox.poll(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
 
+    override def isOpen: Boolean = open
+
     override def close(): Unit = {
       open = false
       try sock.close() catch { case _: Exception => () }

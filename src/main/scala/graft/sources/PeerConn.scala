@@ -17,6 +17,11 @@ trait PeerConn extends AutoCloseable {
   /** Next received frame, or None after `timeoutMs`. */
   def receive(timeoutMs: Long): Option[String]
 
+  /** Transport liveness — lets [[ReconnectingPeerConn]] distinguish a
+    * quiet peer (receive timeout) from a dead connection.
+    */
+  def isOpen: Boolean = true
+
   /** All frames currently buffered (non-blocking drain). */
   def drain(): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -39,6 +44,7 @@ final class InMemoryPeerConn private (
     if (!closed) out.put(frame)
   override def receive(timeoutMs: Long): Option[String] =
     if (closed) None else Option(in.poll(timeoutMs, TimeUnit.MILLISECONDS))
+  override def isOpen: Boolean = !closed
   override def close(): Unit = closed = true
 }
 
@@ -61,6 +67,39 @@ object InMemoryPeerConn {
   def unregister(name: String): Unit = registry.remove(name)
 }
 
+/** Self-healing transport wrapper — the reference's receive-loop
+  * reconnect policy (gun/gun.go:236-259: on a failed receive, sleep and
+  * retry if the peer supports reconnection; peer state machine
+  * gun/peer.go:65-106; default sleep 30 s, gun/gun.go:80-82). When the
+  * underlying conn reports dead, the next send/receive sleeps
+  * `sleepOnErrorMs` and re-dials. Spark task retry covers executor-side
+  * failures; this covers the driver-held control-plane socket.
+  */
+final class ReconnectingPeerConn(
+    dial: () => PeerConn,
+    sleepOnErrorMs: Long = 30000L) extends PeerConn {
+  @volatile private var current: PeerConn = dial()
+  @volatile private var closed = false
+
+  /** Number of (re)connections made — observable for tests/metrics. */
+  @volatile private var connects = 1
+  def connectCount: Int = connects
+
+  private def ensure(): PeerConn = this.synchronized {
+    if (!closed && !current.isOpen) {
+      Thread.sleep(sleepOnErrorMs) // sleep-then-reconnect, like the reference
+      current = dial()
+      connects += 1
+    }
+    current
+  }
+
+  override def send(frame: String): Unit = ensure().send(frame)
+  override def receive(timeoutMs: Long): Option[String] = ensure().receive(timeoutMs)
+  override def isOpen: Boolean = !closed
+  override def close(): Unit = { closed = true; current.close() }
+}
+
 /** Websocket transport over the JDK's built-in client (java.net.http) —
   * the reference's `PeerConnWebSocket` (gun/websocket.go:14-87). Scheme
   * handling mirrors gun/peer.go:176-213: `http`/`https` URLs rewrite to
@@ -76,6 +115,8 @@ final class WebSocketPeerConn private (
 
   override def receive(timeoutMs: Long): Option[String] =
     Option(inbox.poll(timeoutMs, TimeUnit.MILLISECONDS))
+
+  override def isOpen: Boolean = !ws.isInputClosed
 
   override def close(): Unit =
     try ws.sendClose(WebSocket.NORMAL_CLOSURE, "bye").join()

@@ -92,6 +92,36 @@ class HamMergeSpec extends SparkSuite {
     assert(HamMerge.applyTracking(store, in, HamMerge.TrackingNothing).count() == 0)
   }
 
+  test("CRDT convergence: any batch split reaches the same final store") {
+    // The reference applies writes one at a time in arrival order; the
+    // engine applies them set-at-a-time per micro-batch. HAM's
+    // commutativity/associativity must make every batching reach the
+    // same store once all deferred writes mature — the property that
+    // makes at-least-once replays and shuffle reordering safe.
+    val rnd = new scala.util.Random(7)
+    val all = (1 to 60).map { i =>
+      (s"s${rnd.nextInt(6)}", s"f${rnd.nextInt(3)}",
+        GunValue.string(s"v${rnd.nextInt(9)}"): GunValue,
+        (1000 + rnd.nextInt(5000)).toDouble)
+    }
+    val direct = winners(HamMerge.mergeSnapshot(cells(all: _*)))
+    (0 until 3).foreach { trial =>
+      val shuffled = new scala.util.Random(trial).shuffle(all)
+      val batches = shuffled.grouped(7 + trial * 5).toSeq
+      var store = cells()
+      var deferred = cells()
+      // apply with a mid-range clock: some cells defer, then mature
+      batches.foreach { b =>
+        val (m, d) = HamMerge.merge(store, cells(b: _*), sysState = 3500)
+        store = m.localCheckpoint(true)
+        deferred = deferred.unionByName(d).localCheckpoint(true)
+      }
+      val (fin, still) = HamMerge.applyDeferred(store, deferred, sysState = 10000)
+      assert(still.count() == 0)
+      assert(winners(fin) == direct, s"trial $trial diverged")
+    }
+  }
+
   test("typed aggregator merge matches DataFrame merge") {
     val data = Seq(
       GunCell("s1", "f", GunValue.string("a"), 1000),

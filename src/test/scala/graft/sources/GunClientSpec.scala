@@ -83,6 +83,27 @@ class GunClientSpec extends AnyFunSuite {
     } finally { client.close(); a.close(); b.close() }
   }
 
+  test("reconnecting conn sleeps and re-dials when the transport dies") {
+    // gun/gun.go:236-259: failed receive → sleep → retry via a fresh conn
+    val locals = scala.collection.mutable.ArrayBuffer[InMemoryPeerConn]()
+    val remotes = scala.collection.mutable.ArrayBuffer[InMemoryPeerConn]()
+    var dials = 0
+    val conn = new ReconnectingPeerConn(() => {
+      dials += 1
+      val (local, remote) = InMemoryPeerConn.pair()
+      locals += local; remotes += remote
+      local
+    }, sleepOnErrorMs = 10)
+    try {
+      conn.send("hello-1")
+      assert(remotes(0).receive(1000).contains("hello-1"))
+      locals(0).close() // transport failure detected locally
+      conn.send("hello-2") // next use sleeps, re-dials, sends on conn #2
+      assert(dials == 2 && conn.connectCount == 2)
+      assert(remotes(1).receive(1000).contains("hello-2"))
+    } finally conn.close()
+  }
+
   test("put message wire shape matches the reference node JSON layout") {
     val msg = WireCodec.putMessage("m1", Seq(
       GunCell("s1", "f", GunValue.number("42.5"), 1000),
