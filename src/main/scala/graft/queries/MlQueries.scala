@@ -77,6 +77,25 @@ object MlQueries {
         Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text"),
         maxHamming = 16)),
 
+    // Dedup end-product: connected components over the LSH candidate-pair
+    // graph → one cluster row (canonical keeper = min doc_id, size). This
+    // is what a 100 TB dedup pass actually emits — keep-lists, not pairs.
+    // GraphX CC over the pair edges (hashed vertex ids, message passing).
+    "doc_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text"))
+      // zero-padded souls so the component's lexical-min rep IS the
+      // numeric-min doc id
+      val edges = pairs.select(
+        concat(lit("d"), lpad(col("doc_a").cast("string"), 9, "0")).as("src"),
+        lit("dup").as("field"),
+        concat(lit("d"), lpad(col("doc_b").cast("string"), 9, "0")).as("dst"))
+      graft.graph.Analytics.connectedComponents(s, edges)
+        .select(
+          expr("CAST(substring(component_rep, 2) AS BIGINT)").as("keep_doc_id"),
+          col("component_size").as("n_docs"))
+    }),
+
     "emb_knn" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -158,6 +177,27 @@ object MlQueries {
             ON a.band = b.band AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
           GROUP BY 1, 2""",
+    "doc_dup_clusters" ->
+      s"""WITH RECURSIVE sig AS ($sigSql),
+          bands AS (
+            SELECT doc_id, i // ${Dedup.BandRows} AS band,
+                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
+            FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+          rep AS (SELECT src AS doc_id, MIN(dst) AS keep FROM reach GROUP BY src)
+          SELECT keep AS keep_doc_id, COUNT(*) AS n_docs
+          FROM rep GROUP BY keep""",
     "simhash_sig" -> simhashSql,
     "simhash_pairs" ->
       s"""WITH sim AS ($simhashSql),
