@@ -92,6 +92,38 @@ final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
   }
 
   private[graph] def genSoul(): String = soulGen()
+
+  /** Local-then-remote point read — the reference's `FetchOne` (Gun JS
+    * `once`, gun/scoped_fetch.go:43-54): local store first; on a miss,
+    * send a wire `get` through the peer client, take the FIRST response
+    * (gun/scoped_fetch.go:80-87), HAM-merge its put fragment into the
+    * session store (the ingest step of gun/gun.go:266-286), and answer
+    * from the store — so a later read hits locally even with the peer
+    * gone, exactly the reference's TestGunGetSimple behavior
+    * (gun/tests/gun_test.go:10-40: read remote, kill server, read local).
+    */
+  def fetchOnce(
+      soul: String,
+      field: String,
+      client: graft.sources.GunClient,
+      timeoutMs: Long = 5000): FetchResult = {
+    val local = fetchCell(soul, field)
+    if (local.valueExists) local
+    else {
+      val id = client.get(soul, field)
+      try {
+        client.awaitAck(id, timeoutMs) match {
+          case Some(env) =>
+            env.putJson.foreach { put =>
+              val cells = graft.sources.GunWire.decodePutFragment(put)
+              if (cells.nonEmpty) putCells(cells, storeLocalOnly = true)
+            }
+            fetchCell(soul, field)
+          case None => local // timeout: absent, not an error
+        }
+      } finally client.doneWith(id)
+    }
+  }
 }
 
 object Graft {

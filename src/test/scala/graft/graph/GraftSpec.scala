@@ -80,6 +80,37 @@ class GraftSpec extends SparkSuite {
       c.value == GunValue.string("broadcast")))
   }
 
+  test("fetchOnce: local miss → remote answer → later reads hit locally") {
+    // the reference's TestGunGetSimple flow (gun/tests/gun_test.go:10-40):
+    // value lives on the peer; first read goes remote and persists; the
+    // peer then disappears and the second read still answers from the
+    // local store.
+    import graft.sources.{GunClient, InMemoryPeerConn, WireCodec}
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    val client = new GunClient(ours)
+    // fake remote peer: answers gets for (RS1, f) once
+    val peer = new Thread(() => {
+      Option(theirs.receive(5000)).flatten.foreach { frame =>
+        val env = WireCodec.decodeEnvelope(frame)
+        theirs.send("""{"@":"""" + env.msgId.get +
+          """","put":{"RS1":{"_":{"#":"RS1",">":{"f":1234}},"f":"remote-val"}}}""")
+      }
+    })
+    peer.setDaemon(true); peer.start()
+    val g = newGraft()
+    try {
+      val first = g.fetchOnce("RS1", "f", client)
+      assert(first.valueExists && first.value.contains(GunValue.string("remote-val")))
+      assert(first.state.contains(1234.0))
+      // peer gone — the answer must have been stored locally
+      theirs.close(); ours.close()
+      val second = g.fetchOnce("RS1", "f", client, timeoutMs = 100)
+      assert(second.valueExists && second.value.contains(GunValue.string("remote-val")))
+      // and a genuinely absent cell stays exists=false, not an error
+      assert(!g.fetchOnce("RS1", "nope", client, timeoutMs = 100).valueExists)
+    } finally client.close()
+  }
+
   test("second write at same path wins by newer state (HAM)") {
     var now = 1700000000000.0
     var seq = 0L
