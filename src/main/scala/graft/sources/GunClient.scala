@@ -129,40 +129,67 @@ object WireCodec {
 }
 
 /** Driver-side gun peer client: the control-plane loop of the reference's
-  * `Gun` struct over a [[PeerConn]] —
-  *   - receive loop dispatching each message (gun/gun.go:236-259),
+  * `Gun` struct over a set of [[PeerConn]]s —
+  *   - one receive loop per peer dispatching each message
+  *     (gun/gun.go:236-259),
   *   - DAM handshake: a `dam:"?"` without pid is a request → reply with our
-  *     peer id; with pid records the peer's id (gun/gun.go:309-325),
+  *     peer id on that peer's conn; with pid records the peer's id
+  *     (gun/gun.go:309-325),
   *   - ack correlation: a message whose `@` matches a registered request id
   *     is routed to that request's queue and consumed (gun/gun.go:288-297,
   *     registries :337-347),
   *   - soul-interest routing: put fragments touching a registered soul are
-  *     fanned out, non-consuming (gun/gun.go:299-307, :349-359).
+  *     fanned out, non-consuming (gun/gun.go:299-307, :349-359),
+  *   - GOSSIP: any message not consumed by an ack listener and not a DAM
+  *     control message is rebroadcast to every peer except its origin
+  *     (gun/gun.go:327-329 → the concurrent fan-out of :206-234, per-peer
+  *     failures isolated).
   *
   * Data-plane ingest (frames → cells → HAM merge) belongs to the Spark
   * side ([[GunSourceProvider]] → [[GunWire.framesToCells]] →
   * HamStream.updates); this class is the per-request surface (put acks,
   * one-shot gets) the reference exposes to applications.
   */
-final class GunClient(conn: PeerConn, val myPid: String = SoulGen()) extends AutoCloseable {
+final class GunClient(conns: Seq[PeerConn], val myPid: String) extends AutoCloseable {
+
+  /** Single-peer client (the common case). */
+  def this(conn: PeerConn, myPid: String = SoulGen()) = this(Seq(conn), myPid)
+
   private val ackListeners = new ConcurrentHashMap[String, LinkedBlockingQueue[WireEnvelope]]()
   private val soulListeners = new ConcurrentHashMap[String, LinkedBlockingQueue[Seq[GunCell]]]()
-  @volatile private var peerPidOpt: Option[String] = None
+  private val peerPids = new ConcurrentHashMap[Integer, String]()
   @volatile private var running = true
 
-  def peerPid: Option[String] = peerPidOpt
+  /** The recorded pid of peer `i` (from its DAM reply). */
+  def peerPidOf(i: Int): Option[String] = Option(peerPids.get(Int.box(i)))
+  def peerPid: Option[String] = peerPidOf(0)
 
-  private val loop = new Thread(() => {
-    while (running) {
-      conn.receive(50).foreach { frame =>
-        WireCodec.splitFrame(frame).foreach(m => onMessage(WireCodec.decodeEnvelope(m)))
+  private val loops = conns.zipWithIndex.map { case (conn, idx) =>
+    val t = new Thread(() => {
+      while (running) {
+        conn.receive(50).foreach { frame =>
+          WireCodec.splitFrame(frame).foreach(m =>
+            onMessage(m, WireCodec.decodeEnvelope(m), idx))
+        }
       }
-    }
-  }, "gun-client-receive")
-  loop.setDaemon(true)
-  loop.start()
+    }, s"gun-client-receive-$idx")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
 
-  private def onMessage(env: WireEnvelope): Unit = {
+  /** Concurrent fan-out send with per-peer failure isolation
+    * (gun/gun.go:206-234): returns the indexes that failed.
+    */
+  private def fanOut(frame: String, ignorePeer: Int = -1): Seq[Int] =
+    conns.zipWithIndex
+      .filter(_._2 != ignorePeer)
+      .flatMap { case (c, i) =>
+        try { c.send(frame); None }
+        catch { case _: Exception => Some(i) }
+      }
+
+  private def onMessage(raw: String, env: WireEnvelope, sourceIdx: Int): Unit = {
     // ack-id listeners consume the message (gun/gun.go:288-297)
     val consumed = env.ackId.flatMap(id => Option(ackListeners.get(id))) match {
       case Some(q) => q.put(env); true
@@ -176,29 +203,36 @@ final class GunClient(conn: PeerConn, val myPid: String = SoulGen()) extends Aut
           Option(soulListeners.get(soul)).foreach(_.put(cs))
         }
       }
-      // DAM request/record (gun/gun.go:309-325)
-      env.dam.foreach { _ =>
-        env.pid match {
-          case None      => conn.send(WireCodec.damReply(myPid))
-          case Some(pid) => peerPidOpt = Some(pid)
-        }
+      // DAM request/record (gun/gun.go:309-325) — consumed, never gossiped
+      env.dam match {
+        case Some(_) =>
+          env.pid match {
+            case None      => conns(sourceIdx).send(WireCodec.damReply(myPid))
+            case Some(pid) => peerPids.put(Int.box(sourceIdx), pid)
+          }
+        case None =>
+          // unhandled ⇒ gossip rebroadcast to everyone but the origin
+          // (gun/gun.go:327-329)
+          if (conns.length > 1) fanOut(raw, ignorePeer = sourceIdx)
       }
     }
   }
 
-  /** Send a put for the cells; returns the message id to await acks on. */
+  /** Send a put for the cells to every peer; returns the message id to
+    * await acks on (first ack wins, like the reference's result channel).
+    */
   def put(cells: Seq[GunCell]): String = {
     val id = SoulGen()
     ackListeners.put(id, new LinkedBlockingQueue[WireEnvelope]())
-    conn.send(WireCodec.putMessage(id, cells))
+    fanOut(WireCodec.putMessage(id, cells))
     id
   }
 
-  /** Send a one-shot get (gun/scoped_fetch.go:138-151). */
+  /** Send a one-shot get to every peer (gun/scoped_fetch.go:138-151). */
   def get(soul: String, field: String): String = {
     val id = SoulGen()
     ackListeners.put(id, new LinkedBlockingQueue[WireEnvelope]())
-    conn.send(WireCodec.getMessage(id, soul, field))
+    fanOut(WireCodec.getMessage(id, soul, field))
     id
   }
 
@@ -224,11 +258,11 @@ final class GunClient(conn: PeerConn, val myPid: String = SoulGen()) extends Aut
   /** Initiate the DAM handshake (server side sends dam:"?" on connect,
     * gun/server.go:55; a client may also ask).
     */
-  def sendDamRequest(): Unit = conn.send(WireCodec.damRequest)
+  def sendDamRequest(): Unit = fanOut(WireCodec.damRequest)
 
   override def close(): Unit = {
     running = false
-    loop.join(500)
+    loops.foreach(_.join(500))
     ackListeners.clear()
     soulListeners.asScala.keys.foreach(soulListeners.remove)
   }

@@ -83,6 +83,34 @@ class GunClientSpec extends AnyFunSuite {
     } finally { client.close(); a.close(); b.close() }
   }
 
+  test("gossip: unhandled messages rebroadcast to all peers except origin") {
+    // gun/gun.go:327-329: ack-consumed and DAM messages stop; anything
+    // else floods onward (soul listeners are non-consuming)
+    val (a1, b1) = InMemoryPeerConn.pair()
+    val (a2, b2) = InMemoryPeerConn.pair()
+    val (a3, b3) = InMemoryPeerConn.pair()
+    val client = new GunClient(Seq(a1, a2, a3), myPid = "hub")
+    try {
+      val putMsg = """{"#":"g1","put":{"gs":{"_":{"#":"gs",">":{"f":100}},"f":"x"}}}"""
+      b1.send(putMsg)
+      // peers 2 and 3 receive the rebroadcast; peer 1 (origin) does not
+      assert(b2.receive(2000).contains(putMsg))
+      assert(b3.receive(2000).contains(putMsg))
+      assert(b1.receive(300).isEmpty)
+      // DAM is control-plane: answered on the origin conn, never gossiped
+      b2.send(WireCodec.damRequest)
+      assert(b2.receive(2000).contains("""{"dam":"?","pid":"hub"}"""))
+      assert(b3.receive(300).isEmpty)
+      // ack-correlated responses are consumed, not gossiped
+      val id = client.get("gs", "f")
+      Seq(b1, b2, b3).foreach(_.receive(2000)) // drain the fan-out gets
+      b3.send("""{"@":"""" + id + """","put":{"gs":{"_":{"#":"gs",">":{"f":100}},"f":"x"}}}""")
+      assert(client.awaitAck(id, 2000).isDefined)
+      assert(b1.receive(300).isEmpty && b2.receive(300).isEmpty)
+      client.doneWith(id)
+    } finally { client.close(); Seq(a1, b1, a2, b2, a3, b3).foreach(_.close()) }
+  }
+
   test("reconnecting conn sleeps and re-dials when the transport dies") {
     // gun/gun.go:236-259: failed receive → sleep → retry via a fresh conn
     val locals = scala.collection.mutable.ArrayBuffer[InMemoryPeerConn]()
