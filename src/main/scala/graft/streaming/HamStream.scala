@@ -255,6 +255,40 @@ object HamStream {
       .start()
   }
 
+  /** Point read against a bucketed store — the read-side complement of
+    * [[mergeIntoStore]]: the bucket is computed from the soul up front
+    * and pushed as a partition filter, so the scan touches exactly ONE
+    * `bucket=N/` directory regardless of store size (reference
+    * storage-get semantics, gun/storage.go:79-89: absent ⇒ exists=false,
+    * not an error). At 100 TB this is the difference between a point
+    * read costing one file group and costing a full-store scan.
+    */
+  def fetchFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      soul: String,
+      field: String,
+      numBuckets: Int = 64): graft.core.FetchResult = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(lit(soul)), lit(numBuckets.toLong)))
+      .head().getLong(0)
+    val rows = spark.read.parquet(storePath)
+      .filter(col("bucket") === bucket) // partition-pruned to one dir
+      .filter(col("soul") === soul && col("field") === field)
+      .select("value.kind", "value.str", "value.num", "value.bool", "value.rel",
+        "state", "valueExists")
+      .limit(1).collect()
+    rows.headOption match {
+      case None => graft.core.FetchResult(field, None, None, valueExists = false)
+      case Some(r) =>
+        val v = graft.core.GunValue(r.getString(0), Option(r.getString(1)),
+          Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3)), Option(r.getString(4)))
+        graft.core.FetchResult(field, Some(v), Some(r.getDouble(5)), r.getBoolean(6))
+    }
+  }
+
   /** TTL compaction of a bucketed store — the reference's periodic purge
     * tick (5 s scan dropping cells older than the retention window,
     * gun/storage.go:56-75; 7 h default gun/gun.go:84-85) as a batch job

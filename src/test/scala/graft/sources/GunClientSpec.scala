@@ -132,6 +132,26 @@ class GunClientSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("frame codec round-trips arbitrary message text (property)") {
+    // messages containing quotes, backslashes, brackets, unicode — the
+    // double-encoded batch layer must be transparent for any payload
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(3, Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr,
+      Gen.const("""{"#":"x","put":{"s\"1":{"f":"a\\b"}}}"""),
+      Gen.const("нестандартный текст 😀 [not json]")))
+    (0 until 50).foreach { i =>
+      gen(Gen.Parameters.default, Seed(1000L + i)).foreach { msgs0 =>
+        // a frame of N messages must decode back to exactly those messages
+        val msgs = msgs0.map(m => if (m.isEmpty) "{}" else m)
+        val frame = WireCodec.joinFrame(msgs)
+        assert(WireCodec.splitFrame(frame) == msgs, s"seed ${1000 + i}")
+      }
+    }
+  }
+
   test("put message wire shape matches the reference node JSON layout") {
     val msg = WireCodec.putMessage("m1", Seq(
       GunCell("s1", "f", GunValue.number("42.5"), 1000),

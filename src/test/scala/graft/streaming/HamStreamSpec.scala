@@ -145,6 +145,32 @@ class HamStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("fetchFromStore: point read prunes to one bucket directory") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ham_store_read").toString + "/cells"
+    val in = MemoryStream[GunCell]
+    val q = mergeIntoStore(updates(in.toDS(), timers = false), dir, numBuckets = 8)
+    try {
+      in.addData((1 to 16).map(i =>
+        GunCell(s"rsoul$i", "f", GunValue.number(i.toLong), 1000)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hit = HamStream.fetchFromStore(spark, dir, "rsoul7", "f", numBuckets = 8)
+    assert(hit.valueExists && hit.value.contains(GunValue.number(7L)))
+    val miss = HamStream.fetchFromStore(spark, dir, "rsoul7", "nope", numBuckets = 8)
+    assert(!miss.valueExists)
+    // the partition filter reaches the scan: exactly one bucket selected
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val b = spark.range(1)
+      .select(pmod(xxhash64(lit("rsoul7")), lit(8L))).head().getLong(0)
+    val plan = spark.read.parquet(dir).filter(col("bucket") === b)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"bucket = $b") || plan.contains(s"bucket#") ||
+      plan.contains("PartitionFilters"))
+  }
+
   test("compactStore drops expired cells and removes fully-expired buckets") {
     val spark2 = spark
     import spark2.implicits._
