@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream}
+import java.io.{InputStream, OutputStream}
 import java.net.{ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
@@ -56,19 +56,30 @@ final class GunWebSocketServer(
   }
 
   /** HTTP Upgrade handshake: read headers, answer 101 with the accept key
-    * (SHA-1 of key + RFC 6455 GUID, base64).
+    * (SHA-1 of key + RFC 6455 GUID, base64). Headers are read byte-by-byte
+    * off the raw stream — a buffered reader could over-read into websocket
+    * frames a fast peer pipelines right after its request, and those bytes
+    * would be lost to the frame loop.
     */
   private def handshake(in: InputStream, out: OutputStream): Boolean = {
-    val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.US_ASCII))
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var b = in.read()
+      while (b >= 0 && b != '\n') {
+        if (b != '\r') sb.append(b.toChar)
+        b = in.read()
+      }
+      if (b < 0 && sb.isEmpty) null else sb.toString
+    }
     var key: String = null
-    var line = reader.readLine()
+    var line = readLine()
     if (line == null || !line.startsWith("GET ")) return false
-    line = reader.readLine()
+    line = readLine()
     while (line != null && line.nonEmpty) {
       val i = line.indexOf(':')
       if (i > 0 && line.substring(0, i).equalsIgnoreCase("Sec-WebSocket-Key"))
         key = line.substring(i + 1).trim
-      line = reader.readLine()
+      line = readLine()
     }
     if (key == null) return false
     val accept = Base64.getEncoder.encodeToString(
