@@ -58,6 +58,31 @@ object Demo {
     spark.sql("SELECT soul, field, gun_canonical_json(value) AS cj FROM wire_cells")
       .show(5, truncate = false)
 
+    // Live peer round trip: dial our own RFC 6455 server, handshake DAM,
+    // fetch a value that only the "remote" peer has (local-then-remote
+    // once), then read it again with the peer gone — served locally.
+    {
+      import graft.sources._
+      val peers = new java.util.concurrent.LinkedBlockingQueue[PeerConn]()
+      val server = new GunWebSocketServer(0, peers.put(_), sendDamOnConnect = false)
+      val conn = WebSocketPeerConn.dial(s"ws://127.0.0.1:${server.boundPort}/gun")
+      val client = new GunClient(conn)
+      val serverSide = peers.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      val answerer = new Thread(() => {
+        serverSide.receive(5000).foreach { f =>
+          val env = WireCodec.decodeEnvelope(f)
+          serverSide.send("{\"@\":" + "\"" + env.msgId.get + "\"" +
+            ",\"put\":{\"remote-soul\":{\"_\":{\"#\":\"remote-soul\",\">\":{\"greeting\":3000}},\"greeting\":\"hello-over-websocket\"}}}")
+        }
+      })
+      answerer.setDaemon(true); answerer.start()
+      val remote = g.fetchOnce("remote-soul", "greeting", client)
+      println(s"[demo] fetched over live websocket: $remote")
+      server.close(); client.close()
+      val local = g.fetchOnce("remote-soul", "greeting", client, timeoutMs = 100)
+      println(s"[demo] re-read with peer gone (served locally): $local")
+    }
+
     val entryRows = SparkEntry.entry(spark).count()
     println(s"[demo] SparkEntry.entry rows: $entryRows")
     spark.stop()

@@ -164,7 +164,12 @@ object HamStream {
     * per-subscription dedupe (gun/scoped_fetch.go:173-178) suppresses a
     * repeated (value, state) pair — in particular the case where the
     * write that produced the snapshot is still in flight on the update
-    * stream when the subscription starts.
+    * stream when the subscription starts. Dedupe state grows with the
+    * subscription's DISTINCT transitions (one small row each) — a
+    * standing production subscription would bound it with
+    * `withWatermark` over a timestamp derived from `state`, trading the
+    * ability to dedupe arbitrarily late replays, exactly the TTL
+    * trade-off the reference makes with its 7 h retention.
     */
   def subscribeWithSnapshot(
       store: Dataset[GunCell],
