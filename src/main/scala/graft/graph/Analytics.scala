@@ -4,6 +4,7 @@ import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** GraphX analytics over the gun relation-cell graph (the "analytics
   * subset" of BASELINE.json): the reference's edges are fields holding
@@ -45,17 +46,39 @@ object Analytics {
     * component size). Deterministic: representative = lexicographically
     * smallest soul in the component.
     */
+  /** Materialize `result` with an eager localCheckpoint (cutting its
+    * lineage off the graph RDDs), then unpersist every GraphX handle and
+    * the persisted edge DataFrame. GraphX `cache()`s graph RDDs internally
+    * on construction and per algorithm iteration; without this release a
+    * long-lived session accumulates those blocks across queries (the
+    * 100×-scale OOM class — each analytics call must leave the block
+    * manager the way it found it).
+    */
+  private def materializeAndRelease(result: DataFrame, edges: DataFrame,
+                                    graphs: Graph[_, _]*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    graphs.foreach(_.unpersist(blocking = false))
+    edges.unpersist(blocking = false)
+    out
+  }
+
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val g = fromEdges(edges)
+    // Persist the edge DF for the graph build: vertex + edge RDD
+    // construction each traverse it, and GraphX materialization multiplies
+    // that again — one upstream evaluation instead of 2-3 (this input can
+    // be an entire MinHash→banding→self-join pipeline, not just a scan).
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val g = fromEdges(e)
     val cc = g.connectedComponents()
     // join component id back to soul names; pick min soul per component
     val comp = cc.vertices.join(g.vertices.map(identity))
       .map { case (_, (compId, soul)) => (compId, soul) }
       .toDF("comp_id", "soul")
-    comp.groupBy("comp_id")
+    val res = comp.groupBy("comp_id")
       .agg(min(col("soul")).as("component_rep"), count(lit(1)).as("component_size"))
       .select("component_rep", "component_size")
+    materializeAndRelease(res, e, g, cc)
   }
 
   /** PageRank over the relation graph. Fixed-iteration, UNNORMALIZED
@@ -67,13 +90,15 @@ object Analytics {
     */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
     import spark.implicits._
-    val g = fromEdges(edges)
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val g = fromEdges(e)
     val pr = org.apache.spark.graphx.lib.PageRank
       .runWithOptions(g, numIter = iters, resetProb = 0.15, srcId = None,
         normalized = false)
-    pr.vertices.join(g.vertices.map(identity))
+    val res = pr.vertices.join(g.vertices.map(identity))
       .map { case (_, (rank, soul)) => (soul, rank) }
       .toDF("soul", "rank")
+    materializeAndRelease(res, e, g, pr)
   }
 
   /** Multi-hop reachability from a set of source souls along edge
@@ -82,7 +107,8 @@ object Analytics {
     */
   def reachable(spark: SparkSession, edges: DataFrame, sources: Set[String]): DataFrame = {
     import spark.implicits._
-    val g = fromEdges(edges)
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val g = fromEdges(e)
     val srcIds = soulIdDf(spark, sources.toSeq).values.toSet
     val init = g.mapVertices((id, _) => if (srcIds.contains(id)) 0 else Int.MaxValue)
     val bfs = init.pregel(Int.MaxValue)(
@@ -90,9 +116,10 @@ object Analytics {
       t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
         Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
       (a, b) => math.min(a, b))
-    bfs.vertices.filter(_._2 != Int.MaxValue)
+    val res = bfs.vertices.filter(_._2 != Int.MaxValue)
       .join(g.vertices.map(identity))
       .map { case (_, (hops, soul)) => (soul, hops.toLong) }
       .toDF("soul", "hops")
+    materializeAndRelease(res, e, g, init, bfs)
   }
 }

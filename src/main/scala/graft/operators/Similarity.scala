@@ -46,14 +46,76 @@ object Similarity {
 
   /** Project (vec_id, unit-normalized double vector), persisted: the norm
     * fold runs once per vector, not once per pair.
+    *
+    * Typed per-partition kernel (the [[lshTablesFast]] pattern): same
+    * left-to-right IEEE accumulation as the declarative
+    * [[unitVectorsDeclarative]] form — float→double per element, Σ v·v in
+    * index order, then per-element ÷ √Σ — so the doubles are bit-identical
+    * while skipping the interpreted higher-order-function overhead
+    * (Catalyst evaluates `transform`/`aggregate` lambdas per element
+    * outside whole-stage codegen; the near-dup verify path evaluates this
+    * once per VECTOR and the pair dot once per CANDIDATE, so the constant
+    * factor is the whole cost).
     */
   def unitVectors(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          val n = emb.length
+          val v = new Array[Double](n)
+          var i = 0
+          while (i < n) { v(i) = emb(i).toDouble; i += 1 }
+          var s = 0.0
+          i = 0
+          while (i < n) { s += v(i) * v(i); i += 1 }
+          val norm = math.sqrt(s)
+          i = 0
+          while (i < n) { v(i) = v(i) / norm; i += 1 }
+          (id, v)
+        }
+      }
+      .toDF("vec_id", "uv")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Declarative reference form of [[unitVectors]] (tested equal in
+    * SimilaritySpec; not persisted).
+    */
+  def unitVectorsDeclarative(vectors: DataFrame): DataFrame = {
     val asDouble = transform(col("embedding"), x => x.cast("double"))
     vectors
-      .select(col("vec_id"), asDouble.as("v"))
+      .select(col("vec_id").cast("long").as("vec_id"), asDouble.as("v"))
       .select(col("vec_id"),
         transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("uv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Score candidate pairs with an exact dot product via a typed
+    * per-partition kernel: input must have (aId: long, aVec: array<double>,
+    * bId: long, bVec: array<double>) columns; output is (aId, bId, cos)
+    * with the same left-to-right accumulation as [[dot]] — bit-identical
+    * doubles, ~an order of magnitude less per-pair overhead than the
+    * interpreted `aggregate(zip_with(...))` fold.
+    */
+  def cosinePairs(pairs: DataFrame, aId: String, aVec: String,
+                  bId: String, bVec: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(aId).cast("long"), col(bId).cast("long"),
+        col(aVec), col(bVec))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (a, b, va, vb) =>
+          var s = 0.0
+          var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { s += va(i) * vb(i); i += 1 }
+          (a, b, s)
+        }
+      }
+      .toDF(aId, bId, "cos")
   }
 
   /** Exact top-k neighbors for each query vector. Output:
@@ -66,10 +128,12 @@ object Similarity {
     val c = unit.select(col("vec_id").as("neighbor_id"), col("uv").as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    val d = if (dim > 0) dotUnrolled(col("qv"), col("cv"), dim) else dot(col("qv"), col("cv"))
-    c.crossJoin(broadcast(q))
+    val pairs = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", d)
+    val scored =
+      if (dim > 0) pairs.withColumn("cos", dotUnrolled(col("qv"), col("cv"), dim))
+      else cosinePairs(pairs, "query_id", "qv", "neighbor_id", "cv")
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -201,10 +265,12 @@ object Similarity {
     val c = withB.select(col("vec_id").as("neighbor_id"), col("uv").as("cv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    val d = if (dim > 0) dotUnrolled(col("qv"), col("cv"), dim) else dot(col("qv"), col("cv"))
-    a.join(c, "bucket")
+    val pairs = a.join(c, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", d)
+    val scored =
+      if (dim > 0) pairs.withColumn("cos", dotUnrolled(col("qv"), col("cv"), dim))
+      else cosinePairs(pairs, "query_id", "qv", "neighbor_id", "cv")
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -294,11 +360,11 @@ object Similarity {
     val unit = unitVectors(vectors)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(lists, "list_id")
+    val pairs = probes.join(lists, "list_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .join(unit.select(col("vec_id").as("query_id"), col("uv").as("qv")), "query_id")
       .join(unit.select(col("vec_id").as("neighbor_id"), col("uv").as("cv")), "neighbor_id")
-      .withColumn("cos", dot(col("qv"), col("cv")))
+    cosinePairs(pairs, "query_id", "qv", "neighbor_id", "cv")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -349,10 +415,11 @@ object Similarity {
       .select("vec_a", "vec_b")
       .distinct()
     val unit = unitVectors(vectors)
-    cand
+    val pairs = cand
       .join(unit.select(col("vec_id").as("vec_a"), col("uv").as("va")), "vec_a")
       .join(unit.select(col("vec_id").as("vec_b"), col("uv").as("vb")), "vec_b")
-      .filter(dot(col("va"), col("vb")) >= threshold)
+    cosinePairs(pairs, "vec_a", "va", "vec_b", "vb")
+      .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
   }
 }

@@ -199,11 +199,12 @@ object HamStream {
     *   3. HAM-merges them with the batch (per-key state already collapsed
     *      each batch to net winners; HAM idempotence makes at-least-once
     *      replays safe),
-    *   4. writes the merged buckets to a staging dir and atomically swaps
-    *      each bucket directory into place (write-ahead + rename — an
-    *      executor death mid-write leaves the staging dir, never a
-    *      half-written store; a crash mid-swap loses at most the swap of
-    *      some buckets, which the next batch's re-merge repairs).
+    *   4. writes the merged buckets to a staging dir and swaps each bucket
+    *      directory into place with the recoverable trash-then-swap
+    *      ordering of [[swapBucket]] — no crash point leaves a bucket
+    *      permanently absent from the live tree (old data parks in a
+    *      `.trash-*` dir that [[recoverStore]], run at every
+    *      merge/compact/fetch entry, restores or clears).
     *
     * Missing-store detection is an explicit FileSystem existence check;
     * any OTHER read error (permissions, corruption) propagates — it must
@@ -229,6 +230,7 @@ object HamStream {
           val hconf = spark.sparkContext.hadoopConfiguration
           val storeDir = new org.apache.hadoop.fs.Path(storePath)
           val fs = storeDir.getFileSystem(hconf)
+          recoverStore(fs, storeDir) // heal any interrupted prior swap first
           val existing =
             if (!fs.exists(storeDir)) {
               spark.createDataFrame(
@@ -248,16 +250,61 @@ object HamStream {
           merged.write.mode("overwrite")
             .partitionBy("bucket").parquet(staging.toString)
           touched.foreach { b =>
-            val live = new org.apache.hadoop.fs.Path(storeDir, s"bucket=$b")
-            val next = new org.apache.hadoop.fs.Path(staging, s"bucket=$b")
-            if (fs.exists(live)) fs.delete(live, true)
-            if (fs.exists(next)) fs.rename(next, live)
+            swapBucket(fs, storeDir, s"bucket=$b",
+              new org.apache.hadoop.fs.Path(staging, s"bucket=$b"))
           }
           fs.delete(staging, true)
         }
         ()
       }
       .start()
+  }
+
+  /** Swap a staged bucket directory into the live tree with a RECOVERABLE
+    * ordering (the delete-before-rename of the round-2 version had a crash
+    * window that left a bucket absent with no repair path):
+    *   1. rename live → `.trash-bucket=N` (old data parked, not deleted),
+    *   2. rename staged → live,
+    *   3. delete the trash copy.
+    * A crash after (1) leaves the old data in the trash dir;
+    * [[recoverStore]] — run at every merge/compact/fetch entry — renames
+    * it back, so every crash point leaves the bucket readable with either
+    * the old or the new data, never neither. Dot-prefixed trash/staging
+    * dirs are invisible to parquet reads (Hadoop's hidden-file filter), so
+    * an in-flight swap never double-counts.
+    */
+  private[streaming] def swapBucket(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: org.apache.hadoop.fs.Path,
+      bucketName: String,
+      staged: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(staged)) return
+    val live = new org.apache.hadoop.fs.Path(storeDir, bucketName)
+    val trash = new org.apache.hadoop.fs.Path(storeDir, s".trash-$bucketName")
+    if (fs.exists(trash)) fs.delete(trash, true) // leftover from a healed swap
+    if (fs.exists(live)) fs.rename(live, trash)
+    fs.rename(staged, live)
+    if (fs.exists(trash)) fs.delete(trash, true)
+  }
+
+  /** Heal an interrupted [[swapBucket]]: for every `.trash-bucket=N` dir,
+    * restore it as the live bucket if the live dir is absent (crash landed
+    * between the two renames), or drop it if the swap completed (crash
+    * landed before the final delete). Idempotent and cheap (one directory
+    * listing); called at the entry of every store operation.
+    */
+  def recoverStore(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(storeDir)) return
+    fs.listStatus(storeDir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".trash-bucket=")) {
+        val live = new org.apache.hadoop.fs.Path(storeDir, n.stripPrefix(".trash-"))
+        if (!fs.exists(live)) fs.rename(s.getPath, live)
+        else fs.delete(s.getPath, true)
+      }
+    }
   }
 
   /** Point read against a bucketed store — the read-side complement of
@@ -275,6 +322,9 @@ object HamStream {
       field: String,
       numBuckets: Int = 64): graft.core.FetchResult = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    recoverStore(storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      storeDir) // one listStatus; heals a crash-interrupted swap before reading
     val bucket = spark.range(1)
       .select(pmod(xxhash64(lit(soul)), lit(numBuckets.toLong)))
       .head().getLong(0)
@@ -298,8 +348,10 @@ object HamStream {
     * tick (5 s scan dropping cells older than the retention window,
     * gun/storage.go:56-75; 7 h default gun/gun.go:84-85) as a batch job
     * run on the compaction cadence. Cells with `state < nowMs - ttlMs`
-    * are dropped; surviving buckets rewrite via the same staging + atomic
-    * swap as [[mergeIntoStore]]; buckets left empty are removed.
+    * are dropped; surviving buckets rewrite via the same staging +
+    * recoverable [[swapBucket]] ordering as [[mergeIntoStore]]; buckets
+    * left fully expired are removed outright (an intentional delete, not a
+    * swap-crash window).
     */
   def compactStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -310,6 +362,7 @@ object HamStream {
     val storeDir = new org.apache.hadoop.fs.Path(storePath)
     val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(storeDir)) return
+    recoverStore(fs, storeDir)
     val liveBuckets = fs.listStatus(storeDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(_.getPath.getName)
@@ -319,10 +372,9 @@ object HamStream {
     val staging = new org.apache.hadoop.fs.Path(storePath, ".compact-staging")
     kept.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
     liveBuckets.foreach { name =>
-      val live = new org.apache.hadoop.fs.Path(storeDir, name)
       val next = new org.apache.hadoop.fs.Path(staging, name)
-      fs.delete(live, true)
-      if (fs.exists(next)) fs.rename(next, live) // absent = bucket fully expired
+      if (fs.exists(next)) swapBucket(fs, storeDir, name, next)
+      else fs.delete(new org.apache.hadoop.fs.Path(storeDir, name), true) // fully expired
     }
     fs.delete(staging, true)
   }

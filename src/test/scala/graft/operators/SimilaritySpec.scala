@@ -35,6 +35,29 @@ class SimilaritySpec extends SparkSuite {
     assert(fast == slow)
   }
 
+  test("typed unitVectors kernel is bit-identical to the declarative form") {
+    val fast = Similarity.unitVectors(vecs)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toMap
+    val slow = Similarity.unitVectorsDeclarative(vecs)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toMap
+    // exact double equality — same left-to-right IEEE accumulation
+    assert(fast == slow)
+  }
+
+  test("cosinePairs kernel matches the declarative dot fold bit-for-bit") {
+    val unit = Similarity.unitVectors(vecs)
+    val a = unit.select(col("vec_id").as("ida"), col("uv").as("va"))
+    val b = unit.select(col("vec_id").as("idb"), col("uv").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val fast = Similarity.cosinePairs(pairs, "ida", "va", "idb", "vb")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val slow = pairs.select(col("ida"), col("idb"),
+        Similarity.dot(col("va"), col("vb")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(fast == slow)
+    assert(fast.size == 40 * 39 / 2)
+  }
+
   test("banded near-dup pairs are a subset of the exact pairs") {
     val exact = Similarity.nearDupPairs(vecs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -197,6 +197,48 @@ class HamStreamSpec extends SparkSuite {
     }
   }
 
+  test("swap crash windows: bucket stays readable (old or new, never neither)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ham_store_swap").toString + "/cells"
+    val in = MemoryStream[GunCell]
+    val q = mergeIntoStore(updates(in.toDS(), timers = false), dir, numBuckets = 4)
+    try {
+      in.addData((1 to 12).map(i =>
+        GunCell(s"ssoul$i", "f", GunValue.number(i.toLong), 1000)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.read.parquet(dir).select("soul").as[String].collect().toSet
+    assert(all.size == 12)
+    val storeDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val someBucket = fs.listStatus(storeDir)
+      .map(_.getPath.getName).filter(_.startsWith("bucket=")).head
+
+    // Crash point A: between rename(live → trash) and rename(staged → live)
+    // — live dir absent, old data parked in trash. Any store entry point
+    // must heal it before serving.
+    fs.rename(new org.apache.hadoop.fs.Path(storeDir, someBucket),
+      new org.apache.hadoop.fs.Path(storeDir, s".trash-$someBucket"))
+    assert(spark.read.parquet(dir).count() < 12) // bucket really absent pre-heal
+    HamStream.recoverStore(fs, storeDir)
+    assert(spark.read.parquet(dir).select("soul").as[String].collect().toSet == all)
+
+    // Crash point B: after rename(staged → live) but before the trash
+    // delete — both live and trash exist. Recovery must drop the trash
+    // (the swap completed), and the dot-dir must be invisible to reads
+    // (no double counting even BEFORE recovery runs).
+    val live = new org.apache.hadoop.fs.Path(storeDir, someBucket)
+    val trash = new org.apache.hadoop.fs.Path(storeDir, s".trash-$someBucket")
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, trash, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(dir).count() == 12) // hidden-file filter holds
+    HamStream.recoverStore(fs, storeDir)
+    assert(!fs.exists(trash) && fs.exists(live))
+    assert(spark.read.parquet(dir).select("soul").as[String].collect().toSet == all)
+  }
+
   test("lsh candidate hot-bucket cap drops oversized buckets") {
     import graft.operators.Dedup
     val spark2 = spark
