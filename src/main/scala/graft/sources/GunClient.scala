@@ -168,8 +168,16 @@ final class GunClient(conns: Seq[PeerConn], val myPid: String) extends AutoClose
     val t = new Thread(() => {
       while (running) {
         conn.receive(50).foreach { frame =>
-          WireCodec.splitFrame(frame).foreach(m =>
+          // One malformed message or a failed reply-send (e.g. the DAM
+          // reply to a peer that died mid-handshake) must not kill this
+          // peer's receive loop — the reference's loop likewise treats a
+          // per-message error as that message's problem, not the conn's
+          // (gun/gun.go:236-259).
+          try WireCodec.splitFrame(frame).foreach(m =>
             onMessage(m, WireCodec.decodeEnvelope(m), idx))
+          catch { case e: Exception =>
+            System.err.println(s"[gun-client] peer $idx message dropped: $e")
+          }
         }
       }
     }, s"gun-client-receive-$idx")

@@ -110,7 +110,23 @@ final class GunMicroBatchStream(options: CaseInsensitiveStringMap)
   }
 
   override def initialOffset(): Offset = GunOffset(0L)
-  override def deserializeOffset(json: String): Offset = GunOffset(json.toLong)
+
+  /** On checkpoint restart the driver buffer is empty but Spark replays
+    * offsets from its log (e.g. start=100): anchor `base` at the highest
+    * restored offset so NEW messages map to offsets beyond the
+    * checkpointed position. Without this, post-restart messages landed at
+    * offsets 0..n and were silently swallowed until the count caught up
+    * with the old offset. The replayed in-flight range itself still yields
+    * an empty batch (`planInputPartitions` clamps below `base`) — the
+    * documented at-most-once loss for messages in flight at the crash, not
+    * an ongoing loss of new traffic. Only bumps while the buffer is empty:
+    * once polling has buffered frames, `base` is already anchored.
+    */
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val n = json.toLong
+    if (buffered.isEmpty && n > base) base = n
+    GunOffset(n)
+  }
 
   override def latestOffset(): Offset = synchronized {
     poll()
@@ -121,7 +137,11 @@ final class GunMicroBatchStream(options: CaseInsensitiveStringMap)
     synchronized {
       val s = start.asInstanceOf[GunOffset].n
       val e = end.asInstanceOf[GunOffset].n
-      val msgs = buffered.slice((s - base).toInt, (e - base).toInt).toArray
+      // Clamp below base: a replayed pre-restart range has no buffered
+      // data (at-most-once across restarts) and must not mis-slice.
+      val lo = math.max(0L, s - base).toInt
+      val hi = math.max(0L, e - base).toInt
+      val msgs = buffered.slice(lo, hi).toArray
       if (msgs.isEmpty) Array.empty
       else Array(GunFramesPartition(msgs))
     }

@@ -228,13 +228,19 @@ object GunWire {
     // the frame.
     val valueJson = wireJsonBuiltin(col("value"))
     val fieldJson = goQuoteBuiltin(col("field"))
+    // State numbers format Go-style (integral → no decimal point), the
+    // same rule as WireCodec.putMessage.stateJson — both publish paths
+    // must emit byte-identical frames for the same cells.
+    val st = col("state")
+    val stateJson = when(st === floor(st) && abs(st) < lit(1e15),
+      st.cast("long").cast("string")).otherwise(st.cast("string"))
     cells
       .groupBy("soul")
       .agg(
         concat_ws(",", collect_list(
           concat(fieldJson, lit(":"), valueJson))).as("fields_json"),
         concat_ws(",", collect_list(
-          concat(fieldJson, lit(":"), col("state").cast("string"))))
+          concat(fieldJson, lit(":"), stateJson)))
           .as("states_json"))
       .select(col("soul"), concat(
         lit("{\"_\":{\"#\":"), goQuoteBuiltin(col("soul")), lit(",\">\":{"),

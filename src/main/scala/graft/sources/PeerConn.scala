@@ -110,8 +110,17 @@ final class WebSocketPeerConn private (
     ws: WebSocket,
     inbox: LinkedBlockingQueue[String]) extends PeerConn {
 
-  override def send(frame: String): Unit =
+  /** JDK WebSocket forbids overlapping text sends (IllegalStateException);
+    * GunClient sends concurrently from user threads (put/get fan-out) AND
+    * receive-loop threads (DAM replies, gossip), so sends serialize here.
+    * The lock spans the join(): one frame is fully handed to the socket
+    * before the next starts, which is also the reference's per-conn write
+    * ordering (a single websocket writer, gun/websocket.go:55-66).
+    */
+  private val sendLock = new Object
+  override def send(frame: String): Unit = sendLock.synchronized {
     ws.sendText(frame, true).join()
+  }
 
   override def receive(timeoutMs: Long): Option[String] =
     Option(inbox.poll(timeoutMs, TimeUnit.MILLISECONDS))

@@ -53,6 +53,42 @@ class GunSourceSpec extends SparkSuite {
     }
   }
 
+  test("checkpoint restart: restored offset anchors the buffer base") {
+    // Simulates Spark recovering from a checkpoint: a fresh stream instance
+    // (empty driver buffer) gets deserializeOffset(100) replayed from the
+    // offset log. New messages must land at offsets ≥ 100 — not at 0..n
+    // where they'd be silently swallowed until the count caught up.
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    InMemoryPeerConn.register("restart-src", ours)
+    try {
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("conn", "restart-src", "pid", "spark-engine"))
+      val stream = new GunMicroBatchStream(opts)
+      val restored = stream.deserializeOffset("100")
+      assert(restored.asInstanceOf[GunOffset].n == 100L)
+      // the replayed pre-restart range yields an empty batch (documented
+      // at-most-once for in-flight messages), not a mis-slice
+      assert(stream.planInputPartitions(GunOffset(95), GunOffset(100)).isEmpty)
+      // a NEW message maps beyond the checkpointed position
+      theirs.send("""{"#":"r1","put":{"rs":{"_":{"#":"rs",">":{"f":1}},"f":"v"}}}""")
+      val deadline = System.currentTimeMillis() + 5000
+      var latest = 100L
+      while (latest == 100L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(20)
+        latest = stream.latestOffset().asInstanceOf[GunOffset].n
+      }
+      assert(latest == 101L)
+      val parts = stream.planInputPartitions(GunOffset(100), GunOffset(101))
+      assert(parts.length == 1 &&
+        parts(0).asInstanceOf[GunFramesPartition].frames.head.contains("\"rs\""))
+      stream.commit(GunOffset(101))
+      stream.stop()
+    } finally {
+      InMemoryPeerConn.unregister("restart-src")
+      theirs.close(); ours.close()
+    }
+  }
+
   test("publish sink: merged updates fan out as decodable put frames") {
     val spark2 = spark
     import spark2.implicits._
