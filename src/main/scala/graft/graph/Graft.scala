@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
     val clock: () => Double = () => System.currentTimeMillis().toDouble,
     soulGen: () => String = () => SoulGen(),
-    publisher: Seq[GunCell] => Unit = _ => ()) {
+    publisher: Seq[GunCell] => Unit = _ => (),
+    peerClient: Option[graft.sources.GunClient] = None) {
   import spark.implicits._
 
   // Current merged snapshot + parked future writes. Both are small-metadata
@@ -51,13 +52,33 @@ final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
     * ack before fan-out (gun/scoped_put.go:129-137).
     */
   def putCells(cells: Seq[GunCell], storeLocalOnly: Boolean = false): Unit = {
+    putCellsWithAck(cells, storeLocalOnly)
+    ()
+  }
+
+  /** Like [[putCells]], but returns the reference's put-result surface
+    * (gun/scoped_put.go:153-173: the result channel carries the immediate
+    * local-store result, then each peer's ack or error). The local HAM
+    * merge IS the local ack — it has completed by the time this returns;
+    * the handle exposes the remote side when the session has a
+    * `peerClient`, so a caller can observe a remote peer rejecting the
+    * write instead of the fire-and-forget publisher hiding it.
+    */
+  def putCellsWithAck(cells: Seq[GunCell], storeLocalOnly: Boolean = false): PutAck = {
     synchronized {
       val sys = clock()
       val (merged, newDeferred) = HamMerge.merge(storeDf, cells.toDF(), sys)
       storeDf = merged.localCheckpoint(true)
       deferredDf = deferredDf.unionByName(newDeferred).localCheckpoint(true)
     }
-    if (!storeLocalOnly) publisher(cells)
+    if (storeLocalOnly) PutAck.localOnly
+    else {
+      publisher(cells)
+      peerClient match {
+        case Some(c) => new PutAck(Some((c, c.put(cells))))
+        case None    => PutAck.localOnly
+      }
+    }
   }
 
   /** Re-apply matured deferred writes (reference: gun/storage.go:107-117). */
@@ -124,6 +145,33 @@ final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
       } finally client.doneWith(id)
     }
   }
+}
+
+/** Handle for the remote half of a put's result channel
+  * (gun/scoped_put.go:153-173). The local ack is implicit: the session
+  * store merge completed before the handle was returned. `await` yields
+  * the first correlated peer response — `ok` set on success, `err` set on
+  * rejection — or None on timeout. Close releases the ack listener.
+  */
+final class PutAck private[graph] (
+    private val remote: Option[(graft.sources.GunClient, String)])
+    extends AutoCloseable {
+
+  /** True when a peer ack may arrive (a live client published the put). */
+  def hasRemote: Boolean = remote.isDefined
+
+  /** First peer response for this put: check `.err` for a rejection
+    * (first-response-wins, like the reference's channel consumer).
+    */
+  def await(timeoutMs: Long): Option[graft.sources.WireEnvelope] =
+    remote.flatMap { case (c, id) => c.awaitAck(id, timeoutMs) }
+
+  override def close(): Unit =
+    remote.foreach { case (c, id) => c.doneWith(id) }
+}
+
+object PutAck {
+  private[graph] val localOnly = new PutAck(None)
 }
 
 object Graft {
@@ -195,6 +243,15 @@ final class Scoped private[graph] (g: Graft, private val parent: Option[Scoped],
     */
   def put(value: GunValue, failWithoutParent: Boolean = false,
       storeLocalOnly: Boolean = false): Unit = {
+    putWithAck(value, failWithoutParent, storeLocalOnly).close()
+  }
+
+  /** [[put]] returning the put-result handle (gun/scoped_put.go:153-173):
+    * local merge is complete on return; `PutAck.await` surfaces the first
+    * remote peer ack/err when the session publishes through a GunClient.
+    */
+  def putWithAck(value: GunValue, failWithoutParent: Boolean = false,
+      storeLocalOnly: Boolean = false): PutAck = {
     val chain = ancestors // root-first, excluding this leaf scope
     if (chain.isEmpty) throw ErrLookupOnTopLevel(field)
     val state = g.clock()
@@ -222,7 +279,7 @@ final class Scoped private[graph] (g: Graft, private val parent: Option[Scoped],
       }
     }
     batch += GunCell(parentSoul, field, value, state)
-    g.putCells(batch.result(), storeLocalOnly)
+    g.putCellsWithAck(batch.result(), storeLocalOnly)
   }
 
   private def soulNoThrowCached(): Option[String] = cachedSoul

@@ -109,41 +109,73 @@ object HamStream {
     * micro-batches. `timers = false` applies deferred/TTL transitions
     * lazily on the key's next incoming cell (useful for tests and for
     * pipelines where a periodic compaction pass handles eviction).
+    *
+    * `tracking` applies the reference's ingest tracking policy to EVERY
+    * received put before it can touch state (gun/gun.go:59-78, 266-286 —
+    * the same rule `HamMerge.applyTracking` implements for batch):
+    * `TrackingEverything` merges all; `TrackingRequested` drops cells for
+    * keys this operator has never seen (state-presence gate — seed the
+    * known keys from a store snapshot via `initialStore`); `TrackingNothing`
+    * drops everything (wire passthrough, no merge). `initialStore` is
+    * HAM-collapsed to one winner per key and loaded as the operator's
+    * initial state, so a restart (or a policy gate) starts from the merged
+    * store rather than empty — the streaming analogue of the reference
+    * answering from storage.
     */
   def updates(
       cells: Dataset[GunCell],
       ttlMs: Double = 7.0 * 3600 * 1000,
-      timers: Boolean = true): Dataset[Update] = {
+      timers: Boolean = true,
+      tracking: graft.operators.HamMerge.Tracking =
+        graft.operators.HamMerge.TrackingEverything,
+      initialStore: Option[Dataset[GunCell]] = None): Dataset[Update] = {
+    import graft.operators.HamMerge
     implicit val keyEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val updEnc: Encoder[Update] = Encoders.product[Update]
     implicit val stEnc: Encoder[KeyState] = Encoders.product[KeyState]
     val timeoutConf =
       if (timers) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    cells
-      .groupByKey(c => (c.soul, c.field))
-      .flatMapGroupsWithState[KeyState, Update](OutputMode.Append(), timeoutConf) {
-        (key: (String, String), it: Iterator[GunCell], gs: GroupState[KeyState]) =>
-          val nowMs = gs.getCurrentProcessingTimeMs().toDouble
-          val st = gs.getOption.getOrElse(KeyState(None, None, Nil))
-          val (newSt, out) = step(key, it.toSeq, st, nowMs, ttlMs)
-          if (newSt.value.isEmpty && newSt.deferred.isEmpty) {
-            gs.remove()
-          } else {
-            gs.update(newSt)
-            if (timers) {
-              // Re-fire when the earliest deferred cell matures (+slack),
-              // or at TTL expiry for eviction; floor at 1s to avoid
-              // hot-spinning micro-batches.
-              val nextDefer = newSt.deferred.map(_.state).minOption
-                .map(s => (s - nowMs).toLong + DeferSlackMs)
-              val ttlFire = newSt.state.map(s => (s + ttlMs - nowMs).toLong)
-              (nextDefer.toSeq ++ ttlFire.toSeq).minOption
-                .foreach(ms => gs.setTimeoutDuration(ms max 1000L))
-            }
+    val fn = (key: (String, String), it: Iterator[GunCell], gs: GroupState[KeyState]) => {
+      if (tracking == HamMerge.TrackingNothing) Iterator.empty
+      else if (tracking == HamMerge.TrackingRequested && gs.getOption.isEmpty) {
+        // never-seen key under the Requested policy: drop without creating
+        // state (the reference's onlyIfExists storage put)
+        Iterator.empty
+      } else {
+        val nowMs = gs.getCurrentProcessingTimeMs().toDouble
+        val st = gs.getOption.getOrElse(KeyState(None, None, Nil))
+        val (newSt, out) = step(key, it.toSeq, st, nowMs, ttlMs)
+        if (newSt.value.isEmpty && newSt.deferred.isEmpty) {
+          gs.remove()
+        } else {
+          gs.update(newSt)
+          if (timers) {
+            // Re-fire when the earliest deferred cell matures (+slack),
+            // or at TTL expiry for eviction; floor at 1s to avoid
+            // hot-spinning micro-batches.
+            val nextDefer = newSt.deferred.map(_.state).minOption
+              .map(s => (s - nowMs).toLong + DeferSlackMs)
+            val ttlFire = newSt.state.map(s => (s + ttlMs - nowMs).toLong)
+            (nextDefer.toSeq ++ ttlFire.toSeq).minOption
+              .foreach(ms => gs.setTimeoutDuration(ms max 1000L))
           }
-          out.iterator
+        }
+        out.iterator
       }
+    }
+    val grouped = cells.groupByKey(c => (c.soul, c.field))
+    initialStore match {
+      case Some(snap) =>
+        val init = HamMerge.mergeTyped(snap)
+          .groupByKey(c => (c.soul, c.field))
+          .mapValues(c => KeyState(Some(c.value), Some(c.state), Nil))
+        grouped.flatMapGroupsWithState[KeyState, Update](
+          OutputMode.Append(), timeoutConf, init)(fn)
+      case None =>
+        grouped.flatMapGroupsWithState[KeyState, Update](
+          OutputMode.Append(), timeoutConf)(fn)
+    }
   }
 
   /** A subscription = the update stream filtered to one cell — the
@@ -164,18 +196,22 @@ object HamStream {
     * per-subscription dedupe (gun/scoped_fetch.go:173-178) suppresses a
     * repeated (value, state) pair — in particular the case where the
     * write that produced the snapshot is still in flight on the update
-    * stream when the subscription starts. Dedupe state grows with the
-    * subscription's DISTINCT transitions (one small row each) — a
-    * standing production subscription would bound it with
-    * `withWatermark` over a timestamp derived from `state`, trading the
-    * ability to dedupe arbitrarily late replays, exactly the TTL
-    * trade-off the reference makes with its 7 h retention.
+    * stream when the subscription starts. Dedupe state is BOUNDED by a
+    * watermark over a timestamp derived from `state` (`dedupeRetention`,
+    * default 1 h): transitions older than the watermark age out of the
+    * dedupe store instead of accumulating for the life of a standing
+    * subscription, trading the ability to dedupe (or deliver) arbitrarily
+    * late replays — exactly the TTL trade-off the reference makes with
+    * its 7 h retention (a write that stale loses the HAM merge upstream
+    * anyway).
     */
   def subscribeWithSnapshot(
       store: Dataset[GunCell],
       updates: Dataset[Update],
       soul: String,
-      field: String): Dataset[Update] = {
+      field: String,
+      dedupeRetention: String = "1 hour"): Dataset[Update] = {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
     val spark = updates.sparkSession
     implicit val updEnc: Encoder[Update] = Encoders.product[Update]
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -186,7 +222,11 @@ object HamStream {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Update]
     if (initial.nonEmpty) mem.addData(initial.toIndexedSeq)
     mem.toDS().unionByName(subscribe(updates, soul, field))
-      .dropDuplicates(Seq("soul", "field", "value", "state"))
+      .withColumn("event_ts", timestamp_millis(col("state").cast("long")))
+      .withWatermark("event_ts", dedupeRetention)
+      .dropDuplicates(Seq("soul", "field", "value", "state", "event_ts"))
+      .drop("event_ts")
+      .as[Update]
   }
 
   /** Merged-store streaming sink (SURVEY §3.3 output (a)), incremental and

@@ -16,6 +16,51 @@ class GraftSpec extends SparkSuite {
       () => { seq += 1; s"S$seq" })
   }
 
+  test("putWithAck surfaces a remote peer's rejection through the scoped API") {
+    // gun/scoped_put.go:153-173 — the put result channel carries per-peer
+    // acks/errors after the immediate local store. The remote peer here
+    // rejects the write; the caller must observe the err (round-2 gap:
+    // the publisher hook discarded the ack path entirely).
+    import graft.sources.{GunClient, InMemoryPeerConn, WireCodec}
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    val client = new GunClient(ours, "local-pid")
+    try {
+      // remote peer: answer every put with an err ack correlated by msg id
+      val peer = new Thread(() => {
+        var done = false
+        while (!done) {
+          theirs.receive(100).foreach { frame =>
+            WireCodec.splitFrame(frame).foreach { m =>
+              val env = WireCodec.decodeEnvelope(m)
+              env.msgId.filter(_ => env.putJson.isDefined).foreach { id =>
+                theirs.send("{\"@\":" + graft.core.CanonicalJson.quote(id) +
+                  ",\"err\":\"storage full\"}")
+                done = true
+              }
+            }
+          }
+        }
+      })
+      peer.setDaemon(true); peer.start()
+      var seq = 0L
+      val g = new Graft(spark, Nil, () => 1700000000000.0,
+        () => { seq += 1; s"A$seq" }, peerClient = Some(client))
+      val ack = g.scoped("top", "node", "f").putWithAck(GunValue.string("v"))
+      try {
+        assert(ack.hasRemote)
+        // local ack is implicit: the merge completed before putWithAck returned
+        assert(g.scoped("top", "node", "f").fetchOne().valueExists)
+        // and the remote rejection is observable
+        val env = ack.await(5000)
+        assert(env.exists(_.err.contains("storage full")))
+      } finally ack.close()
+      // a local-only write has no remote side to await
+      val localAck = g.scoped("top", "node", "g")
+        .putWithAck(GunValue.string("w"), storeLocalOnly = true)
+      assert(!localAck.hasRemote && localAck.await(10).isEmpty)
+    } finally { client.close(); ours.close(); theirs.close() }
+  }
+
   test("put + fetchOne round-trip on the reference's smoke path") {
     val g = newGraft()
     val sc = g.scoped("esgopeta-test", "TestGunGetSimple", "some-field")

@@ -53,6 +53,49 @@ class GunSourceSpec extends SparkSuite {
     }
   }
 
+  test("tracking policy gates the live wire ingest: Requested drops never-seen keys") {
+    // The reference applies the tracking policy to EVERY received put
+    // before storing (gun/gun.go:266-286). Round 2 hardwired
+    // TrackingEverything on the live path; this drives TrackingRequested
+    // end-to-end: wire frames → gun source → HAM stream seeded with the
+    // store's known keys — the stranger soul must never emit.
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.core.GunValue
+    import graft.operators.HamMerge
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    InMemoryPeerConn.register("trk-src", ours)
+    val frames = spark.readStream.format("gun")
+      .option("conn", "trk-src").option("pid", "spark-engine").load()
+    val cells = GunWire.framesToCells(frames, "frame").as[GunCell]
+    val known = Seq(GunCell("known", "f", GunValue.string("seed"), 100)).toDS()
+    val q = HamStream.updates(cells, timers = false,
+        tracking = HamMerge.TrackingRequested, initialStore = Some(known))
+      .writeStream
+      .format("memory").queryName("trk_updates").outputMode("append").start()
+    try {
+      theirs.send(WireCodec.joinFrame(Seq(
+        """{"#":"m1","put":{"known":{"_":{"#":"known",">":{"f":2000}},"f":"upd"}}}""",
+        """{"#":"m2","put":{"stranger":{"_":{"#":"stranger",">":{"g":2000}},"g":"spam"}}}""")))
+      def collected() = spark.sql("SELECT soul, value.str, state FROM trk_updates")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val deadline = System.currentTimeMillis() + 15000
+      var rows = Set.empty[(String, String, Double)]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+        rows = collected()
+      }
+      // known key: seeded state 100 loses to the wire write at 2000 → emit;
+      // stranger key: dropped by the policy, end-to-end
+      assert(rows == Set(("known", "upd", 2000.0)))
+    } finally {
+      q.stop()
+      InMemoryPeerConn.unregister("trk-src")
+      theirs.close(); ours.close()
+    }
+  }
+
   test("checkpoint restart: restored offset anchors the buffer base") {
     // Simulates Spark recovering from a checkpoint: a fresh stream instance
     // (empty driver buffer) gets deserializeOffset(100) replayed from the

@@ -197,6 +197,45 @@ class HamStreamSpec extends SparkSuite {
     }
   }
 
+  test("subscribeWithSnapshot: dedupe state is watermark-bounded, race still deduped") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    // the write that produced the snapshot is still "in flight" on the
+    // update stream: it must be delivered exactly once (the dedupe race)
+    val snapshot = Seq(GunCell("s1", "f", GunValue.string("v0"), t0.toDouble)).toDS()
+    val in = MemoryStream[GunCell]
+    val sub = subscribeWithSnapshot(snapshot, updates(in.toDS(), timers = false),
+      "s1", "f", dedupeRetention = "10 seconds")
+    val q = sub.writeStream
+      .format("memory").queryName("wm_sub").outputMode("append").start()
+    try {
+      in.addData(GunCell("s1", "f", GunValue.string("v0"), t0.toDouble))
+      q.processAllAvailable()
+      val v0count = spark.sql("SELECT * FROM wm_sub WHERE value.str = 'v0'").count()
+      assert(v0count == 1) // snapshot + in-flight write collapsed to one emit
+      // advance event time far beyond the 10 s retention, batch by batch:
+      // earlier transitions age out of the dedupe state store
+      (1 to 5).foreach { i =>
+        in.addData(GunCell("s1", "f", GunValue.string(s"v$i"),
+          (t0 + i * 60000L).toDouble))
+        q.processAllAvailable()
+      }
+      val dedupeRows = q.lastProgress.stateOperators
+        .find(_.operatorName.toLowerCase.contains("dedupe"))
+        .map(_.numRowsTotal)
+      // 6 distinct transitions passed through; only those within the
+      // watermark window may remain tracked
+      assert(dedupeRows.exists(_ < 6),
+        s"dedupe state not bounded: $dedupeRows rows after 6 transitions")
+      // every transition was still delivered exactly once
+      val delivered = spark.sql("SELECT value.str FROM wm_sub")
+        .collect().map(_.getString(0)).toSeq
+      assert(delivered.sorted == (0 to 5).map(i => s"v$i"))
+    } finally q.stop()
+  }
+
   test("swap crash windows: bucket stays readable (old or new, never neither)") {
     val spark2 = spark
     import spark2.implicits._
