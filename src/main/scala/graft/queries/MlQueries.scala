@@ -128,6 +128,27 @@ object MlQueries {
         k = 5, nLists = 16, nprobe = 2)
     }),
 
+    // Per-label centroid SUMS over integer-quantized embeddings — the
+    // aggregation step of class-centroid workflows (k-means init,
+    // classifier prototypes, cluster quality). Summing the exact
+    // floor(v·2^20) integers instead of floats makes the reduction
+    // order-free (BIGINT addition is associative/commutative), so the
+    // distributed sum is deterministic and oracle-checkable; a consumer
+    // divides q_sum/n_vecs/2^20 for the float centroid. |q|≤2^20, 8k
+    // vectors → |sum| < 2^34: no overflow headroom issues at 100 TB row
+    // counts either (2^20 · 10^10 < 2^54). One posexplode + one hash agg.
+    "emb_label_centroid" -> ((s, dir) => {
+      tbl(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(transform(col("embedding"),
+            v => floor(v.cast("double") * Similarity.QuantScale).cast("long"))))
+        .toDF("label", "dim", "qv")
+        .groupBy("label", "dim")
+        .agg(sum(col("qv")).as("q_sum"), count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("q_sum"), col("n_vecs"))
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -156,6 +177,12 @@ object MlQueries {
     */
   private val quantSql =
     s"""SELECT vec_id, list_transform(embedding,
+          v -> CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS q
+        FROM embeddings"""
+
+  /** [[quantSql]] keyed by label instead of vec_id (centroid aggregation). */
+  private val quantSql2 =
+    s"""SELECT label, list_transform(embedding,
           v -> CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS q
         FROM embeddings"""
 
@@ -295,6 +322,13 @@ object MlQueries {
           JOIN embeddings ea ON ea.vec_id = vec_a
           JOIN embeddings eb ON eb.vec_id = vec_b
           WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3""",
+    "emb_label_centroid" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, d AS dim,
+                 CAST(SUM(q[CAST(d AS INTEGER)+1]) AS BIGINT) AS q_sum,
+                 COUNT(*) AS n_vecs
+          FROM ($quantSql2), generate_series(0, 63) t(d)
+          WHERE d < len(q)
+          GROUP BY 1, 2""",
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
                 sha256(text) AS content_sha256,

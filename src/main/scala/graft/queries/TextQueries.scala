@@ -151,6 +151,72 @@ object TextQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
     }),
 
+    // Deterministic train/validation/test split — the assignment step of
+    // every training-data pipeline. Salted md5 of the doc id → bucket in
+    // [0,100): 90/5/5. Pure map-side work (no shuffle); the salt decouples
+    // the split from every other hash use of doc_id, and the integer
+    // bucket arithmetic is reproduced exactly in the oracle.
+    "doc_split" -> ((s, dir) => {
+      val bucket = (conv(substring(md5(
+        concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100L).as("bucket")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), bucket)
+        .select(col("doc_id"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "validation")
+            .otherwise("test").as("split"))
+    }),
+
+    // Benchmark decontamination: for each "benchmark" doc (doc_id < 20 —
+    // stand-in for an eval set), count the training docs sharing at least
+    // one word-8-gram. The standard n-gram-overlap decontamination pass
+    // (e.g. GPT-3 appendix C): shingle → equi-join on the shingle →
+    // distinct (test, train) pairs → count per test doc. Blocking by the
+    // 8-gram keeps the join near-linear at corpus scale (an 8-gram is far
+    // more selective than the jaccard trigram).
+    "doc_contamination" -> ((s, dir) => {
+      val sh = tbl(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          array_distinct(
+            transform(sequence(lit(1), size(col("toks")) - 7),
+              i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val test = ex.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("test_doc_id"), col("g"))
+      val train = ex.filter(col("doc_id") >= 20)
+        .select(col("doc_id").as("train_doc_id"), col("g"))
+      test.join(train, "g")
+        .select("test_doc_id", "train_doc_id").distinct()
+        .groupBy("test_doc_id")
+        .agg(count(lit(1)).as("n_contaminating"),
+          min(col("train_doc_id")).as("first_train_doc"))
+    }),
+
+    // Per-document distinctive terms: top-3 by (tf DESC, df ASC, term ASC)
+    // — the TF-IDF ranking with the fp logarithm replaced by the
+    // equivalent integer lexicographic order (higher tf, then rarer term),
+    // so the result is exact on every engine. Plan: one explode + two
+    // hash aggregations + a per-doc window over ≤ vocabulary-sized groups.
+    "doc_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = ex.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df, "term")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    }),
+
     // N-gram (word-3-gram) Jaccard near-dup pairs, blocked by source.
     // explode shingles → self-join on (source, shingle) → |∩| per pair;
     // |∪| = n1 + n2 − |∩|; keep pairs over threshold.
@@ -195,6 +261,42 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "doc_split" ->
+      s"""SELECT doc_id,
+                 CASE WHEN b < 90 THEN 'train'
+                      WHEN b < 95 THEN 'validation'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  ${strHashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+                FROM documents)""",
+    "doc_contamination" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len($tokensSql) - 7),
+                     i -> array_to_string($tokensSql[i:i+7], ' '))) AS grams
+            FROM documents WHERE len($tokensSql) >= 8),
+          ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+          pairs AS (
+            SELECT DISTINCT t.doc_id AS test_doc_id, r.doc_id AS train_doc_id
+            FROM ex t JOIN ex r ON t.g = r.g
+            WHERE t.doc_id < 20 AND r.doc_id >= 20)
+          SELECT test_doc_id, COUNT(*) AS n_contaminating,
+                 MIN(train_doc_id) AS first_train_doc
+          FROM pairs GROUP BY 1""",
+    "doc_top_terms" ->
+      s"""WITH ex AS (
+            SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+          df AS (SELECT term, COUNT(*) AS df
+                 FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1)
+          SELECT doc_id, term, tf, df, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   row_number() OVER (
+                     PARTITION BY tf.doc_id
+                     ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+            FROM tf JOIN df ON tf.term = df.term)
+          WHERE rank <= 3""",
     "doc_tokens_bpe" ->
       """SELECT doc_id,
                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
