@@ -370,6 +370,86 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Deterministic Lloyd's k-means over integer-quantized embeddings —
+    * the iterative-refinement member of the ANN/index family (centroid
+    * init for IVF, cluster statistics, prototype classifiers).
+    *
+    * Every step is exact: assignment minimizes the INTEGER squared L2
+    * distance Σ(q_d − c_d)² (|q−c| ≤ 2^21 ⇒ per-vector sums < 2^48, no
+    * overflow), ties to the lowest centroid id; the centroid update is
+    * floor(Σ q_d / n) computed as an IEEE double divide + floor (sums
+    * < 2^53 are exact in double, so the result is engine-independent).
+    * Init = the first k vectors by id (reproducible "sampling", same
+    * convention as [[ivfLists]]). `iters` = number of centroid updates;
+    * output = final assignment (vec_id, cluster).
+    *
+    * Scale shape: Lloyd's standard distributed form — centroids are a
+    * k×dims driver-side index parameter (like the IVF centroid table);
+    * assignment is one map-side pass per iteration (typed kernel, no
+    * shuffle); the update is one hash aggregation on (cluster, dim).
+    * Empty clusters simply drop out of the next round's centroid set
+    * (mirrored exactly in the oracle SQL).
+    */
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val typed = vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def assignTo(cents: Array[(Long, Array[Long])]): DataFrame =
+      typed.mapPartitions { it =>
+        it.map { case (id, emb) =>
+          val q = new Array[Long](emb.length)
+          var d = 0
+          while (d < emb.length) {
+            q(d) = math.floor(emb(d).toDouble * QuantScale).toLong; d += 1
+          }
+          var bestId = -1L
+          var bestDist = Long.MaxValue
+          cents.foreach { case (cid, cq) =>
+            var s = 0L
+            var dd = 0
+            val n = math.min(q.length, cq.length)
+            while (dd < n) { val df = q(dd) - cq(dd); s += df * df; dd += 1 }
+            if (s < bestDist || (s == bestDist && cid < bestId)) {
+              bestDist = s; bestId = cid
+            }
+          }
+          (id, bestId)
+        }
+      }.toDF("vec_id", "cluster")
+
+    var cents: Array[(Long, Array[Long])] = quantized(
+      vectors.filter(col("vec_id") < k))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    var round = 0
+    while (round < iters) {
+      val assign = assignTo(cents)
+      // floor-average update per (cluster, dim): one posexplode + one agg;
+      // the k×dims result is the next round's index parameter.
+      cents = quantized(vectors).join(assign, "vec_id")
+        .select(col("cluster"),
+          posexplode(col("q")))
+        .toDF("cluster", "dim", "qv")
+        .groupBy("cluster", "dim")
+        .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long")
+          .as("cd"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Long](rows.map(_.getInt(1)).max + 1)
+          rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+          (cid, arr)
+        }
+        .toArray.sortBy(_._1)
+      round += 1
+    }
+    val out = assignTo(cents)
+    typed.unpersist(blocking = false)
+    out
+  }
+
   /** Exact near-duplicate pairs over a similarity threshold — the O(n²)
     * reference answer, kept for verification/unit tests only. The declared
     * query uses [[nearDupPairsLsh]], the scale path.

@@ -128,6 +128,13 @@ object MlQueries {
         k = 5, nLists = 16, nprobe = 2)
     }),
 
+    // Deterministic Lloyd's k-means (k=8, one centroid update, final
+    // assignment): integer squared-L2 assignment + floor-average update,
+    // every step exact — the full iterative pipeline (init → assign →
+    // update → assign) is reproduced step-for-step in the oracle SQL.
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(tbl(s, dir, "embeddings"), k = 8, iters = 1)),
+
     // Per-label centroid SUMS over integer-quantized embeddings — the
     // aggregation step of class-centroid workflows (k-means init,
     // classifier prototypes, cluster quality). Summing the exact
@@ -322,6 +329,37 @@ object MlQueries {
           JOIN embeddings ea ON ea.vec_id = vec_a
           JOIN embeddings eb ON eb.vec_id = vec_b
           WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3""",
+    "emb_kmeans" ->
+      s"""WITH quant AS ($quantSql),
+          c0 AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < 8),
+          d0 AS (
+            SELECT v.vec_id, c.cid,
+                   SUM((v.q[d+1] - c.cq[d+1]) * (v.q[d+1] - c.cq[d+1])) AS dist
+            FROM quant v, c0 c, generate_series(0, 63) t(d)
+            WHERE d < len(v.q)
+            GROUP BY 1, 2),
+          a0 AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d0) WHERE rn = 1),
+          c1 AS (
+            SELECT a0.cid, d AS dim,
+                   CAST(floor(CAST(SUM(v.q[d+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+            FROM quant v JOIN a0 ON a0.vec_id = v.vec_id,
+                 generate_series(0, 63) t(d)
+            WHERE d < len(v.q)
+            GROUP BY 1, 2),
+          d1 AS (
+            SELECT v.vec_id, c.cid,
+                   SUM((v.q[CAST(c.dim AS INTEGER)+1] - c.cd)
+                     * (v.q[CAST(c.dim AS INTEGER)+1] - c.cd)) AS dist
+            FROM quant v JOIN c1 c ON c.dim < len(v.q)
+            GROUP BY 1, 2)
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d1) WHERE rn = 1""",
     "emb_label_centroid" ->
       s"""SELECT CAST(label AS BIGINT) AS label, d AS dim,
                  CAST(SUM(q[CAST(d AS INTEGER)+1]) AS BIGINT) AS q_sum,

@@ -176,13 +176,20 @@ object TextQueries {
     // 8-gram keeps the join near-linear at corpus scale (an 8-gram is far
     // more selective than the jaccard trigram).
     "doc_contamination" -> ((s, dir) => {
+      // grams join on a 60-bit md5-derived BIGINT, not the raw string:
+      // identical hash arithmetic on both engines (counts agree even in a
+      // collision), and the exchange carries 8 bytes per key instead of a
+      // multi-word phrase — the shuffle-width win that matters at 100 TB.
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
       val sh = tbl(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"),
-          array_distinct(
-            transform(sequence(lit(1), size(col("toks")) - 7),
-              i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("sh"))
+          transform(sequence(lit(1), size(col("toks")) - 7),
+            i => concat_ws(" ", slice(col("toks"), i, lit(8)))).as("grams"))
+        .select(col("doc_id"),
+          array_distinct(transform(col("grams"), g => h(g))).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val test = ex.filter(col("doc_id") < 20)
@@ -221,14 +228,21 @@ object TextQueries {
     // explode shingles → self-join on (source, shingle) → |∩| per pair;
     // |∪| = n1 + n2 − |∩|; keep pairs over threshold.
     "doc_ngram_jaccard" -> ((s, dir) => {
+      // shingles join on the 60-bit md5 hash (same trick + rationale as
+      // doc_contamination): |∩|/|∪| depend only on equality, and the hash
+      // is computed identically in the oracle, so the output is unchanged
+      // while the self-join exchanges 8-byte keys.
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
       val docs = tbl(s, dir, "documents")
       val shingled = docs
         .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("source"),
-          array_distinct(
-            transform(sequence(lit(1), size(col("toks")) - 2),
-              i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("shingles"))
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))).as("grams"))
+        .select(col("doc_id"), col("source"),
+          array_distinct(transform(col("grams"), g => h(g))).as("shingles"))
         // both sides of the pair self-join reuse this; don't re-shingle
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
@@ -273,8 +287,10 @@ object TextQueries {
       s"""WITH sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
-                     generate_series(1, len($tokensSql) - 7),
-                     i -> array_to_string($tokensSql[i:i+7], ' '))) AS grams
+                     list_transform(
+                       generate_series(1, len($tokensSql) - 7),
+                       i -> array_to_string($tokensSql[i:i+7], ' ')),
+                     g -> ${strHashSql("g")})) AS grams
             FROM documents WHERE len($tokensSql) >= 8),
           ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
           pairs AS (
@@ -365,8 +381,10 @@ object TextQueries {
       s"""WITH shingled AS (
             SELECT doc_id, source,
                    list_distinct(list_transform(
-                     generate_series(1, len($tokensSql) - 2),
-                     i -> array_to_string($tokensSql[i:i+2], ' '))) AS shingles
+                     list_transform(
+                       generate_series(1, len($tokensSql) - 2),
+                       i -> array_to_string($tokensSql[i:i+2], ' ')),
+                     g -> ${strHashSql("g")})) AS shingles
             FROM documents
             WHERE len($tokensSql) >= 3),
           counts AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
