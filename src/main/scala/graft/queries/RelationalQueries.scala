@@ -110,6 +110,21 @@ object RelationalQueries {
         .groupBy("op").agg(count(lit(1)).as("n"))
     }),
 
+    // PIVOT: order counts by priority × status. Spark's relational pivot
+    // with an explicit value list (no extra distinct-values scan); the
+    // oracle expresses the same contract as conditional aggregation.
+    // Missing combinations coalesce to 0 like SQL's FILTER count.
+    "q_pivot" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("priority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
     // Ordered-set aggregate: exact median balance per segment. Computed
     // over integer cents, so the interpolated midpoint is an exact half —
     // bit-identical across engines.
@@ -300,6 +315,12 @@ object RelationalQueries {
              (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
               EXCEPT SELECT DISTINCT c_nationkey FROM customer)
          ) GROUP BY op""",
+    "q_pivot" ->
+      """SELECT o_orderpriority AS priority,
+                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+         FROM orders GROUP BY 1""",
     "q_median" ->
       """SELECT c_mktsegment,
                 quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.5) AS median_bal_c,

@@ -48,6 +48,36 @@ class HamStreamSpec extends SparkSuite {
     assert(st2.value.isEmpty && out.isEmpty)
   }
 
+  test("step convergence: any batch split reaches the same final state (property)") {
+    // CRDT property at the streaming-operator level: for non-future cells,
+    // applying a cell multiset through ANY sequence of step() calls must
+    // converge to the same (value, state) winner — the same guarantee
+    // HamMergeSpec asserts for the batch operator, here for the state
+    // machine the wire path runs on.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cellGen = Gen.listOfN(8, for {
+      v <- Gen.oneOf("a", "b", "aa", "z", "")
+      st <- Gen.chooseNum(1L, 50L)
+    } yield cell(v, st.toDouble * 100))
+    (0 until 40).foreach { i =>
+      cellGen(Gen.Parameters.default, Seed(7000L + i)).foreach { cells =>
+        val now = 10000.0 // all generated states ≤ 5000 → nothing defers
+        // reference outcome: one big batch
+        val (oneShot, _) = step(k, cells, empty, now, ttlMs = 1e12)
+        // split points derived from the seed: apply in 1-4 chunks
+        val nChunks = 1 + (i % 4)
+        val chunks = cells.grouped(math.max(1, cells.size / nChunks)).toSeq
+        val (multi, _) = chunks.foldLeft((empty, Seq.empty[Update])) {
+          case ((st0, _), chunk) => step(k, chunk, st0, now, ttlMs = 1e12)
+        }
+        assert(multi.value == oneShot.value && multi.state == oneShot.state,
+          s"seed ${7000 + i}: split into $nChunks chunks diverged " +
+            s"(${multi.value}/${multi.state} vs ${oneShot.value}/${oneShot.state})")
+      }
+    }
+  }
+
   test("merged-store sink: updates foreachBatch-merge into a parquet store") {
     val spark2 = spark
     import spark2.implicits._
