@@ -66,6 +66,24 @@ object MlQueries {
       Dedup.minhashCandidates(
         Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text"))),
 
+    // Signature-based Jaccard ESTIMATION for the LSH candidate pairs:
+    // n_equal of the 16 minhash components estimates J(a,b) without
+    // touching document text again — the decision stage a 100 TB dedup
+    // pass runs between candidate generation and (expensive) exact
+    // verification. Pure integer counting → exact oracle.
+    "minhash_est" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sigs.select(col("doc_id").as("doc_a"), col("i"), col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("i"), col("sig").as("sig_b"))
+      Dedup.minhashCandidates(sigs).select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, Seq("doc_b", "i"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("n_equal"),
+          count(lit(1)).as("n_components"))
+    }),
+
     "simhash_sig" -> ((s, dir) =>
       Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")),
 
@@ -232,6 +250,25 @@ object MlQueries {
           rep AS (SELECT src AS doc_id, MIN(dst) AS keep FROM reach GROUP BY src)
           SELECT keep AS keep_doc_id, COUNT(*) AS n_docs
           FROM rep GROUP BY keep""",
+    "minhash_est" ->
+      s"""WITH sig AS ($sigSql),
+          bands AS (
+            SELECT doc_id, i // ${Dedup.BandRows} AS band,
+                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
+            FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id)
+          SELECT p.doc_a, p.doc_b,
+                 CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_equal,
+                 COUNT(*) AS n_components
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.doc_a
+          JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+          GROUP BY 1, 2""",
     "simhash_sig" -> simhashSql,
     "simhash_pairs" ->
       s"""WITH sim AS ($simhashSql),
