@@ -445,7 +445,11 @@ object Similarity {
         .toArray.sortBy(_._1)
       round += 1
     }
-    val out = assignTo(cents)
+    // materialize the final assignment while the typed input is still
+    // cached, then release it — same leave-no-cache-behind invariant as
+    // Analytics.materializeAndRelease (the result is small: one row per
+    // vector id + cluster).
+    val out = assignTo(cents).localCheckpoint(eager = true)
     typed.unpersist(blocking = false)
     out
   }
