@@ -34,9 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * recorded and consumed.
   *
   * Delivery semantics: frames buffer on the driver between offsets;
-  * `commit` drops delivered messages. Like the reference (a live socket
-  * with no journal, gun/gun.go:236-259), this is at-most-once across
-  * restarts — durability belongs to the merged store the stream feeds.
+  * `commit` drops delivered messages AND prunes the WAL. Every PLANNED
+  * micro-batch is journaled to `<checkpointLocation>/gun-wal/<start>-<end>`
+  * before its partition is handed out, and a post-restart replay of a
+  * checkpointed range is served from that journal — at-least-once for
+  * planned batches (re-delivery is safe: the downstream HAM merge is
+  * idempotent, the same property the reference's CRDT gives its peers).
+  * Only frames received after the last planned batch are lost on a crash
+  * (the reference loses ALL in-flight frames, gun/gun.go:236-259 — a live
+  * socket with no journal).
   */
 class GunSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gun"
@@ -63,7 +69,7 @@ final class GunSourceTable(properties: util.Map[String, String]) extends Table w
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = GunSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GunMicroBatchStream(options)
+          new GunMicroBatchStream(options, Option(checkpointLocation))
       }
     }
 }
@@ -73,7 +79,9 @@ final case class GunOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-final class GunMicroBatchStream(options: CaseInsensitiveStringMap)
+final class GunMicroBatchStream(
+    options: CaseInsensitiveStringMap,
+    checkpointLocation: Option[String] = None)
     extends MicroBatchStream {
 
   // A conn looked up by name is BORROWED from the application (which may
@@ -133,17 +141,63 @@ final class GunMicroBatchStream(options: CaseInsensitiveStringMap)
     GunOffset(base + buffered.length)
   }
 
+  // ---- micro-batch WAL: planned ranges journal to the checkpoint dir so
+  // a post-restart replay re-delivers instead of dropping. Dot-free dir
+  // name is fine — Spark never parquet-scans the checkpoint location.
+  private lazy val walDir: Option[org.apache.hadoop.fs.Path] =
+    checkpointLocation.map(c => new org.apache.hadoop.fs.Path(c, "gun-wal"))
+  private lazy val walFs: Option[org.apache.hadoop.fs.FileSystem] =
+    walDir.map(_.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+
+  private def walWrite(s: Long, e: Long, msgs: Array[String]): Unit =
+    for (fs <- walFs; dir <- walDir) {
+      val p = new org.apache.hadoop.fs.Path(dir, s"$s-$e")
+      if (!fs.exists(p)) {
+        // messages encoded as a JSON array of JSON strings — the wire
+        // codec's own batch shape, so decode = WireCodec.splitFrame
+        val payload = msgs.map(graft.core.CanonicalJson.quote)
+          .mkString("[", ",", "]")
+        val out = fs.create(p, true)
+        try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+
+  private def walRead(s: Long, e: Long): Option[Array[String]] =
+    (for (fs <- walFs; dir <- walDir) yield {
+      val p = new org.apache.hadoop.fs.Path(dir, s"$s-$e")
+      if (!fs.exists(p)) None
+      else {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        Some(WireCodec.splitFrame(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).toArray)
+      }
+    }).flatten
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val s = start.asInstanceOf[GunOffset].n
       val e = end.asInstanceOf[GunOffset].n
-      // Clamp below base: a replayed pre-restart range has no buffered
-      // data (at-most-once across restarts) and must not mis-slice.
-      val lo = math.max(0L, s - base).toInt
-      val hi = math.max(0L, e - base).toInt
-      val msgs = buffered.slice(lo, hi).toArray
-      if (msgs.isEmpty) Array.empty
-      else Array(GunFramesPartition(msgs))
+      if (e <= base) {
+        // replayed pre-restart range: serve from the WAL (at-least-once
+        // for planned batches); absent journal ⇒ empty batch (the
+        // documented loss class for frames that never reached a plan)
+        walRead(s, e) match {
+          case Some(msgs) if msgs.nonEmpty => Array(GunFramesPartition(msgs))
+          case _                           => Array.empty
+        }
+      } else {
+        val lo = math.max(0L, s - base).toInt
+        val hi = math.max(0L, e - base).toInt
+        val msgs = buffered.slice(lo, hi).toArray
+        if (msgs.isEmpty) Array.empty
+        else {
+          walWrite(s, e, msgs) // journal BEFORE the batch is handed out
+          Array(GunFramesPartition(msgs))
+        }
+      }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -153,6 +207,16 @@ final class GunMicroBatchStream(options: CaseInsensitiveStringMap)
     val e = end.asInstanceOf[GunOffset].n
     val drop = (e - base).toInt
     if (drop > 0) { buffered.remove(0, math.min(drop, buffered.length)); base = e }
+    // prune journals whose range is fully committed
+    for (fs <- walFs; dir <- walDir; if fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        st.getPath.getName.split("-") match {
+          case Array(_, hi) if hi.forall(_.isDigit) && hi.toLong <= e =>
+            fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    }
   }
 
   override def stop(): Unit = if (ownsConn) conn.close()

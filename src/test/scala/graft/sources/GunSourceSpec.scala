@@ -132,6 +132,50 @@ class GunSourceSpec extends SparkSuite {
     }
   }
 
+  test("WAL replay: a planned batch is re-delivered after restart, then pruned") {
+    // at-least-once for planned batches: the range journals to the
+    // checkpoint dir before partitions are handed out; a new stream
+    // instance (restart) replaying the same range serves it from the
+    // journal; commit prunes it. Re-delivery is safe downstream — the HAM
+    // merge is idempotent.
+    val ckpt = java.nio.file.Files.createTempDirectory("gun_wal").toString
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    InMemoryPeerConn.register("wal-src", ours)
+    try {
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("conn", "wal-src", "pid", "spark-engine"))
+      val frame = """{"#":"w1","put":{"ws":{"_":{"#":"ws",">":{"f":1}},"f":"v"}}}"""
+      val s1 = new GunMicroBatchStream(opts, Some(ckpt))
+      theirs.send(frame)
+      val deadline = System.currentTimeMillis() + 5000
+      var latest = 0L
+      while (latest == 0L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(20)
+        latest = s1.latestOffset().asInstanceOf[GunOffset].n
+      }
+      assert(latest == 1L)
+      // planning journals the range (no commit — simulating a crash here)
+      val planned = s1.planInputPartitions(GunOffset(0), GunOffset(1))
+      assert(planned.length == 1)
+      s1.stop()
+
+      // "restart": fresh instance, same checkpoint; Spark replays (0,1)
+      val s2 = new GunMicroBatchStream(opts, Some(ckpt))
+      s2.deserializeOffset("1")
+      val replayed = s2.planInputPartitions(GunOffset(0), GunOffset(1))
+      assert(replayed.length == 1 &&
+        replayed(0).asInstanceOf[GunFramesPartition].frames.toSeq == Seq(frame))
+      // commit prunes the journal; a second replay of the range is empty
+      s2.commit(GunOffset(1))
+      assert(s2.planInputPartitions(GunOffset(0), GunOffset(1)).isEmpty)
+      assert(!new java.io.File(s"$ckpt/gun-wal/0-1").exists())
+      s2.stop()
+    } finally {
+      InMemoryPeerConn.unregister("wal-src")
+      theirs.close(); ours.close()
+    }
+  }
+
   test("publish sink: merged updates fan out as decodable put frames") {
     val spark2 = spark
     import spark2.implicits._
