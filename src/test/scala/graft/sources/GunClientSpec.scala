@@ -44,6 +44,22 @@ class GunClientSpec extends AnyFunSuite {
     } finally { client.close(); a.close(); b.close() }
   }
 
+  test("receive loop survives a malformed frame; later traffic still routes") {
+    // one bad message must be that message's problem, not the conn's —
+    // the loop catches per-message errors instead of dying (round-2
+    // ADVICE: an escaped exception permanently killed the peer's loop).
+    val (a, b) = InMemoryPeerConn.pair()
+    val client = new GunClient(a, myPid = "us")
+    try {
+      val q = client.subscribeSoul("s9")
+      b.send("this is not json {{{[")
+      b.send("""{"#":"m1","put":{"s9":{"_":{"#":"s9",">":{"f":1000}},"f":"still-alive"}}}""")
+      val cells = q.poll(3000, java.util.concurrent.TimeUnit.MILLISECONDS)
+      assert(cells != null &&
+        cells == Seq(GunCell("s9", "f", GunValue.string("still-alive"), 1000.0)))
+    } finally { client.close(); a.close(); b.close() }
+  }
+
   test("put → remote ack correlates by message id") {
     val (a, b) = InMemoryPeerConn.pair()
     val client = new GunClient(a)

@@ -32,6 +32,43 @@ class GunWebSocketServerSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("concurrent sends from many threads serialize; every frame arrives intact") {
+    // JDK WebSocket forbids overlapping text sends — WebSocketPeerConn
+    // serializes them. 4 threads × 25 frames must all arrive whole (no
+    // IllegalStateException, no interleaved corruption) — the failure
+    // mode before the fix: GunClient's receive-loop DAM reply racing a
+    // user-thread put killed the connection.
+    val peers = new LinkedBlockingQueue[PeerConn]()
+    val server = new GunWebSocketServer(0, peers.put(_), sendDamOnConnect = false)
+    try {
+      val client = WebSocketPeerConn.dial(s"ws://127.0.0.1:${server.boundPort}/gun")
+      val serverConn = peers.poll(5, TimeUnit.SECONDS)
+      assert(serverConn != null)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map { t =>
+        val th = new Thread(() => {
+          try (0 until 25).foreach { i =>
+            client.send(s"""{"#":"t$t-m$i","x":"${"y" * 100}"}""")
+          } catch { case e: Throwable => errors.add(e) }
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join(10000))
+      assert(errors.isEmpty, s"concurrent sends failed: ${errors.peek()}")
+      val got = scala.collection.mutable.Set[String]()
+      var next = serverConn.receive(5000)
+      while (next.isDefined && got.size < 100) {
+        // every frame is a complete, parseable message with its own id
+        val env = WireCodec.decodeEnvelope(next.get)
+        assert(env.msgId.isDefined, s"corrupt frame: ${next.get.take(60)}")
+        got += env.msgId.get
+        if (got.size < 100) next = serverConn.receive(5000)
+      }
+      assert(got.size == 100)
+      client.close()
+    } finally server.close()
+  }
+
   test("large frames cross the 16-bit length boundary intact") {
     val peers = new LinkedBlockingQueue[PeerConn]()
     val server = new GunWebSocketServer(0, peers.put(_), sendDamOnConnect = false)
