@@ -78,6 +78,28 @@ object Demo {
       answerer.setDaemon(true); answerer.start()
       val remote = g.fetchOnce("remote-soul", "greeting", client)
       println(s"[demo] fetched over live websocket: $remote")
+
+      // Put-ack surface (gun/scoped_put.go result channel): the local
+      // merge is the immediate local ack; the remote peer rejects this
+      // write, and the caller observes the err through the handle.
+      val rejecter = new Thread(() => {
+        serverSide.receive(5000).foreach { f =>
+          val env = WireCodec.decodeEnvelope(f)
+          env.msgId.filter(_ => env.putJson.isDefined).foreach { id =>
+            serverSide.send("{\"@\":" + graft.core.CanonicalJson.quote(id) +
+              ",\"err\":\"demo peer says no\"}")
+          }
+        }
+      })
+      rejecter.setDaemon(true); rejecter.start()
+      val gAck = new graph.Graft(spark, Nil, () => 1.7e12,
+        () => graft.core.SoulGen(), peerClient = Some(client))
+      val ack = gAck.scoped("demo", "acked", "field")
+        .putWithAck(graft.core.GunValue.string("v"))
+      println(s"[demo] remote put ack: ${ack.await(5000).flatMap(_.err)} " +
+        s"(local store has it: ${gAck.scoped("demo", "acked", "field").fetchOne().valueExists})")
+      ack.close()
+
       server.close(); client.close()
       val local = g.fetchOnce("remote-soul", "greeting", client, timeoutMs = 100)
       println(s"[demo] re-read with peer gone (served locally): $local")
