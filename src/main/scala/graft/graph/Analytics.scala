@@ -101,6 +101,25 @@ object Analytics {
     materializeAndRelease(res, e, g, pr)
   }
 
+  /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
+    * `run` canonicalizes: self-edges dropped, one edge per unordered
+    * pair). Returns only vertices in ≥1 triangle (soul, n_triangles).
+    * The standard neighbor-set-intersection message-passing algorithm —
+    * EdgePartition2D keeps the replication factor at √numParts at scale.
+    */
+  def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val g = fromEdges(e)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    val tc = org.apache.spark.graphx.lib.TriangleCount.run(g)
+    val res = tc.vertices.filter(_._2 > 0)
+      .join(g.vertices.map(identity))
+      .map { case (_, (n, soul)) => (soul, n.toLong) }
+      .toDF("soul", "n_triangles")
+    materializeAndRelease(res, e, g, tc)
+  }
+
   /** Multi-hop reachability from a set of source souls along edge
     * direction, via Pregel BFS. Returns (soul, hops) for every reached
     * vertex (hops = shortest hop count, sources at 0).

@@ -114,6 +114,24 @@ object MlQueries {
           col("component_size").as("n_docs"))
     }),
 
+    // Dedup-cluster DENSITY: triangles through each doc in the LSH pair
+    // graph — a doc in many triangles sits in a tight near-dup clique
+    // (boilerplate/mirror family), vs a chain of pairwise-only matches.
+    // GraphX TriangleCount (undirected, canonicalized), mirrored in SQL
+    // as the three-way self-join over the canonical doc_a < doc_b edges.
+    "doc_dup_triangles" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text"))
+      val edges = pairs.select(
+        concat(lit("d"), lpad(col("doc_a").cast("string"), 9, "0")).as("src"),
+        lit("dup").as("field"),
+        concat(lit("d"), lpad(col("doc_b").cast("string"), 9, "0")).as("dst"))
+      graft.graph.Analytics.triangleCounts(s, edges)
+        .select(
+          expr("CAST(substring(soul, 2) AS BIGINT)").as("doc_id"),
+          col("n_triangles"))
+    }),
+
     "emb_knn" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -250,6 +268,27 @@ object MlQueries {
           rep AS (SELECT src AS doc_id, MIN(dst) AS keep FROM reach GROUP BY src)
           SELECT keep AS keep_doc_id, COUNT(*) AS n_docs
           FROM rep GROUP BY keep""",
+    "doc_dup_triangles" ->
+      s"""WITH sig AS ($sigSql),
+          bands AS (
+            SELECT doc_id, i // ${Dedup.BandRows} AS band,
+                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
+            FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+          ed AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM ed e1
+            JOIN ed e2 ON e2.u = e1.v
+            JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+          pv AS (
+            SELECT a AS s FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          SELECT s AS doc_id, COUNT(*) AS n_triangles FROM pv GROUP BY 1""",
     "minhash_est" ->
       s"""WITH sig AS ($sigSql),
           bands AS (

@@ -27,4 +27,15 @@ class AnalyticsSpec extends SparkSuite {
     val pr = Analytics.pageRank(spark, edges, iters = 5).collect()
     assert(pr.length == 5 && pr.forall(_.getDouble(1) > 0))
   }
+
+  test("triangle counts: one triangle plus a dangling edge") {
+    import spark.implicits._
+    // triangle a-b-c (mixed edge directions — must canonicalize to
+    // undirected) plus pendant edge c-d: a,b,c in 1 triangle, d in none
+    val tri = Seq(("a", "r", "b"), ("c", "r", "b"), ("a", "r", "c"),
+      ("c", "r", "d")).toDF("src", "field", "dst")
+    val counts = Analytics.triangleCounts(spark, tri)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(counts == Set(("a", 1L), ("b", 1L), ("c", 1L)))
+  }
 }
