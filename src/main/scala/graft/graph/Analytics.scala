@@ -46,29 +46,39 @@ object Analytics {
     * component size). Deterministic: representative = lexicographically
     * smallest soul in the component.
     */
+  /** Persist the edge DF for a graph build — vertex + edge RDD
+    * construction each traverse it, and GraphX materialization multiplies
+    * that again — but only when the caller has NOT already persisted it
+    * (a caller sharing one cached edge table across several analytics
+    * calls keeps its cache). Returns the DF and whether this call owns
+    * (and must release) the persistence.
+    */
+  private def persistEdges(edges: DataFrame): (DataFrame, Boolean) =
+    if (edges.storageLevel == StorageLevel.NONE)
+      (edges.persist(StorageLevel.MEMORY_AND_DISK), true)
+    else (edges, false)
+
   /** Materialize `result` with an eager localCheckpoint (cutting its
-    * lineage off the graph RDDs), then unpersist every GraphX handle and
-    * the persisted edge DataFrame. GraphX `cache()`s graph RDDs internally
-    * on construction and per algorithm iteration; without this release a
-    * long-lived session accumulates those blocks across queries (the
-    * 100×-scale OOM class — each analytics call must leave the block
-    * manager the way it found it).
+    * lineage off the graph RDDs), then unpersist every GraphX handle and —
+    * if [[persistEdges]] added it — the edge DataFrame's persistence.
+    * GraphX `cache()`s graph RDDs internally on construction and per
+    * algorithm iteration; without this release a long-lived session
+    * accumulates those blocks across queries (the 100×-scale OOM class —
+    * each analytics call must leave the block manager the way it found it,
+    * including NOT dropping a cache the caller installed for reuse).
     */
   private def materializeAndRelease(result: DataFrame, edges: DataFrame,
+                                    ownsEdges: Boolean,
                                     graphs: Graph[_, _]*): DataFrame = {
     val out = result.localCheckpoint(eager = true)
     graphs.foreach(_.unpersist(blocking = false))
-    edges.unpersist(blocking = false)
+    if (ownsEdges) edges.unpersist(blocking = false)
     out
   }
 
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    // Persist the edge DF for the graph build: vertex + edge RDD
-    // construction each traverse it, and GraphX materialization multiplies
-    // that again — one upstream evaluation instead of 2-3 (this input can
-    // be an entire MinHash→banding→self-join pipeline, not just a scan).
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, owns) = persistEdges(edges)
     val g = fromEdges(e)
     val cc = g.connectedComponents()
     // join component id back to soul names; pick min soul per component
@@ -78,7 +88,7 @@ object Analytics {
     val res = comp.groupBy("comp_id")
       .agg(min(col("soul")).as("component_rep"), count(lit(1)).as("component_size"))
       .select("component_rep", "component_size")
-    materializeAndRelease(res, e, g, cc)
+    materializeAndRelease(res, e, owns, g, cc)
   }
 
   /** PageRank over the relation graph. Fixed-iteration, UNNORMALIZED
@@ -90,7 +100,7 @@ object Analytics {
     */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
     import spark.implicits._
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, owns) = persistEdges(edges)
     val g = fromEdges(e)
     val pr = org.apache.spark.graphx.lib.PageRank
       .runWithOptions(g, numIter = iters, resetProb = 0.15, srcId = None,
@@ -98,7 +108,7 @@ object Analytics {
     val res = pr.vertices.join(g.vertices.map(identity))
       .map { case (_, (rank, soul)) => (soul, rank) }
       .toDF("soul", "rank")
-    materializeAndRelease(res, e, g, pr)
+    materializeAndRelease(res, e, owns, g, pr)
   }
 
   /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
@@ -109,7 +119,7 @@ object Analytics {
     */
   def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, owns) = persistEdges(edges)
     val g = fromEdges(e)
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
     val tc = org.apache.spark.graphx.lib.TriangleCount.run(g)
@@ -117,7 +127,7 @@ object Analytics {
       .join(g.vertices.map(identity))
       .map { case (_, (n, soul)) => (soul, n.toLong) }
       .toDF("soul", "n_triangles")
-    materializeAndRelease(res, e, g, tc)
+    materializeAndRelease(res, e, owns, g, tc)
   }
 
   /** Multi-hop reachability from a set of source souls along edge
@@ -126,7 +136,7 @@ object Analytics {
     */
   def reachable(spark: SparkSession, edges: DataFrame, sources: Set[String]): DataFrame = {
     import spark.implicits._
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, owns) = persistEdges(edges)
     val g = fromEdges(e)
     val srcIds = soulIdDf(spark, sources.toSeq).values.toSet
     val init = g.mapVertices((id, _) => if (srcIds.contains(id)) 0 else Int.MaxValue)
@@ -139,6 +149,6 @@ object Analytics {
       .join(g.vertices.map(identity))
       .map { case (_, (hops, soul)) => (soul, hops.toLong) }
       .toDF("soul", "hops")
-    materializeAndRelease(res, e, g, init, bfs)
+    materializeAndRelease(res, e, owns, g, init, bfs)
   }
 }

@@ -52,8 +52,11 @@ final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
     * ack before fan-out (gun/scoped_put.go:129-137).
     */
   def putCells(cells: Seq[GunCell], storeLocalOnly: Boolean = false): Unit = {
-    putCellsWithAck(cells, storeLocalOnly)
-    ()
+    // Fire-and-forget must still release its ack listener: with a peerClient
+    // set, every put registers a correlation entry that only doneWith/close
+    // removes (gun/scoped_put.go:187-203's PutDone) — dropping the handle
+    // would leak one listener (plus queued ack envelopes) per put.
+    putCellsWithAck(cells, storeLocalOnly).close()
   }
 
   /** Like [[putCells]], but returns the reference's put-result surface

@@ -147,7 +147,13 @@ final class GunMicroBatchStream(
   private lazy val walDir: Option[org.apache.hadoop.fs.Path] =
     checkpointLocation.map(c => new org.apache.hadoop.fs.Path(c, "gun-wal"))
   private lazy val walFs: Option[org.apache.hadoop.fs.FileSystem] =
-    walDir.map(_.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+    walDir.map(_.getFileSystem(
+      // the session's hadoopConfiguration carries filesystem credentials
+      // (s3a keys, custom defaultFS); a bare `new Configuration()` would
+      // resolve session-configured checkpoint locations to the wrong FS
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())))
 
   private def walWrite(s: Long, e: Long, msgs: Array[String]): Unit =
     for (fs <- walFs; dir <- walDir) {
@@ -157,9 +163,15 @@ final class GunMicroBatchStream(
         // codec's own batch shape, so decode = WireCodec.splitFrame
         val payload = msgs.map(graft.core.CanonicalJson.quote)
           .mkString("[", ",", "]")
-        val out = fs.create(p, true)
+        // write-then-rename: a crash mid-write must not leave a truncated
+        // journal at the final name — a replay of this range would then
+        // fail to parse on every restart, wedging the stream (walRead also
+        // tolerates a torn file as absent, for pre-existing checkpoints)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".$s-$e.tmp")
+        val out = fs.create(tmp, true)
         try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
       }
     }
 
@@ -168,11 +180,18 @@ final class GunMicroBatchStream(
       val p = new org.apache.hadoop.fs.Path(dir, s"$s-$e")
       if (!fs.exists(p)) None
       else {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        val in = fs.open(p)
-        try in.readFully(0, bytes) finally in.close()
-        Some(WireCodec.splitFrame(
-          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).toArray)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          val in = fs.open(p)
+          try in.readFully(0, bytes) finally in.close()
+          Some(WireCodec.splitFrame(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).toArray)
+        } catch {
+          // torn/truncated journal (crash mid-write before the rename fix,
+          // or a partial copy): same contract as an absent journal — the
+          // range becomes an empty batch instead of wedging every restart
+          case scala.util.control.NonFatal(_) => None
+        }
       }
     }).flatten
 

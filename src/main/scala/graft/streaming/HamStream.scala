@@ -197,20 +197,23 @@ object HamStream {
     * repeated (value, state) pair — in particular the case where the
     * write that produced the snapshot is still in flight on the update
     * stream when the subscription starts. Dedupe state is BOUNDED by a
-    * watermark over a timestamp derived from `state` (`dedupeRetention`,
-    * default 1 h): transitions older than the watermark age out of the
-    * dedupe store instead of accumulating for the life of a standing
-    * subscription, trading the ability to dedupe (or deliver) arbitrarily
-    * late replays — exactly the TTL trade-off the reference makes with
-    * its 7 h retention (a write that stale loses the HAM merge upstream
-    * anyway).
+    * watermark over a timestamp derived from `state` (`dedupeRetention`):
+    * transitions older than the watermark age out of the dedupe store
+    * instead of accumulating for the life of a standing subscription. The
+    * default matches the reference's 7 h storage retention
+    * (gun/gun.go:84-85): a watermark narrower than the store TTL would not
+    * merely stop deduping a stale-but-winning write — `dropDuplicates`
+    * DROPS rows older than the watermark, so a 2 h-stale write that
+    * legitimately wins the upstream HAM merge would never reach
+    * subscribers. Retention-aligned, delivery matches the store: anything
+    * the store still accepts, the subscription still delivers.
     */
   def subscribeWithSnapshot(
       store: Dataset[GunCell],
       updates: Dataset[Update],
       soul: String,
       field: String,
-      dedupeRetention: String = "1 hour"): Dataset[Update] = {
+      dedupeRetention: String = "7 hours"): Dataset[Update] = {
     import org.apache.spark.sql.functions.{col, timestamp_millis}
     val spark = updates.sparkSession
     implicit val updEnc: Encoder[Update] = Encoders.product[Update]
