@@ -28,8 +28,12 @@ final class Graft(val spark: SparkSession, initial: Seq[GunCell] = Nil,
   // Current merged snapshot + parked future writes. Both are small-metadata
   // references to distributed datasets; re-assigned per merge batch exactly
   // like a streaming microbatch would.
+  // Collapse the seed cells to HAM winners up front: the incremental
+  // HamMerge.merge passes untouched store rows through as-is, so the store
+  // must hold one row per (soul, field) from the start.
   @volatile private var storeDf: DataFrame =
-    if (initial.isEmpty) emptyCells else initial.toDF()
+    if (initial.isEmpty) emptyCells
+    else HamMerge.mergeSnapshot(initial.toDF())
   @volatile private var deferredDf: DataFrame = emptyCells
 
   private def emptyCells: DataFrame =

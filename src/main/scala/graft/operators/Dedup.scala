@@ -22,6 +22,18 @@ object Dedup {
   val NumHashes = 16
   val BandRows = 4 // 4 bands × 4 rows
 
+  /** Default hot-bucket cap for the banding self-joins (minhash bands,
+    * simhash segments): buckets with more members are dropped before pair
+    * generation. A bucket of b docs emits b² candidate pairs, so one viral
+    * band key (boilerplate shared by 30% of a corpus) makes the join
+    * quadratic; 1024 bounds any single bucket to ~1M pairs — one task's
+    * worth of work — while leaving realistic near-dup clusters (which are
+    * orders of magnitude smaller) untouched. The cap is part of the
+    * operator contract and mirrored exactly in the DuckDB oracles; pass
+    * `maxBucket = 0` for the uncapped exact variant.
+    */
+  val DefaultMaxBucket = 1024
+
   /** Deterministic 60-bit integer hash of a string: first 15 hex chars of
     * md5, parsed base-16 (identical in DuckDB via positional hex parse).
     */
@@ -70,12 +82,13 @@ object Dedup {
   /** LSH candidate pairs: docs sharing at least one full band of the
     * signature. Returns (doc_a, doc_b, n_shared_bands).
     *
-    * `maxBucket > 0` drops band buckets with more than that many docs
-    * before the self-join — the hot-bucket guard for boilerplate-heavy
-    * corpora where one viral band key would otherwise make the candidate
-    * join quadratic (SCALE.md). Disabled by default so results stay exact.
+    * The hot-bucket guard is ON by default ([[DefaultMaxBucket]], mirrored
+    * in the oracle SQL): band buckets larger than `maxBucket` are dropped
+    * before the self-join, bounding any one bucket's pair fan-out.
+    * `maxBucket = 0` disables the guard (exact, quadratic on a viral key).
     */
-  def minhashCandidates(signatures: DataFrame, maxBucket: Int = 0): DataFrame = {
+  def minhashCandidates(signatures: DataFrame,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val allBands = signatures
       .withColumn("band", col("i") / lit(BandRows) cast "long")
       .groupBy("doc_id", "band")
@@ -94,10 +107,11 @@ object Dedup {
       }
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
+    val pairs = a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
+    Caching.materializeAndRelease(pairs, allBands)
   }
 
   val SimHashBits = 48
@@ -143,11 +157,12 @@ object Dedup {
       col("simhash").as("sim_a"))
     val b = withBlock.select(col("doc_id").as("doc_b"), col("block"),
       col("simhash").as("sim_b"))
-    a.join(b, "block")
+    val pairs = a.join(b, "block")
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    Caching.materializeAndRelease(pairs, withBlock)
   }
 
   /** SimHash near-dup pairs, fingerprint-segment-banded (Manku et al.'s
@@ -164,28 +179,45 @@ object Dedup {
     * With the defaults (4 × 12-bit segments, maxHamming 16) a 100 TB run
     * would raise `segments`/fingerprint bits with corpus size to keep
     * per-bucket counts bounded.
+    *
+    * The hot-bucket guard is ON by default ([[DefaultMaxBucket]], mirrored
+    * in the oracle): segment buckets larger than `maxBucket` are dropped
+    * before the self-join — one viral 12-bit segment value shared by a
+    * boilerplate family would otherwise make the pair join quadratic.
     */
   def simhashPairsBanded(
       sims: DataFrame,
       maxHamming: Int,
-      segments: Int = 4): DataFrame = {
+      segments: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val segBits = SimHashBits / segments
     // persist: the segment self-join's two branches reuse the fingerprints
-    val fp = sims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (ownership-aware — a caller-cached sims keeps its cache)
+    val (fp, ownsFp) = Caching.ownPersist(sims)
     val segArr = array((0 until segments).map { k =>
       shiftright(col("simhash"), k * segBits) % lit(1L << segBits)
     }: _*)
-    val seg = fp.select(col("doc_id"), col("simhash"),
+    val allSeg = fp.select(col("doc_id"), col("simhash"),
       posexplode(segArr)).toDF("doc_id", "simhash", "seg_i", "seg_v")
+    val seg =
+      if (maxBucket <= 0) allSeg
+      else {
+        val sizes = allSeg.groupBy("seg_i", "seg_v")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucket)
+          .select("seg_i", "seg_v")
+        allSeg.join(sizes, Seq("seg_i", "seg_v"), "left_semi")
+      }
     val a = seg.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
       col("seg_i"), col("seg_v"))
     val b = seg.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
       col("seg_i"), col("seg_v"))
-    a.join(b, Seq("seg_i", "seg_v"))
+    val pairs = a.join(b, Seq("seg_i", "seg_v"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .distinct()
+    Caching.materializeAndRelease(pairs, (if (ownsFp) Seq(fp) else Nil): _*)
   }
 }

@@ -45,7 +45,10 @@ object Similarity {
   }
 
   /** Project (vec_id, unit-normalized double vector), persisted: the norm
-    * fold runs once per vector, not once per pair.
+    * fold runs once per vector, not once per pair. CALLER OWNS the
+    * persistence — every public operator that calls this releases it via
+    * [[Caching.materializeAndRelease]] before returning (the
+    * leave-no-cache-behind invariant).
     *
     * Typed per-partition kernel (the [[lshTablesFast]] pattern): same
     * left-to-right IEEE accumulation as the declarative
@@ -133,10 +136,11 @@ object Similarity {
     val scored =
       if (dim > 0) pairs.withColumn("cos", dotUnrolled(col("qv"), col("cv"), dim))
       else cosinePairs(pairs, "query_id", "qv", "neighbor_id", "cv")
-    scored
+    val res = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+    Caching.materializeAndRelease(res, unit)
   }
 
   val NumPlanes = 8
@@ -259,7 +263,8 @@ object Similarity {
 
   /** Approximate top-k: brute-force within each LSH bucket. */
   def lshKnn(vectors: DataFrame, k: Int, dim: Int = 0): DataFrame = {
-    val withB = unitVectors(vectors).join(lshBuckets(vectors), "vec_id")
+    val unit = unitVectors(vectors)
+    val withB = unit.join(lshBuckets(vectors), "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("vec_id").as("query_id"), col("uv").as("qv"), col("bucket"))
     val c = withB.select(col("vec_id").as("neighbor_id"), col("uv").as("cv"), col("bucket"))
@@ -270,10 +275,11 @@ object Similarity {
     val scored =
       if (dim > 0) pairs.withColumn("cos", dotUnrolled(col("qv"), col("cv"), dim))
       else cosinePairs(pairs, "query_id", "qv", "neighbor_id", "cv")
-    scored
+    val res = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+    Caching.materializeAndRelease(res, withB, unit)
   }
 
   /** IVF (inverted-file) coarse quantizer — the other standard ANN index
@@ -364,10 +370,11 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .join(unit.select(col("vec_id").as("query_id"), col("uv").as("qv")), "query_id")
       .join(unit.select(col("vec_id").as("neighbor_id"), col("uv").as("cv")), "neighbor_id")
-    cosinePairs(pairs, "query_id", "qv", "neighbor_id", "cv")
+    val res = cosinePairs(pairs, "query_id", "qv", "neighbor_id", "cv")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+    Caching.materializeAndRelease(res, unit)
   }
 
   /** Deterministic Lloyd's k-means over integer-quantized embeddings —
@@ -463,11 +470,12 @@ object Similarity {
     val a = unit.select(col("vec_id").as("vec_a"), col("uv").as("va"))
     val c = unit.select(col("vec_id").as("vec_b"), col("uv").as("vb"))
     val d = if (dim > 0) dotUnrolled(col("va"), col("vb"), dim) else dot(col("va"), col("vb"))
-    a.crossJoin(c)
+    val res = a.crossJoin(c)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", d)
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
+    Caching.materializeAndRelease(res, unit)
   }
 
   /** Near-duplicate pairs, LSH-banded: candidates = pairs colliding in at
@@ -502,8 +510,9 @@ object Similarity {
     val pairs = cand
       .join(unit.select(col("vec_id").as("vec_a"), col("uv").as("va")), "vec_a")
       .join(unit.select(col("vec_id").as("vec_b"), col("uv").as("vb")), "vec_b")
-    cosinePairs(pairs, "vec_a", "va", "vec_b", "vb")
+    val res = cosinePairs(pairs, "vec_a", "va", "vec_b", "vb")
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
+    Caching.materializeAndRelease(res, unit)
   }
 }

@@ -58,6 +58,24 @@ object MlQueries {
           GROUP BY doc_id, j)
         GROUP BY doc_id"""
 
+  /** Shared oracle CTE for minhash banding WITH the hot-bucket cap —
+    * mirrors [[Dedup.minhashCandidates]]'s default-on guard exactly
+    * (buckets over [[Dedup.DefaultMaxBucket]] docs are dropped before
+    * pair generation; the cap is part of the operator contract).
+    * Expects a `sig` CTE in scope.
+    */
+  private val bandsSql =
+    s"""bands0 AS (
+            SELECT doc_id, i // ${Dedup.BandRows} AS band,
+                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
+            FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+          bands AS (
+            SELECT b.doc_id, b.band, b.band_key FROM bands0 b
+            JOIN (SELECT band, band_key FROM bands0
+                  GROUP BY band, band_key
+                  HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}) ok
+              ON ok.band = b.band AND ok.band_key = b.band_key)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text")),
@@ -76,12 +94,13 @@ object MlQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sigs.select(col("doc_id").as("doc_a"), col("i"), col("sig").as("sig_a"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("i"), col("sig").as("sig_b"))
-      Dedup.minhashCandidates(sigs).select("doc_a", "doc_b")
+      val res = Dedup.minhashCandidates(sigs).select("doc_a", "doc_b")
         .join(a, "doc_a")
         .join(b, Seq("doc_b", "i"))
         .groupBy("doc_a", "doc_b")
         .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("n_equal"),
           count(lit(1)).as("n_components"))
+      graft.operators.Caching.materializeAndRelease(res, sigs)
     }),
 
     "simhash_sig" -> ((s, dir) =>
@@ -199,11 +218,15 @@ object MlQueries {
       Multimodal.binaryMeta(media, "doc_id", "media")
     }),
 
+    // Dispatching decode: image mimes hit the REAL javax.imageio path
+    // (MultimodalSpec covers it on golden PNG/BMP bytes); the text/plain
+    // payloads here take the byte-histogram fallback, which the oracle
+    // reproduces exactly.
     "mm_decode_features" -> ((s, dir) => {
       val media = tbl(s, dir, "documents")
         .select(col("doc_id"),
           Multimodal.asMedia(col("text").cast("binary"), "text/plain").as("media"))
-      Multimodal.decodeStub(media, "doc_id", "media")
+      Multimodal.decodeFeatures(media, "doc_id", "media")
     }),
 
     "mm_frame_sample" -> ((s, dir) => {
@@ -237,10 +260,7 @@ object MlQueries {
     "minhash_sig" -> sigSql,
     "minhash_lsh_pairs" ->
       s"""WITH sig AS ($sigSql),
-          bands AS (
-            SELECT doc_id, i // ${Dedup.BandRows} AS band,
-                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
-            FROM sig GROUP BY doc_id, i // ${Dedup.BandRows})
+          $bandsSql
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  COUNT(*) AS n_shared_bands
           FROM bands a JOIN bands b
@@ -249,10 +269,7 @@ object MlQueries {
           GROUP BY 1, 2""",
     "doc_dup_clusters" ->
       s"""WITH RECURSIVE sig AS ($sigSql),
-          bands AS (
-            SELECT doc_id, i // ${Dedup.BandRows} AS band,
-                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
-            FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+          $bandsSql,
           pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
@@ -270,10 +287,7 @@ object MlQueries {
           FROM rep GROUP BY keep""",
     "doc_dup_triangles" ->
       s"""WITH sig AS ($sigSql),
-          bands AS (
-            SELECT doc_id, i // ${Dedup.BandRows} AS band,
-                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
-            FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+          $bandsSql,
           ed AS (
             SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
             FROM bands a JOIN bands b
@@ -291,10 +305,7 @@ object MlQueries {
           SELECT s AS doc_id, COUNT(*) AS n_triangles FROM pv GROUP BY 1""",
     "minhash_est" ->
       s"""WITH sig AS ($sigSql),
-          bands AS (
-            SELECT doc_id, i // ${Dedup.BandRows} AS band,
-                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
-            FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+          $bandsSql,
           pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
@@ -311,9 +322,15 @@ object MlQueries {
     "simhash_sig" -> simhashSql,
     "simhash_pairs" ->
       s"""WITH sim AS ($simhashSql),
-          seg AS (
+          seg0 AS (
             SELECT doc_id, simhash, g AS seg_i, (simhash >> (g*12)) % 4096 AS seg_v
-            FROM sim, generate_series(0, 3) t(g))
+            FROM sim, generate_series(0, 3) t(g)),
+          seg AS (
+            SELECT s.doc_id, s.simhash, s.seg_i, s.seg_v FROM seg0 s
+            JOIN (SELECT seg_i, seg_v FROM seg0
+                  GROUP BY seg_i, seg_v
+                  HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}) ok
+              ON ok.seg_i = s.seg_i AND ok.seg_v = s.seg_v)
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM seg a JOIN seg b

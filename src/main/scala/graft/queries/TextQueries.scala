@@ -196,11 +196,12 @@ object TextQueries {
         .select(col("doc_id").as("test_doc_id"), col("g"))
       val train = ex.filter(col("doc_id") >= 20)
         .select(col("doc_id").as("train_doc_id"), col("g"))
-      test.join(train, "g")
+      val res = test.join(train, "g")
         .select("test_doc_id", "train_doc_id").distinct()
         .groupBy("test_doc_id")
         .agg(count(lit(1)).as("n_contaminating"),
           min(col("train_doc_id")).as("first_train_doc"))
+      graft.operators.Caching.materializeAndRelease(res, sh)
     }),
 
     // Per-document distinctive terms: top-3 by (tf DESC, df ASC, term ASC)
@@ -218,10 +219,11 @@ object TextQueries {
         .groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.join(df, "term")
+      val res = tf.join(df, "term")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
+      graft.operators.Caching.materializeAndRelease(res, ex)
     }),
 
     // N-gram (word-3-gram) Jaccard near-dup pairs, blocked by source.
@@ -249,17 +251,30 @@ object TextQueries {
       val ex = shingled.select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
       val a = ex.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
       val b = ex.select(col("doc_id").as("doc_b"), col("source"), col("sh"))
-      a.join(b, Seq("source", "sh"))
+      val inter = a.join(b, Seq("source", "sh"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_inter"))
-        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      // the per-doc shingle-count lookups are big⋈small joins on a doc id;
+      // a doc appearing in many near-dup pairs is a hot key, so they run
+      // SALTED (Skew.saltedJoin spreads each hot doc id over `factor`
+      // shuffle partitions; the counts side replicates ×factor — it is
+      // one row per doc, dimension-sized). Result rows are identical to
+      // the plain join; only the partitioning changes. doc_b/doc_a as the
+      // salt disambiguator keeps partition assignment replay-stable.
+      val withA = graft.operators.Skew.saltedJoin(
+        inter, counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+        "doc_a", factor = 8, bigSaltCol = Some("doc_b"))
+      val withB = graft.operators.Skew.saltedJoin(
+        withA, counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+        "doc_b", factor = 8, bigSaltCol = Some("doc_a"))
+      val res = withB
         .withColumn("jaccard",
           col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
         .filter(col("jaccard") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+      graft.operators.Caching.materializeAndRelease(res, shingled)
     })
   )
 

@@ -73,6 +73,36 @@ class HamMergeSpec extends SparkSuite {
     assert(still.as[GunCell].collect().map(_.state).toSeq == Seq(9000.0))
   }
 
+  test("incremental merge: untouched store keys skip the re-merge aggregation") {
+    // 200-key store, batch touching ONE key: untouched rows must pass
+    // through the anti-join branch without entering any aggregate — the
+    // batch-API analogue of HamStreamSpec's "untouched buckets' files stay
+    // put". A full-store re-merge would push all 200 rows through max_by.
+    val store = cells((1 to 200).map(i =>
+      (s"s$i", "f", GunValue.string(s"v$i"): GunValue, 1000.0)): _*)
+    val incoming = cells(("s7", "f", GunValue.string("new"), 2000))
+    val (merged, deferred) = HamMerge.merge(store, incoming, sysState = 3000)
+    val m = winners(merged) // single action: metrics below reflect one run
+    assert(m.size == 200)
+    assert(m(("s7", "f"))._1 == GunValue.string("new"))
+    assert(m(("s8", "f"))._1 == GunValue.string("v8"))
+    assert(deferred.count() == 0)
+    val finalPlan = merged.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val aggOut = finalPlan.collect {
+      case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        agg.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    }
+    // aggregates present (key distinct + the touched-slice merge), but none
+    // saw the store bulk
+    assert(aggOut.nonEmpty, "expected aggregate nodes in the merge plan")
+    assert(aggOut.forall(_ <= 10),
+      s"an aggregate processed the untouched store bulk: $aggOut")
+  }
+
   test("purge drops cells older than ttl") {
     val df = cells(
       ("s1", "f", GunValue.string("old"), 0),
