@@ -256,51 +256,59 @@ object HamStream {
   def mergeIntoStore(
       updates: Dataset[Update],
       storePath: String,
-      numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Update], batchId: Long) =>
-        val spark = batch.sparkSession
-        val newCells = batch.toDF()
-          .select(col("soul"), col("field"), col("value"), col("state"),
-            lit(true).as("valueExists"),
-            pmod(xxhash64(col("soul")), lit(numBuckets.toLong)).as("bucket"))
-          .localCheckpoint(true) // materialize once: reused for buckets + merge
-        val touched = newCells.select("bucket").distinct()
-          .collect().map(_.getLong(0)).sorted
-        if (touched.nonEmpty) {
-          val hconf = spark.sparkContext.hadoopConfiguration
-          val storeDir = new org.apache.hadoop.fs.Path(storePath)
-          val fs = storeDir.getFileSystem(hconf)
-          recoverStore(fs, storeDir) // heal any interrupted prior swap first
-          val existing =
-            if (!fs.exists(storeDir)) {
-              spark.createDataFrame(
-                new java.util.ArrayList[org.apache.spark.sql.Row](), newCells.schema)
-            } else {
-              // partition pruning keeps this read to the touched buckets
-              spark.read.parquet(storePath)
-                .filter(col("bucket").isin(touched: _*))
-                .select(newCells.columns.map(col): _*)
-            }
-          val merged = graft.operators.HamMerge
-            .mergeSnapshot(
-              existing.drop("bucket").unionByName(newCells.drop("bucket")))
-            .withColumn("bucket",
-              pmod(xxhash64(col("soul")), lit(numBuckets.toLong)))
-          val staging = new org.apache.hadoop.fs.Path(storePath, s".staging-$batchId")
-          merged.write.mode("overwrite")
-            .partitionBy("bucket").parquet(staging.toString)
-          touched.foreach { b =>
-            swapBucket(fs, storeDir, s"bucket=$b",
-              new org.apache.hadoop.fs.Path(staging, s"bucket=$b"))
-          }
-          fs.delete(staging, true)
-        }
-        ()
+        mergeBatchIntoStore(batch, batchId, storePath, numBuckets)
       }
       .start()
+
+  /** One micro-batch of [[mergeIntoStore]], exposed so restart/crash specs
+    * (and custom foreachBatch sinks that add their own checkpointing or
+    * fault injection) drive the exact production merge body.
+    */
+  private[graft] def mergeBatchIntoStore(
+      batch: Dataset[Update], batchId: Long,
+      storePath: String, numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val spark = batch.sparkSession
+    val newCells = batch.toDF()
+      .select(col("soul"), col("field"), col("value"), col("state"),
+        lit(true).as("valueExists"),
+        pmod(xxhash64(col("soul")), lit(numBuckets.toLong)).as("bucket"))
+      .localCheckpoint(true) // materialize once: reused for buckets + merge
+    val touched = newCells.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.nonEmpty) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val storeDir = new org.apache.hadoop.fs.Path(storePath)
+      val fs = storeDir.getFileSystem(hconf)
+      recoverStore(fs, storeDir) // heal any interrupted prior swap first
+      val existing =
+        if (!fs.exists(storeDir)) {
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), newCells.schema)
+        } else {
+          // partition pruning keeps this read to the touched buckets
+          spark.read.parquet(storePath)
+            .filter(col("bucket").isin(touched: _*))
+            .select(newCells.columns.map(col): _*)
+        }
+      val merged = graft.operators.HamMerge
+        .mergeSnapshot(
+          existing.drop("bucket").unionByName(newCells.drop("bucket")))
+        .withColumn("bucket",
+          pmod(xxhash64(col("soul")), lit(numBuckets.toLong)))
+      val staging = new org.apache.hadoop.fs.Path(storePath, s".staging-$batchId")
+      merged.write.mode("overwrite")
+        .partitionBy("bucket").parquet(staging.toString)
+      touched.foreach { b =>
+        swapBucket(fs, storeDir, s"bucket=$b",
+          new org.apache.hadoop.fs.Path(staging, s"bucket=$b"))
+      }
+      fs.delete(staging, true)
+    }
   }
 
   /** Swap a staged bucket directory into the live tree with a RECOVERABLE
