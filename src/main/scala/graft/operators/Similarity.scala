@@ -152,11 +152,33 @@ object Similarity {
     */
   val QuantScale: Long = 1L << 20
 
-  /** Deterministic hyperplane weight for (plane p, dimension d):
-    * LCG((p·1024 + d)) centered to ±2^30 — reproducible on any engine.
+  /** Deterministic hyperplane weight for (plane p, dimension d): the
+    * first 60 bits of md5("pw:p:d"), reduced mod 2^31 and centered to
+    * ±2^30 — reproducible bit-for-bit on any engine (same arithmetic as
+    * [[Dedup.strHash]]).
+    *
+    * History: this was an affine LCG of (p·1024 + d). The sf1 headroom
+    * run exposed why that fails — an affine map makes plane p+1 equal
+    * plane p plus a CONSTANT in every dimension (near-parallel planes,
+    * diversified only by mod-2^31 wraparound), so sign-buckets collapse
+    * onto few patterns and the candidate join carried ~21× the uniform
+    * volume (16.9M pairs at 20k vectors where ~0.8M was expected).
+    * md5-derived weights are i.i.d.-like per (plane, dim): measured
+    * candidate volume dropped to the uniform estimate (SCALE_r4.md).
     */
   private def planeWeight(p: Column, d: Column): Column =
-    (lit(1103515245L) * (p * 1024 + d) + 12345L) % lit(2147483648L) - lit(1073741824L)
+    Dedup.strHash(concat_ws("", lit("pw:"), p.cast("string"), lit(":"),
+      d.cast("string"))) % lit(2147483648L) - lit(1073741824L)
+
+  /** JVM-side value of [[planeWeight]] — identical md5 + 15-hex-digit
+    * parse as the column form (and the DuckDB oracle mirror).
+    */
+  private[operators] def planeWeightValue(pg: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pw:$pg:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483648L - 1073741824L
+  }
 
   /** (vec_id, q): integer-quantized embedding, `q_d = floor(v_d · 2^20)`. */
   def quantized(vectors: DataFrame): DataFrame =
@@ -230,8 +252,19 @@ object Similarity {
     vectors.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
+        // weight table computed once per partition (tables·bits·dims md5
+        // calls — thousands, amortized over every row), identical values
+        // to the declarative planeWeight column and the oracle SQL
+        var weights: Array[Array[Long]] = null
+        var wDims = 0
+        def ensureWeights(dims: Int): Unit =
+          if (weights == null || wDims < dims) {
+            weights = Array.tabulate(tables * bits, dims)(planeWeightValue)
+            wDims = dims
+          }
         it.flatMap { case (id, emb) =>
           val dims = emb.length
+          ensureWeights(dims)
           val q = new Array[Long](dims)
           var d = 0
           while (d < dims) {
@@ -242,13 +275,11 @@ object Similarity {
             var bucket = 0L
             var p = 0
             while (p < bits) {
-              val pg = t * bits + p
+              val w = weights(t * bits + p)
               var s = 0L
               var dd = 0
               while (dd < dims) {
-                val w = (1103515245L * (pg.toLong * 1024L + dd) + 12345L) %
-                  2147483648L - 1073741824L
-                s += q(dd) * w
+                s += q(dd) * w(dd)
                 dd += 1
               }
               if (s > 0) bucket |= (1L << p)

@@ -252,9 +252,13 @@ object MlQueries {
           v -> CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS q
         FROM embeddings"""
 
-  /** DuckDB SQL for the deterministic plane weight at global plane `pg`. */
+  /** DuckDB SQL for the deterministic plane weight at global plane `pg` —
+    * md5-derived exactly like [[Similarity.planeWeightValue]] (the affine
+    * LCG it replaced made hyperplanes near-parallel; see Similarity).
+    */
   private def weightSql(pg: String): String =
-    s"(((1103515245::BIGINT * (($pg)*1024 + d) + 12345) % 2147483648) - 1073741824)"
+    s"(${strHashSql(s"'pw:' || CAST(($pg) AS VARCHAR) || ':' || CAST(d AS VARCHAR)")}" +
+      " % 2147483648 - 1073741824)"
 
   val oracles: Map[String, String] = Map(
     "minhash_sig" -> sigSql,
