@@ -19,6 +19,19 @@ class SkewSpec extends SparkSuite {
     assert(salted.count(_.head == "hot") == 900)
   }
 
+  test("salted join's exchange partitions on (key, salt), not key alone") {
+    // the production call site (doc_ngram_jaccard's per-doc count joins)
+    // returns through an eager checkpoint, so its plan is only visible
+    // here: the shuffle key must include __salt — that's the whole point
+    // (a hot key spreads over `factor` partitions instead of one).
+    val big = (1 to 1000).map(i => ("hot", i)).toDF("key", "v")
+    val small = Seq(("hot", "H")).toDF("key", "name")
+    val joined = Skew.saltedJoin(big, small, "key", factor = 8, bigSaltCol = Some("v"))
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"no salted exchange in plan:\n$plan")
+  }
+
   test("salt values actually spread the hot key across buckets") {
     val big = (1 to 1000).map(i => ("hot", i)).toDF("key", "v")
     val salts = big
