@@ -19,9 +19,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // lazy composition mode: operators skip their eager checkpoint so the
+    // printed plan is the real pipeline, not a materialized-result scan
+    spark.conf.set(graft.operators.Caching.EagerReleaseKey, "false")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // operators leave their caches to the caller in lazy mode
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

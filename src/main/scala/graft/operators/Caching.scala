@@ -31,13 +31,29 @@ import org.apache.spark.sql.DataFrame
   */
 object Caching {
 
+  /** Session conf key: set to `false` for LAZY composition mode — operator
+    * results keep their full declarative plan (no eager checkpoint) and
+    * the intermediates stay persisted for the CALLER to release (e.g. via
+    * a `getPersistentRDDs` sweep). Use it to `.explain` the real pipeline
+    * plans (the Explain main sets it) or to fuse several operators into
+    * one job before materializing. Default (absent/`true`): results
+    * materialize eagerly and every operator-installed cache is released
+    * on return — the leave-no-cache-behind contract.
+    */
+  val EagerReleaseKey = "spark.graft.eagerRelease"
+
   /** Eagerly materialize `result`, then unpersist each `owned`
-    * intermediate (the persists this operator installed).
+    * intermediate (the persists this operator installed). In lazy mode
+    * ([[EagerReleaseKey]] = false) returns `result` untouched and leaves
+    * `owned` cached — cache ownership transfers to the caller.
     */
   def materializeAndRelease(result: DataFrame, owned: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    owned.foreach(_.unpersist(blocking = false))
-    out
+    if (result.sparkSession.conf.get(EagerReleaseKey, "true") == "false") result
+    else {
+      val out = result.localCheckpoint(eager = true)
+      owned.foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 
   /** Persist a CALLER-supplied DataFrame only if the caller has not

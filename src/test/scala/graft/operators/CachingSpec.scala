@@ -51,6 +51,27 @@ class CachingSpec extends SparkSuite {
     }
   }
 
+  test("lazy mode: plans stay declarative, cache ownership moves to caller") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1 to 60).map(i => (i.toLong, s"words for doc $i keep going $i more")).toDF("doc_id", "text")
+    spark.conf.set(Caching.EagerReleaseKey, "false")
+    try {
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"))
+      // not a checkpoint scan: the full banding pipeline is in the plan
+      val plan = pairs.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LogicalRDD") && plan.contains("Aggregate"),
+        s"expected a lazy declarative plan, got:\n$plan")
+      pairs.count()
+      // the operator left its band cache for the caller to manage
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    } finally {
+      spark.conf.set(Caching.EagerReleaseKey, "true")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+  }
+
   test("ownPersist: a caller-installed cache survives the operator") {
     val spark2 = spark
     import spark2.implicits._
