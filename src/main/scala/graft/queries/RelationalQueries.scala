@@ -187,6 +187,25 @@ object RelationalQueries {
           col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
     }),
 
+    // The GENERAL grouping-sets form (vs rollup's hierarchy and cube's
+    // powerset): an explicit non-hierarchical set list — (rf, ls), (ls),
+    // () — which neither rollup nor cube expresses. GROUPING() bits
+    // disambiguate subtotal rows from real NULLs.
+    "q_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+    }),
+
     // Event-time tumbling window (5 min), arithmetic bucketing: identical
     // to Structured Streaming's window() origin (epoch-aligned).
     "q_events_tumbling" -> ((s, dir) => {
@@ -359,6 +378,14 @@ object RelationalQueries {
                 COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
     "q_events_tumbling" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS bucket_us,
                 event_type,
