@@ -156,6 +156,27 @@ object MlQueries {
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // Embedding-space DECONTAMINATION — the vector analogue of
+    // doc_contamination: for each training vector, count the eval-set
+    // vectors (vec_id < 10, stand-in for a benchmark) within cosine 0.3.
+    // Scale shape = bruteForceKnn's: the corpus is scanned, never
+    // shuffled; only the bounded eval set broadcasts; the typed cosine
+    // kernel scores pairs; output is integer counts (order-free).
+    "emb_decontaminate" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val unit = Similarity.unitVectors(emb)
+      val evalSet = unit.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("eval_id"), col("uv").as("ev"))
+      val train = unit.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("train_id"), col("uv").as("tv"))
+      val pairs = train.crossJoin(broadcast(evalSet))
+      val res = Similarity.cosinePairs(pairs, "train_id", "tv", "eval_id", "ev")
+        .filter(col("cos") >= 0.3)
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_close_eval"), min(col("eval_id")).as("first_eval_id"))
+      graft.operators.Caching.materializeAndRelease(res, unit)
+    }),
+
     // Approximate ANN: integer-exact LSH buckets (oracle-checked — the
     // sketch arithmetic is reproduced bit-for-bit in SQL; ranks within a
     // bucket compare by cosine, rank-stable across engines).
@@ -340,6 +361,14 @@ object MlQueries {
           FROM seg a JOIN seg b
             ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""",
+    "emb_decontaminate" ->
+      """SELECT e.vec_id AS train_id, COUNT(*) AS n_close_eval,
+                MIN(q.vec_id) AS first_eval_id
+         FROM embeddings e,
+              (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+         WHERE e.vec_id >= 10
+           AND list_cosine_similarity(e.embedding, q.embedding) >= 0.3
+         GROUP BY 1""",
     "emb_knn" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
