@@ -1,66 +1,109 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Benchmark main. One JSON line on stdout + `bench_out.json`.
+  *
+  * Round-5 methodology (see BENCH_STABILITY.md): the round-4 suite ran all
+  * queries in one SparkContext and min-of-3 did NOT isolate them — residual
+  * ContextCleaner backlog (localCheckpoint blocks released only after GC),
+  * shuffle-file cleanup, and block-manager pressure from earlier queries
+  * inflated unchanged trivial plans by up to 40x (doc_fingerprint 8.98 s
+  * in-suite vs 0.22 s isolated, judge-measured, same build). Fix, default ON:
+  *   1. per-query CONTEXT ISOLATION — each query gets a fresh SparkContext
+  *      (same JVM), so no cross-query cached blocks, shuffle files, or
+  *      cleaner backlog can leak into its timed window; and
+  *   2. a QUIESCE between repeats — unpersist + System.gc() polling until
+  *      the ContextCleaner has drained every persistent RDD, outside the
+  *      timed region.
+  * JIT/code-cache state intentionally stays shared (a long-lived session
+  * user has a warm JIT too; min-of-n absorbs compile cost).
+  *
+  * Both the FIRST run and the min-of-n are reported per query
+  * ("queries_first" / "queries") so cross-round comparisons can separate
+  * methodology from plan changes: first-run is the cold number comparable
+  * to rounds 1-3, min-of-n is the plan-cost signal used for "value".
+  * SPARK_GRAFT_ISOLATE=0 restores the round-4 shared-context mode.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_out.json")
-    val spark = SparkSession.builder()
+  def newSession(cpus: String): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen paths so the first measured query doesn't pay
-    // session startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    // Positional args filter to the named queries; SPARK_GRAFT_REPEAT=n
-    // overrides the per-query repeat count. DEFAULT IS 3, min-of-n: the
-    // host VM is noisy enough that an unchanged trivial plan has measured
-    // 13× swings between runs — the min across 3 back-to-back runs is the
-    // plan-cost signal, and the warm repeats cost far less than the cold
-    // pass they stabilize.
+  }
+
+  /** Unpersist everything and wait for the ContextCleaner to actually drain.
+    * localCheckpoint blocks are freed only after their RDD handles are
+    * garbage-collected, so a plain unpersist sweep leaves cleaner work
+    * queued that lands inside the NEXT query's timed window.
+    */
+  def quiesce(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    var tries = 0
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty && tries < 50) {
+      System.gc(); Thread.sleep(50); tries += 1
+    }
+    System.gc()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_out.json")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt max 1
-    // SPARK_GRAFT_PASSES=n runs the WHOLE suite n times in one JVM (suite-
-    // level stability check: pass-2 ≈ pass-1 proves no query leaks cached
-    // state into the rest of the suite). Reported time per query = min
-    // across passes; per-pass totals go into the JSON as "passes".
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "1") != "0"
+    // SPARK_GRAFT_PASSES=n runs the WHOLE suite n times (suite-level
+    // stability check; only meaningful with SPARK_GRAFT_ISOLATE=0).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt max 1
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
-    def teardown(): Unit = {
-      // Drop persisted intermediates so the next query's time isn't
-      // cross-contaminated by cache memory pressure. clearCache() only
-      // reaches the SQL cache manager; RDD-level persists (GraphX
-      // internals, localCheckpoint blocks) need the explicit sweep.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
+
+    var spark = newSession(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen paths so the first measured query doesn't pay
+    // one-time session machinery.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    // per query -> (firstRun, minOfN)
     val perPass = (1 to passes).map { _ =>
       selected.map { case (name, fn) =>
-        val dt = (1 to repeat).map { _ =>
+        if (isolate) {
+          // Fresh context per query: nothing from the previous query's
+          // lifetime (cached blocks, shuffle files, cleaner queue) exists.
+          spark.stop()
+          spark = newSession(cpus)
+          spark.sparkContext.setLogLevel("WARN")
+        }
+        val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val elapsed = (System.nanoTime() - t0) / 1e9
-          teardown() // outside the timed region: measure the query, not GC
+          quiesce(spark) // outside the timed region: measure the query, not GC
           elapsed
-        }.min
-        name -> dt
+        }
+        name -> ((times.head, times.min))
       }
     }
-    val results = perPass.flatten.groupBy(_._1)
-      .map { case (k, vs) => k -> vs.map(_._2).min }
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val byName = perPass.flatten.groupBy(_._1)
+    val firsts = byName.map { case (k, vs) => k -> vs.map(_._2._1).min }
+    val results = byName.map { case (k, vs) => k -> vs.map(_._2._2).min }
+    def jsonMap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val passTotals = perPass.map(_.map(_._2).sum)
+    val passTotals = perPass.map(_.map(_._2._2).sum)
     val passesJson =
       if (passes > 1) s""","passes":${passTotals.mkString("[", ",", "]")}""" else ""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$passesJson}"""
+    val mode = if (isolate) "context-per-query" else "shared-context"
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_first":${jsonMap(firsts)},"repeat":$repeat,"isolation":"$mode","sf":"$sfDir"$passesJson}"""
     // stdout for the driver's tail-grep AND a file for reliable parsing
     // (sbt [info] prefixes make the stdout line fragile to extract).
     println(json)

@@ -23,12 +23,19 @@ object Dedup {
   val BandRows = 4 // 4 bands × 4 rows
 
   /** Default hot-bucket cap for the banding self-joins (minhash bands,
-    * simhash segments): buckets with more members are dropped before pair
-    * generation. A bucket of b docs emits b² candidate pairs, so one viral
-    * band key (boilerplate shared by 30% of a corpus) makes the join
-    * quadratic; 1024 bounds any single bucket to ~1M pairs — one task's
-    * worth of work — while leaving realistic near-dup clusters (which are
-    * orders of magnitude smaller) untouched. The cap is part of the
+    * simhash segments). A bucket of b docs emits b² candidate pairs, so one
+    * viral band key (boilerplate shared by 30% of a corpus) makes the join
+    * quadratic; 1024 bounds any single bucket's all-pairs fan-out to ~1M —
+    * one task's worth of work — while leaving realistic near-dup clusters
+    * (orders of magnitude smaller) untouched.
+    *
+    * Buckets OVER the cap are not dropped (that would make the largest
+    * duplicate families — the primary dedup target — invisible): each
+    * member instead pairs with the bucket's MIN-doc representative, O(b)
+    * pairs per bucket. The family stays connected (a star through the
+    * representative, so connected-components still recovers the full
+    * cluster) at linear cost; only the intra-family pair ENUMERATION is
+    * sacrificed. The cap and the representative rule are part of the
     * operator contract and mirrored exactly in the DuckDB oracles; pass
     * `maxBucket = 0` for the uncapped exact variant.
     */
@@ -83,8 +90,10 @@ object Dedup {
     * signature. Returns (doc_a, doc_b, n_shared_bands).
     *
     * The hot-bucket guard is ON by default ([[DefaultMaxBucket]], mirrored
-    * in the oracle SQL): band buckets larger than `maxBucket` are dropped
-    * before the self-join, bounding any one bucket's pair fan-out.
+    * in the oracle SQL): band buckets larger than `maxBucket` switch from
+    * all-pairs to representative linking — every member pairs with the
+    * bucket's min doc_id — bounding any one bucket's fan-out to O(b) while
+    * keeping the family connected for downstream clustering.
     * `maxBucket = 0` disables the guard (exact, quadratic on a viral key).
     */
   def minhashCandidates(signatures: DataFrame,
@@ -96,22 +105,40 @@ object Dedup {
         array_sort(collect_list(struct(col("i"), col("sig")))),
         s => s.getField("sig").cast("string")), ",").as("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands =
-      if (maxBucket <= 0) allBands
-      else {
-        val sizes = allBands.groupBy("band", "band_key")
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= maxBucket)
-          .select("band", "band_key")
-        allBands.join(sizes, Seq("band", "band_key"), "left_semi")
-      }
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
-    val pairs = a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared_bands"))
-    Caching.materializeAndRelease(pairs, allBands)
+    if (maxBucket <= 0) {
+      val a = allBands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      val b = allBands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+      val pairs = a.join(b, Seq("band", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared_bands"))
+      Caching.materializeAndRelease(pairs, allBands)
+    } else {
+      // one aggregation feeds both the small-bucket filter and the
+      // oversized-bucket representatives (persisted: two consumers)
+      val sizes = allBands.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val small = allBands.join(
+        sizes.filter(col("bucket_n") <= maxBucket).select("band", "band_key"),
+        Seq("band", "band_key"), "left_semi")
+      val a = small.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      val b = small.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+      val smallPairs = a.join(b, Seq("band", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      // rep = bucket min ⇒ doc_a < doc_b holds by construction
+      val bigPairs = allBands.join(
+        sizes.filter(col("bucket_n") > maxBucket)
+          .select(col("band"), col("band_key"), col("rep")),
+        Seq("band", "band_key"))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      val pairs = smallPairs.unionByName(bigPairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared_bands"))
+      Caching.materializeAndRelease(pairs, allBands, sizes)
+    }
   }
 
   val SimHashBits = 48
@@ -181,9 +208,11 @@ object Dedup {
     * per-bucket counts bounded.
     *
     * The hot-bucket guard is ON by default ([[DefaultMaxBucket]], mirrored
-    * in the oracle): segment buckets larger than `maxBucket` are dropped
-    * before the self-join — one viral 12-bit segment value shared by a
-    * boilerplate family would otherwise make the pair join quadratic.
+    * in the oracle): segment buckets larger than `maxBucket` switch from
+    * all-pairs to representative linking (member ↔ bucket-min doc, O(b)) —
+    * one viral 12-bit segment value shared by a boilerplate family would
+    * otherwise make the pair join quadratic. Representative pairs still
+    * pass through the exact Hamming verify.
     */
   def simhashPairsBanded(
       sims: DataFrame,
@@ -199,21 +228,42 @@ object Dedup {
     }: _*)
     val allSeg = fp.select(col("doc_id"), col("simhash"),
       posexplode(segArr)).toDF("doc_id", "simhash", "seg_i", "seg_v")
-    val seg =
-      if (maxBucket <= 0) allSeg
-      else {
+    val candidates =
+      if (maxBucket <= 0) {
+        val a = allSeg.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+          col("seg_i"), col("seg_v"))
+        val b = allSeg.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+          col("seg_i"), col("seg_v"))
+        a.join(b, Seq("seg_i", "seg_v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b")
+      } else {
         val sizes = allSeg.groupBy("seg_i", "seg_v")
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= maxBucket)
-          .select("seg_i", "seg_v")
-        allSeg.join(sizes, Seq("seg_i", "seg_v"), "left_semi")
+          .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"),
+            min_by(col("simhash"), col("doc_id")).as("rep_sim"))
+        val small = allSeg.join(
+          sizes.filter(col("bucket_n") <= maxBucket).select("seg_i", "seg_v"),
+          Seq("seg_i", "seg_v"), "left_semi")
+        val a = small.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+          col("seg_i"), col("seg_v"))
+        val b = small.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+          col("seg_i"), col("seg_v"))
+        val smallPairs = a.join(b, Seq("seg_i", "seg_v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b")
+        // rep = bucket min ⇒ doc_a < doc_b by construction; rep's
+        // fingerprint rides along via min_by (doc_id is unique ⇒
+        // deterministic)
+        val bigPairs = allSeg.join(
+          sizes.filter(col("bucket_n") > maxBucket)
+            .select(col("seg_i"), col("seg_v"), col("rep"), col("rep_sim")),
+          Seq("seg_i", "seg_v"))
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+            col("rep_sim").as("sim_a"), col("simhash").as("sim_b"))
+        smallPairs.unionByName(bigPairs)
       }
-    val a = seg.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-      col("seg_i"), col("seg_v"))
-    val b = seg.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-      col("seg_i"), col("seg_v"))
-    val pairs = a.join(b, Seq("seg_i", "seg_v"))
-      .filter(col("doc_a") < col("doc_b"))
+    val pairs = candidates
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

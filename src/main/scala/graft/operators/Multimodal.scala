@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
   * The IMAGE decode path is REAL: [[decodeFeatures]] / [[imageMeta]] run
   * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with the JDK — no
   * external codec needed) over each payload, producing true width/height
-  * and a pixel-luminance histogram. Audio/video decode stays STUBBED
-  * ([[decodeStub]]/[[frameSampleStub]]: this environment ships no such
+  * and a pixel-luminance histogram. AUDIO METADATA is also real:
+  * [[audioMeta]] parses WAV/AIFF containers with JDK-only
+  * `javax.sound.sampled.AudioSystem` (sample rate, channels, frame count,
+  * duration). What stays STUBBED is audio CONTENT decode and video
+  * ([[decodeStub]]/[[frameSampleStub]]: the JDK ships no mp3/aac/video
   * codecs) with deterministic fake features — the media schema, batched
   * `mapPartitions` shape (the Scala analogue of `mapInPandas` batch
   * processing) and partitioning contract are identical, so a real codec
@@ -127,6 +130,103 @@ object Multimodal {
         MediaDims(id, mime, dims.map(_._1), dims.map(_._2))
       }
     }.toDF("id", "mime", "width", "height")
+  }
+
+  final case class AudioMetaRow(id: Long, sample_rate: Option[Long],
+    channels: Option[Long], frames: Option[Long], duration_us: Option[Long])
+
+  /** Canonical 16-bit PCM WAV container around `data` (RIFF/fmt/data, the
+    * 44-byte header layout): a JVM-side writer used by the declared audio
+    * query's fixture-in-query and by the golden-bytes spec. `data` is
+    * truncated to whole frames (blockAlign = 2·channels).
+    */
+  def wavBytes(sampleRate: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val blockAlign = 2 * channels
+    val dataLen = (data.length / blockAlign) * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(data, 0, dataLen)
+    bb.array()
+  }
+
+  /** JDK-only audio container parse (`javax.sound.sampled.AudioSystem` —
+    * WAV/AIFF/AU readers ship with the JDK): (sampleRate, channels,
+    * frameLength); None when no installed reader accepts the payload.
+    */
+  private[operators] def decodeAudio(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        // PCM container rates are whole numbers; the float→long round is
+        // exact for every real WAV/AIFF header
+        Some((math.round(fmt.getSampleRate.toDouble),
+          fmt.getChannels.toLong, in.getFrameLength))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL audio metadata: parse each `audio/ *` payload with
+    * [[decodeAudio]] and emit (id, sample_rate, channels, frames,
+    * duration_us); non-audio mimes and unparseable payloads yield nulls.
+    * duration_us = frames·10⁶ / rate in exact Long arithmetic (floor —
+    * oracle-mirrorable integer division). Same batched `mapPartitions`
+    * contract as the image path.
+    */
+  def audioMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.bytes").as("bytes"), col(s"$mediaCol.mime").as("mime"))
+    implicit val enc = Encoders.product[AudioMetaRow]
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = r.getString(2)
+        val meta =
+          if (mime != null && mime.startsWith("audio/")) decodeAudio(bytes) else None
+        meta match {
+          case Some((rate, ch, fr)) =>
+            AudioMetaRow(id, Some(rate), Some(ch), Some(fr),
+              Some(if (rate > 0) fr * 1000000L / rate else 0L))
+          case None => AudioMetaRow(id, None, None, None, None)
+        }
+      }
+    }.toDF(idCol, "sample_rate", "channels", "frames", "duration_us")
+  }
+
+  /** Fixture-in-query WAV wrapper (the audio analogue of MultimodalSpec's
+    * rendered golden PNG): wrap each doc's text bytes in a canonical PCM
+    * WAV container whose rate/channels derive from the id — so the
+    * declared audio query exercises the REAL `AudioSystem` parse path
+    * end-to-end while staying arithmetically oracle-checkable (the oracle
+    * recomputes rate/channels/frames/duration from id and byte length).
+    */
+  def docWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("binary").as("data"))
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val data = r.getAs[Array[Byte]](1)
+        val rate = 8000 + (id % 8).toInt * 1000
+        val channels = 1 + (id % 2).toInt
+        (id, wavBytes(rate, channels, data))
+      }
+    }.toDF("id", "wav")
+      .select(col("id").as(idCol), asMedia(col("wav"), "audio/wav").as("media"))
   }
 
   /** STUB decode + feature extraction, batched per partition (the real

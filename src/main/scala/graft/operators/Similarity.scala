@@ -13,9 +13,10 @@ import org.apache.spark.storage.StorageLevel
   *     single dot product instead of three norm folds; the corpus side is
   *     scanned, never shuffled, and only the bounded query set broadcasts.
   *   - [[lshBuckets]] / [[lshKnn]]: random-hyperplane LSH with
-  *     *deterministic* integer hyperplanes (derived from (plane, dim) by an
-  *     LCG formula, no RNG state) — bucketing keeps the candidate join
-  *     near-linear; the scale path when the query set is large.
+  *     *deterministic* integer hyperplanes (weights md5-derived from
+  *     (plane, dim) — see [[planeWeight]], no RNG state) — bucketing keeps
+  *     the candidate join near-linear; the scale path when the query set is
+  *     large.
   */
 object Similarity {
 
@@ -145,6 +146,43 @@ object Similarity {
 
   val NumPlanes = 8
 
+  /** Target mean per-bucket occupancy for auto-sized LSH sketches. The
+    * anchor is SCALE_r4.md's measured-linear configuration: 20k vectors at
+    * 16×12 bits ⇒ n/2^bits ≈ 5, which held wall-clock ≈ linear at a 10×
+    * scale-up while the fixed 8-bit default went 16.6× (candidate space
+    * n²·tables/2^bits is quadratic unless bits grows with log₂ n).
+    */
+  val TargetBucketOccupancy = 5
+
+  /** The SCALE_r4.md scale rule as code: bits ≈ log₂(n / occupancy), i.e.
+    * hold per-bucket occupancy — and therefore candidate-join work per
+    * row — flat as the corpus grows. Clamped to [NumPlanes, 48] (48-bit
+    * buckets are beyond any real corpus: 2^48 · 5 ≈ 1.4e15 vectors).
+    */
+  def autoLshBits(n: Long, targetOccupancy: Int = TargetBucketOccupancy): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(48, math.max(NumPlanes, raw))
+  }
+
+  /** Resolve a bits knob: positive = pinned by the caller (declared
+    * queries pin their config for oracle-hash stability); 0 = auto-size
+    * from the corpus count via [[autoLshBits]]. The chosen configuration
+    * is part of the run's output contract — it is logged with the corpus
+    * count so a result can be reproduced exactly.
+    */
+  private def resolveBits(vectors: DataFrame, bits: Int, tables: Int,
+                          op: String, targetOccupancy: Int): Int =
+    if (bits > 0) bits
+    else {
+      val n = vectors.count()
+      val b = autoLshBits(n, targetOccupancy)
+      System.err.println(
+        s"[similarity] $op auto-sized LSH: n=$n -> tables=$tables, bits=$b " +
+          s"(target occupancy $targetOccupancy, n/2^bits=${n.toDouble / (1L << b)})")
+      b
+    }
+
   /** Quantization scale for integer-exact LSH: embeddings (float32) are
     * mapped to `floor(v * 2^20)` — float→double is exact and ×2^20 is a
     * mantissa shift, so the quantized integers are bit-identical on every
@@ -233,8 +271,9 @@ object Similarity {
   }
 
   /** Production sketch kernel: bit-identical to [[lshTables]] (same
-    * floor(v·2^20) quantization, same LCG plane weights, same sign rule)
-    * but as one typed per-partition loop over primitive arrays.
+    * floor(v·2^20) quantization, same md5-derived [[planeWeight]] /
+    * [[planeWeightValue]] weights, same sign rule) but as one typed
+    * per-partition loop over primitive arrays.
     *
     * Why imperative here: the declarative form evaluates tables·bits
     * `zip_with`+`aggregate` folds per vector, and Catalyst interprets
@@ -292,10 +331,20 @@ object Similarity {
       .toDF("vec_id", "t", "tbucket")
   }
 
-  /** Approximate top-k: brute-force within each LSH bucket. */
-  def lshKnn(vectors: DataFrame, k: Int, dim: Int = 0): DataFrame = {
+  /** Approximate top-k: brute-force within each LSH bucket. `bits`
+    * positive = pinned bucket width (the declared query pins NumPlanes for
+    * hash stability); 0 = auto-sized from the corpus count — the knn
+    * occupancy target is 16·k (each query needs ≥ k same-bucket neighbors
+    * plus recall headroom), held flat as the corpus grows so per-query
+    * scan work stays constant.
+    */
+  def lshKnn(vectors: DataFrame, k: Int, dim: Int = 0, bits: Int = 0): DataFrame = {
+    val nBits = resolveBits(vectors, bits, tables = 1, "lshKnn",
+      targetOccupancy = 16 * k)
+    val buckets = lshTablesFast(vectors, tables = 1, bits = nBits)
+      .select(col("vec_id"), col("tbucket").as("bucket"))
     val unit = unitVectors(vectors)
-    val withB = unit.join(lshBuckets(vectors), "vec_id")
+    val withB = unit.join(buckets, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("vec_id").as("query_id"), col("uv").as("qv"), col("bucket"))
     val c = withB.select(col("vec_id").as("neighbor_id"), col("uv").as("cv"), col("bucket"))
@@ -524,13 +573,64 @@ object Similarity {
     * range); the measured-data note is in MlQueries. For thresholds deep
     * inside the corpus's natural-similarity bulk (where sub-quadratic
     * exactness is impossible), [[nearDupPairs]] remains the exact tool.
+    *
+    * `bits = 0` (the default) auto-sizes the bucket width from the corpus
+    * count ([[autoLshBits]] — hold n/2^bits flat), so the default caller
+    * gets the scale-correct configuration; declared queries pin (16, 8)
+    * for oracle-hash stability.
     */
+  /** Embedding-space decontamination against an eval suite, LSH-blocked:
+    * for each train vector, count eval vectors within `threshold` cosine.
+    * Both sides are sketched with the SAME deterministic hyperplanes
+    * ([[lshTablesFast]]); candidates are pairs colliding in at least one of
+    * `tables` sign-bucket tables (equi-join on (t, tbucket) — NO
+    * broadcast-nested-loop, NO corpus×eval scan multiplier), then
+    * exact-cosine verified. Output: (train_id, n_close_eval, first_eval_id).
+    *
+    * Scale shape: cost is corpus-linear in the sketch pass plus
+    * Σ_buckets (train_b · eval_b) for the candidate join — an eval suite of
+    * 10⁵ rows costs what its bucket collisions cost, not |corpus|·|eval|
+    * cosines the way the former crossJoin(broadcast(eval)) form did. The
+    * banding is part of the operator contract (same as [[nearDupPairsLsh]])
+    * and is reproduced bit-for-bit in the oracle SQL.
+    */
+  def decontaminateLsh(
+      train: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double,
+      tables: Int = 16,
+      bits: Int = 0): DataFrame = {
+    // auto-size from the TRAIN side (the corpus): it dominates bucket
+    // occupancy; the eval suite just probes the buckets
+    val nBits = resolveBits(train, bits, tables, "decontaminateLsh",
+      TargetBucketOccupancy)
+    val trainB = lshTablesFast(train, tables, nBits)
+      .select(col("vec_id").as("train_id"), col("t"), col("tbucket"))
+    val evalB = lshTablesFast(evalSet, tables, nBits)
+      .select(col("vec_id").as("eval_id"), col("t"), col("tbucket"))
+    val cand = trainB.join(evalB, Seq("t", "tbucket"))
+      .select("train_id", "eval_id")
+      .distinct()
+    val unitT = unitVectors(train)
+    val unitE = unitVectors(evalSet)
+    val pairs = cand
+      .join(unitT.select(col("vec_id").as("train_id"), col("uv").as("tv")), "train_id")
+      .join(unitE.select(col("vec_id").as("eval_id"), col("uv").as("ev")), "eval_id")
+    val res = cosinePairs(pairs, "train_id", "tv", "eval_id", "ev")
+      .filter(col("cos") >= threshold)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_close_eval"), min(col("eval_id")).as("first_eval_id"))
+    Caching.materializeAndRelease(res, unitT, unitE)
+  }
+
   def nearDupPairsLsh(
       vectors: DataFrame,
       threshold: Double,
       tables: Int = 16,
-      bits: Int = 8): DataFrame = {
-    val tb = lshTablesFast(vectors, tables, bits)
+      bits: Int = 0): DataFrame = {
+    val nBits = resolveBits(vectors, bits, tables, "nearDupPairsLsh",
+      TargetBucketOccupancy)
+    val tb = lshTablesFast(vectors, tables, nBits)
     val a = tb.select(col("vec_id").as("vec_a"), col("t"), col("tbucket"))
     val b = tb.select(col("vec_id").as("vec_b"), col("t"), col("tbucket"))
     val cand = a.join(b, Seq("t", "tbucket"))

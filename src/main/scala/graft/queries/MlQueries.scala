@@ -58,23 +58,36 @@ object MlQueries {
           GROUP BY doc_id, j)
         GROUP BY doc_id"""
 
-  /** Shared oracle CTE for minhash banding WITH the hot-bucket cap —
-    * mirrors [[Dedup.minhashCandidates]]'s default-on guard exactly
-    * (buckets over [[Dedup.DefaultMaxBucket]] docs are dropped before
-    * pair generation; the cap is part of the operator contract).
-    * Expects a `sig` CTE in scope.
+  /** Shared oracle CTEs for minhash banding WITH the hot-bucket guard —
+    * mirrors [[Dedup.minhashCandidates]]'s default-on contract exactly:
+    * buckets ≤ [[Dedup.DefaultMaxBucket]] generate all pairs; larger
+    * buckets link each member to the bucket-min representative (O(b), so
+    * viral boilerplate families stay detected instead of dropped). Exports
+    * a `bpairs(doc_a, doc_b)` CTE (one row per linking band — downstream
+    * consumers COUNT or DISTINCT it). Expects a `sig` CTE in scope.
     */
   private val bandsSql =
     s"""bands0 AS (
             SELECT doc_id, i // ${Dedup.BandRows} AS band,
                    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
             FROM sig GROUP BY doc_id, i // ${Dedup.BandRows}),
+          bsizes AS (
+            SELECT band, band_key, COUNT(*) AS n, MIN(doc_id) AS rep
+            FROM bands0 GROUP BY band, band_key),
           bands AS (
             SELECT b.doc_id, b.band, b.band_key FROM bands0 b
-            JOIN (SELECT band, band_key FROM bands0
-                  GROUP BY band, band_key
-                  HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}) ok
-              ON ok.band = b.band AND ok.band_key = b.band_key)"""
+            JOIN bsizes s ON s.band = b.band AND s.band_key = b.band_key
+            WHERE s.n <= ${Dedup.DefaultMaxBucket}),
+          bpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT s.rep AS doc_a, b.doc_id AS doc_b
+            FROM bands0 b
+            JOIN bsizes s ON s.band = b.band AND s.band_key = b.band_key
+            WHERE s.n > ${Dedup.DefaultMaxBucket} AND b.doc_id <> s.rep)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_sig" -> ((s, dir) =>
@@ -159,29 +172,27 @@ object MlQueries {
     // Embedding-space DECONTAMINATION — the vector analogue of
     // doc_contamination: for each training vector, count the eval-set
     // vectors (vec_id < 10, stand-in for a benchmark) within cosine 0.3.
-    // Scale shape = bruteForceKnn's: the corpus is scanned, never
-    // shuffled; only the bounded eval set broadcasts; the typed cosine
-    // kernel scores pairs; output is integer counts (order-free).
+    // LSH-BLOCKED (round 5): both sides sketch with the same deterministic
+    // hyperplanes; candidates come from an equi-join on (table, bucket) +
+    // exact-cosine verify — corpus-linear for an eval suite of ANY size
+    // (the former crossJoin(broadcast(eval)) computed |corpus|·|eval|
+    // cosines — a scan-multiplier at real eval-suite sizes). The banding
+    // is part of the operator contract, oracle-mirrored like emb_neardup.
     "emb_decontaminate" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val unit = Similarity.unitVectors(emb)
-      val evalSet = unit.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("eval_id"), col("uv").as("ev"))
-      val train = unit.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("train_id"), col("uv").as("tv"))
-      val pairs = train.crossJoin(broadcast(evalSet))
-      val res = Similarity.cosinePairs(pairs, "train_id", "tv", "eval_id", "ev")
-        .filter(col("cos") >= 0.3)
-        .groupBy("train_id")
-        .agg(count(lit(1)).as("n_close_eval"), min(col("eval_id")).as("first_eval_id"))
-      graft.operators.Caching.materializeAndRelease(res, unit)
+      Similarity.decontaminateLsh(
+        emb.filter(col("vec_id") >= 10),
+        emb.filter(col("vec_id") < 10),
+        threshold = 0.3,
+        tables = 16, bits = 8) // pinned for oracle-hash stability
     }),
 
     // Approximate ANN: integer-exact LSH buckets (oracle-checked — the
     // sketch arithmetic is reproduced bit-for-bit in SQL; ranks within a
     // bucket compare by cosine, rank-stable across engines).
     "emb_lsh_ann" -> ((s, dir) =>
-      Similarity.lshKnn(tbl(s, dir, "embeddings"), k = 5)),
+      Similarity.lshKnn(tbl(s, dir, "embeddings"), k = 5,
+        bits = Similarity.NumPlanes)), // pinned for oracle-hash stability
 
     // Embedding near-dup pairs: multi-table LSH candidates + exact cosine
     // verify — near-linear (equi-join on (table, bucket)), no
@@ -191,7 +202,8 @@ object MlQueries {
     // is therefore part of the operator definition and oracle-mirrored
     // (exact nearDupPairs remains available for full-recall needs).
     "emb_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairsLsh(tbl(s, dir, "embeddings"), threshold = 0.3)),
+      Similarity.nearDupPairsLsh(tbl(s, dir, "embeddings"), threshold = 0.3,
+        tables = 16, bits = 8)), // pinned for oracle-hash stability
 
     // IVF ANN — the inverted-file index family (vs emb_lsh_ann's
     // hyperplane family): deterministic integer coarse quantizer
@@ -250,6 +262,18 @@ object MlQueries {
       Multimodal.decodeFeatures(media, "doc_id", "media")
     }),
 
+    // REAL audio metadata via JDK javax.sound.sampled: each doc's text
+    // bytes wrapped in a canonical PCM WAV container (rate/channels derive
+    // from doc_id — a fixture-in-query, like MultimodalSpec's rendered
+    // golden PNG), then parsed back by AudioSystem. The oracle recomputes
+    // rate/channels/frames/duration arithmetically, so a misparse anywhere
+    // in the container round-trip breaks the hash.
+    "mm_audio_meta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Multimodal.audioMeta(
+        Multimodal.docWav(docs, "doc_id", "text"), "doc_id", "media")
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val media = tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -286,20 +310,13 @@ object MlQueries {
     "minhash_lsh_pairs" ->
       s"""WITH sig AS ($sigSql),
           $bandsSql
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 COUNT(*) AS n_shared_bands
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
-          GROUP BY 1, 2""",
+          SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
+          FROM bpairs GROUP BY 1, 2""",
     "doc_dup_clusters" ->
       s"""WITH RECURSIVE sig AS ($sigSql),
           $bandsSql,
           pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id),
+            SELECT DISTINCT doc_a, doc_b FROM bpairs),
           edges AS (
             SELECT doc_a AS a, doc_b AS b FROM pairs
             UNION SELECT doc_b, doc_a FROM pairs),
@@ -314,10 +331,7 @@ object MlQueries {
       s"""WITH sig AS ($sigSql),
           $bandsSql,
           ed AS (
-            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id),
+            SELECT DISTINCT doc_a AS u, doc_b AS v FROM bpairs),
           tri AS (
             SELECT e1.u AS a, e1.v AS b, e2.v AS c
             FROM ed e1
@@ -332,10 +346,7 @@ object MlQueries {
       s"""WITH sig AS ($sigSql),
           $bandsSql,
           pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id)
+            SELECT DISTINCT doc_a, doc_b FROM bpairs)
           SELECT p.doc_a, p.doc_b,
                  CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_equal,
@@ -350,25 +361,52 @@ object MlQueries {
           seg0 AS (
             SELECT doc_id, simhash, g AS seg_i, (simhash >> (g*12)) % 4096 AS seg_v
             FROM sim, generate_series(0, 3) t(g)),
+          ssizes AS (
+            SELECT seg_i, seg_v, COUNT(*) AS n, MIN(doc_id) AS rep,
+                   arg_min(simhash, doc_id) AS rep_sim
+            FROM seg0 GROUP BY seg_i, seg_v),
           seg AS (
             SELECT s.doc_id, s.simhash, s.seg_i, s.seg_v FROM seg0 s
-            JOIN (SELECT seg_i, seg_v FROM seg0
-                  GROUP BY seg_i, seg_v
-                  HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}) ok
-              ON ok.seg_i = s.seg_i AND ok.seg_v = s.seg_v)
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 bit_count(xor(a.simhash, b.simhash)) AS hamming
-          FROM seg a JOIN seg b
-            ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v AND a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""",
+            JOIN ssizes z ON z.seg_i = s.seg_i AND z.seg_v = s.seg_v
+            WHERE z.n <= ${Dedup.DefaultMaxBucket}),
+          cp AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM seg a JOIN seg b
+              ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT z.rep, s.doc_id, z.rep_sim, s.simhash
+            FROM seg0 s JOIN ssizes z ON z.seg_i = s.seg_i AND z.seg_v = s.seg_v
+            WHERE z.n > ${Dedup.DefaultMaxBucket} AND s.doc_id <> z.rep)
+          SELECT DISTINCT doc_a, doc_b,
+                 bit_count(xor(sim_a, sim_b)) AS hamming
+          FROM cp
+          WHERE bit_count(xor(sim_a, sim_b)) <= 16""",
     "emb_decontaminate" ->
-      """SELECT e.vec_id AS train_id, COUNT(*) AS n_close_eval,
-                MIN(q.vec_id) AS first_eval_id
-         FROM embeddings e,
-              (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
-         WHERE e.vec_id >= 10
-           AND list_cosine_similarity(e.embedding, q.embedding) >= 0.3
-         GROUP BY 1""",
+      s"""WITH quant AS ($quantSql),
+          dots AS (
+            SELECT vec_id, t, p, SUM(q[d+1] * ${weightSql("t*8 + p")}) AS dotp
+            FROM quant, generate_series(0, 15) tt(t), generate_series(0, 7) tp(p),
+                 generate_series(0, 63) td(d)
+            WHERE d < len(q)
+            GROUP BY vec_id, t, p),
+          tb AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
+                     AS tbucket
+            FROM dots GROUP BY vec_id, t),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS train_id, c.vec_id AS eval_id
+            FROM tb a JOIN tb c ON a.t = c.t AND a.tbucket = c.tbucket
+            WHERE a.vec_id >= 10 AND c.vec_id < 10)
+          SELECT train_id, COUNT(*) AS n_close_eval,
+                 MIN(eval_id) AS first_eval_id
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = train_id
+          JOIN embeddings eb ON eb.vec_id = eval_id
+          WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3
+          GROUP BY 1""",
     "emb_knn" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -508,6 +546,16 @@ object MlQueries {
                   ELSE 0.0
                 END AS value
          FROM documents, (SELECT unnest([0,1,2,3]) AS dim) d""",
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+                CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+                CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+                CAST(octet_length(encode(text)) // (2 * (1 + doc_id % 2))
+                     AS BIGINT) AS frames,
+                CAST(((octet_length(encode(text)) // (2 * (1 + doc_id % 2)))
+                      * 1000000) // (8000 + (doc_id % 8) * 1000)
+                     AS BIGINT) AS duration_us
+         FROM documents""",
     "mm_frame_sample" ->
       """SELECT doc_id AS id,
                 CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64))

@@ -171,7 +171,14 @@ final class GunMicroBatchStream(
         val out = fs.create(tmp, true)
         try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+        if (!fs.rename(tmp, p)) {
+          // a lost journal narrows delivery from at-least-once back to the
+          // in-flight-loss class — keep running, but say so
+          System.err.println(
+            s"[gun-source] WAL rename failed for range $s-$e; " +
+              "a post-crash replay of this batch will be empty")
+          fs.delete(tmp, false)
+        }
       }
     }
 
@@ -180,17 +187,29 @@ final class GunMicroBatchStream(
       val p = new org.apache.hadoop.fs.Path(dir, s"$s-$e")
       if (!fs.exists(p)) None
       else {
-        try {
-          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-          val in = fs.open(p)
-          try in.readFully(0, bytes) finally in.close()
-          Some(WireCodec.splitFrame(
-            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).toArray)
-        } catch {
+        // Genuine IO failures (permissions, transient FS errors) PROPAGATE:
+        // swallowing them would silently replay the range as empty — data
+        // loss in exactly the path the WAL exists to protect. Spark retries
+        // the failed micro-batch, so a transient error self-heals.
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, bytes)
+        catch {
+          // shorter-than-status content = torn file; fall through to the
+          // parse guard below with what we have
+          case _: java.io.EOFException => ()
+        } finally in.close()
+        try Some(WireCodec.splitFrame(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).toArray)
+        catch {
           // torn/truncated journal (crash mid-write before the rename fix,
           // or a partial copy): same contract as an absent journal — the
           // range becomes an empty batch instead of wedging every restart
-          case scala.util.control.NonFatal(_) => None
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[gun-source] WAL journal $s-$e unparseable ($e); " +
+                "replaying the range as empty")
+            None
         }
       }
     }).flatten

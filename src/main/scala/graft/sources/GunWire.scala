@@ -180,38 +180,57 @@ object GunWire {
   def framesToCells(frames: DataFrame, frameCol: String): DataFrame =
     putToCells(parseEnvelope(explodeBatch(frames, frameCol), "msg_json"), "put_json")
 
+  /** Messages per published wire frame ([[publishStream]] paging unit):
+    * bounds both the frame size on the socket and the driver-side buffer.
+    */
+  val MaxFrameMessages = 512
+
   /** Streaming publish sink — the fan-out half of a wire-compat engine
     * (gun/gun.go:206-234 peer send; gun/scoped_put.go:139-151 put-message
     * shape): every micro-batch of updates is encoded into one put message
-    * per soul and sent as a single double-encoded batch frame. The
-    * per-key state machine upstream already collapsed each batch to net
-    * winners, so a frame carries each cell's final state once.
+    * per soul and sent as double-encoded batch frames of at most
+    * `maxFrameMessages` messages each. The per-key state machine upstream
+    * already collapsed each batch to net winners, so each cell's final
+    * state crosses the wire once.
     *
-    * The conn lives on the driver (control plane), so the encoded
-    * node-JSON rows are collected per batch — bounded by the batch's net
-    * update count, not the store. A multi-peer deployment would shard
-    * conns across `foreachPartition` sinks; same encoding.
+    * The conn lives on the driver (control plane), but the batch is PAGED
+    * to it, never collected whole: the encoded node-JSON rows stream
+    * through `toLocalIterator` (one partition resident at a time — a
+    * merged batch larger than driver memory cannot OOM the publish path)
+    * and flush to the socket every `maxFrameMessages` messages. Souls are
+    * globally ordered, so frame contents and boundaries are
+    * deterministic. Receivers treat each frame independently (the HAM
+    * merge is idempotent/commutative — the reference's own multi-frame
+    * delivery semantics), so the chunking is invisible to the protocol. A
+    * multi-peer deployment would shard conns across `foreachPartition`
+    * sinks; same encoding.
     */
   def publishStream(
       updates: org.apache.spark.sql.Dataset[graft.streaming.HamStream.Update],
-      conn: PeerConn): org.apache.spark.sql.streaming.StreamingQuery =
+      conn: PeerConn,
+      maxFrameMessages: Int = MaxFrameMessages): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[graft.streaming.HamStream.Update],
          _: Long) =>
-          val nodes = cellsToPutJson(batch.toDF())
-            .collect()
-            .map(r => (r.getString(0), r.getString(1)))
-            .sortBy(_._1)
-          if (nodes.nonEmpty) {
-            val messages = nodes.map { case (soul, nodeJson) =>
-              "{\"#\":" + graft.core.CanonicalJson.quote(graft.core.SoulGen()) +
-                ",\"put\":{" + graft.core.CanonicalJson.quote(soul) + ":" +
-                nodeJson + "}}"
+          val it = cellsToPutJson(batch.toDF())
+            .orderBy(col("soul"))
+            .toLocalIterator()
+          val buf = new scala.collection.mutable.ArrayBuffer[String](maxFrameMessages)
+          def flush(): Unit =
+            if (buf.nonEmpty) {
+              conn.send(WireCodec.joinFrame(buf.toIndexedSeq))
+              buf.clear()
             }
-            conn.send(WireCodec.joinFrame(messages.toIndexedSeq))
+          while (it.hasNext) {
+            val r = it.next()
+            buf += "{\"#\":" + graft.core.CanonicalJson.quote(graft.core.SoulGen()) +
+              ",\"put\":{" + graft.core.CanonicalJson.quote(r.getString(0)) + ":" +
+              r.getString(1) + "}}"
+            if (buf.length >= maxFrameMessages) flush()
           }
+          flush()
           ()
       }
       .start()

@@ -58,6 +58,41 @@ class MultimodalSpec extends SparkSuite {
     assert(metas(3L) == (None, None))
   }
 
+  test("audioMeta: golden WAV parses to exact rate/channels/frames/duration") {
+    // 6 frames of 16-bit stereo at 8000 Hz: 24 payload bytes + one odd
+    // trailing byte that must be truncated off (whole-frame contract)
+    val payload = Array.tabulate[Byte](25)(i => (i * 3).toByte)
+    val wav = Multimodal.wavBytes(8000, 2, payload)
+    val media = Seq((1L, wav, "audio/wav"),
+      (2L, "not audio at all".getBytes("UTF-8"), "audio/wav"),
+      (3L, wav, "text/plain")) // right bytes, wrong mime → not decoded
+      .toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"),
+        struct(col("payload").as("bytes"), col("mime").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"))
+          .as("media"))
+    val rows = Multimodal.audioMeta(media, "doc_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    // 24 bytes / (2 ch · 2 B) = 6 frames; 6 · 10⁶ / 8000 = 750 µs
+    assert(rows(1L) == ((Some(8000L), Some(2L), Some(6L), Some(750L))))
+    assert(rows(2L) == ((None, None, None, None)))
+    assert(rows(3L) == ((None, None, None, None)))
+  }
+
+  test("docWav round-trip: AudioSystem recovers the derived rate/channels") {
+    val docs = Seq((5L, "0123456789abcdef"), (6L, "xyz")).toDF("doc_id", "text")
+    val meta = Multimodal.audioMeta(
+      Multimodal.docWav(docs, "doc_id", "text"), "doc_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // id 5: rate 8000+5·1000=13000, 2 ch → 16/4=4 frames, 4·10⁶/13000=307 µs
+    assert(meta(5L) == ((13000L, 2L, 4L, 307L)))
+    // id 6: rate 8000+6·1000=14000, 1 ch → 3/2=1 frame, 10⁶/14000=71 µs
+    assert(meta(6L) == ((14000L, 1L, 1L, 71L)))
+  }
+
   test("decodeFeatures: non-image mimes take the byte-histogram fallback") {
     val payload = Array[Byte](0, 10, 70, 80, -128, -1) // bins 0,0,1,1,2,3
     val media = Seq((9L, payload)).toDF("doc_id", "payload")

@@ -200,6 +200,40 @@ class GunSourceSpec extends SparkSuite {
     } finally { q.stop(); ours.close(); theirs.close() }
   }
 
+  test("publish paging: a large batch crosses as bounded frames, in order") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.GunValue
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    val in = MemoryStream[GunCell]
+    // page size 64 ⇒ a 500-soul batch must cross as ≥ 8 frames; the driver
+    // never holds more than one partition + one 64-message buffer (the
+    // >driver-memory protection, asserted here via the paging behavior)
+    val q = GunWire.publishStream(
+      HamStream.updates(in.toDS(), timers = false), ours, maxFrameMessages = 64)
+    try {
+      val cells = (1 to 500).map(i =>
+        GunCell(f"s$i%04d", "f", GunValue.number(i.toLong), 1000))
+      in.addData(cells: _*)
+      q.processAllAvailable()
+      var frames = Vector.empty[String]
+      var f = theirs.receive(5000)
+      while (f.isDefined) { frames :+= f.get; f = theirs.receive(500) }
+      val perFrame = frames.map(fr => WireCodec.splitFrame(fr).length)
+      assert(perFrame.forall(_ <= 64), s"oversized frame: $perFrame")
+      assert(perFrame.sum == 500)
+      assert(frames.size >= 8)
+      val souls = frames.flatMap(fr => WireCodec.splitFrame(fr).flatMap { m =>
+        GunWire.decodePutFragment(WireCodec.decodeEnvelope(m).putJson.get)
+      }).map(_.soul)
+      assert(souls.toSet == cells.map(_.soul).toSet)
+      // deterministic: global soul order is preserved across frame breaks
+      assert(souls == souls.sorted)
+    } finally { q.stop(); ours.close(); theirs.close() }
+  }
+
   test("gun source: frames → cells → HAM update stream; DAM answered, not emitted") {
     val spark2 = spark
     import spark2.implicits._

@@ -308,7 +308,7 @@ class HamStreamSpec extends SparkSuite {
     assert(spark.read.parquet(dir).select("soul").as[String].collect().toSet == all)
   }
 
-  test("lsh candidate hot-bucket cap drops oversized buckets") {
+  test("lsh candidate hot-bucket cap rep-links oversized buckets") {
     import graft.operators.Dedup
     val spark2 = spark
     import spark2.implicits._
@@ -320,7 +320,10 @@ class HamStreamSpec extends SparkSuite {
     val capped = Dedup.minhashCandidates(sigs, maxBucket = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped == 4) // 3C2 + 1
-    assert(capped == Set((4L, 5L))) // hot bucket X dropped
+    // hot bucket X switches to representative linking: members pair with
+    // the bucket-min doc (1) instead of all-pairs — (2,3) is the only pair
+    // the cap sacrifices, and the family stays connected through 1
+    assert(capped == Set((1L, 2L), (1L, 3L), (4L, 5L)))
   }
 
   test("streaming end-to-end: MemoryStream → HAM updates → memory sink") {
