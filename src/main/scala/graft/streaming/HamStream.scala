@@ -232,9 +232,28 @@ object HamStream {
       .as[Update]
   }
 
+  /** Store bucket id for a cell: xxhash64 over (soul, field) — NOT the
+    * soul alone. Soul-only bucketing concentrated every cell of a viral
+    * soul (unbounded fields/subscribers on one hot node) into ONE bucket,
+    * making that bucket's rewrite O(soul size) on every batch that
+    * touches it; hashing the full cell key spreads a hot soul uniformly
+    * across buckets (HotSoulSpec measures the bound). The store's only
+    * read shapes — point reads ([[fetchFromStore]]) and the per-key HAM
+    * merge — are per (soul, field), so every one of them still prunes to
+    * exactly one bucket.
+    */
+  private[streaming] def bucketOf(
+      soul: org.apache.spark.sql.Column,
+      field: org.apache.spark.sql.Column,
+      numBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(soul, field), lit(numBuckets.toLong))
+  }
+
   /** Merged-store streaming sink (SURVEY §3.3 output (a)), incremental and
     * bucketed: the store directory is laid out as `bucket=N/` partitions
-    * (N = xxhash64(soul) mod numBuckets), and each micro-batch
+    * (N = xxhash64(soul, field) mod numBuckets — see [[bucketOf]] for why
+    * the full cell key), and each micro-batch
     *   1. computes the buckets its updates touch,
     *   2. reads ONLY those partitions back (partition pruning on the
     *      bucket column — per-batch I/O is proportional to touched
@@ -271,12 +290,12 @@ object HamStream {
   private[graft] def mergeBatchIntoStore(
       batch: Dataset[Update], batchId: Long,
       storePath: String, numBuckets: Int): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit}
     val spark = batch.sparkSession
     val newCells = batch.toDF()
       .select(col("soul"), col("field"), col("value"), col("state"),
         lit(true).as("valueExists"),
-        pmod(xxhash64(col("soul")), lit(numBuckets.toLong)).as("bucket"))
+        bucketOf(col("soul"), col("field"), numBuckets).as("bucket"))
       .localCheckpoint(true) // materialize once: reused for buckets + merge
     val touched = newCells.select("bucket").distinct()
       .collect().map(_.getLong(0)).sorted
@@ -298,8 +317,7 @@ object HamStream {
       val merged = graft.operators.HamMerge
         .mergeSnapshot(
           existing.drop("bucket").unionByName(newCells.drop("bucket")))
-        .withColumn("bucket",
-          pmod(xxhash64(col("soul")), lit(numBuckets.toLong)))
+        .withColumn("bucket", bucketOf(col("soul"), col("field"), numBuckets))
       val staging = new org.apache.hadoop.fs.Path(storePath, s".staging-$batchId")
       merged.write.mode("overwrite")
         .partitionBy("bucket").parquet(staging.toString)
@@ -372,12 +390,12 @@ object HamStream {
       soul: String,
       field: String,
       numBuckets: Int = 64): graft.core.FetchResult = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit}
     val storeDir = new org.apache.hadoop.fs.Path(storePath)
     recoverStore(storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration),
       storeDir) // one listStatus; heals a crash-interrupted swap before reading
     val bucket = spark.range(1)
-      .select(pmod(xxhash64(lit(soul)), lit(numBuckets.toLong)))
+      .select(bucketOf(lit(soul), lit(field), numBuckets))
       .head().getLong(0)
     val rows = spark.read.parquet(storePath)
       .filter(col("bucket") === bucket) // partition-pruned to one dir

@@ -156,10 +156,9 @@ class HamStreamSpec extends SparkSuite {
       val after = bucketFiles()
       val touchedBucket = {
         val b = spark.range(1).select(
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(
-              org.apache.spark.sql.functions.lit("soul1")),
-            org.apache.spark.sql.functions.lit(8L))).head().getLong(0)
+          HamStream.bucketOf(
+            org.apache.spark.sql.functions.lit("soul1"),
+            org.apache.spark.sql.functions.lit("f"), 8)).head().getLong(0)
         s"bucket=$b"
       }
       // untouched buckets: identical file listings AND timestamps (no rewrite)
@@ -192,9 +191,9 @@ class HamStreamSpec extends SparkSuite {
     val miss = HamStream.fetchFromStore(spark, dir, "rsoul7", "nope", numBuckets = 8)
     assert(!miss.valueExists)
     // the partition filter reaches the scan: exactly one bucket selected
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit}
     val b = spark.range(1)
-      .select(pmod(xxhash64(lit("rsoul7")), lit(8L))).head().getLong(0)
+      .select(HamStream.bucketOf(lit("rsoul7"), lit("f"), 8)).head().getLong(0)
     val plan = spark.read.parquet(dir).filter(col("bucket") === b)
       .queryExecution.executedPlan.toString
     assert(plan.contains(s"bucket = $b") || plan.contains(s"bucket#") ||

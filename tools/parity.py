@@ -30,7 +30,11 @@ def norm(rows):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # partial sf dirs (e.g. /tmp/sf1 carries only documents+embeddings)
+        # register what exists; queries over absent tables just error out
+        import os
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
