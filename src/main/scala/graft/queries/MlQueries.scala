@@ -405,14 +405,14 @@ object MlQueries {
           FROM cand
           JOIN embeddings ea ON ea.vec_id = train_id
           JOIN embeddings eb ON eb.vec_id = eval_id
-          WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3
           GROUP BY 1""",
     "emb_knn" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                   row_number() OVER (
                     PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
                              e.vec_id) AS rank
            FROM embeddings e,
                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
@@ -436,7 +436,7 @@ object MlQueries {
             SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (
                      PARTITION BY a.vec_id
-                     ORDER BY list_cosine_similarity(ea.embedding, ec.embedding) DESC,
+                     ORDER BY list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])) DESC,
                               c.vec_id) AS rank
             FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id <> a.vec_id
             JOIN embeddings ea ON ea.vec_id = a.vec_id
@@ -464,7 +464,7 @@ object MlQueries {
             SELECT p.query_id, a.vec_id AS neighbor_id,
                    row_number() OVER (
                      PARTITION BY p.query_id
-                     ORDER BY list_cosine_similarity(eq.embedding, en.embedding) DESC,
+                     ORDER BY list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])) DESC,
                               a.vec_id) AS rank
             FROM probes p
             JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
@@ -492,7 +492,7 @@ object MlQueries {
           SELECT vec_a, vec_b FROM cand
           JOIN embeddings ea ON ea.vec_id = vec_a
           JOIN embeddings eb ON eb.vec_id = vec_b
-          WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3""",
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3""",
     "emb_kmeans" ->
       s"""WITH quant AS ($quantSql),
           c0 AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < 8),

@@ -81,6 +81,27 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(3L) == ((None, None, None, None)))
   }
 
+  test("audioMeta: AIFF container (JDK-written) parses like WAV") {
+    // render golden AIFF bytes with the same AudioSystem that decodes them
+    // (the image specs' ImageIO pattern): 4 frames of 16-bit mono @ 11025
+    val data = Array.tabulate[Byte](8)(i => (i * 5).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(11025f, 16, 1, true, true)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 4)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val media = Seq((7L, out.toByteArray))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        Multimodal.asMedia(col("payload"), "audio/aiff").as("media"))
+    val rows = Multimodal.audioMeta(media, "doc_id", "media").collect()
+    val r = rows.head
+    // 4 frames at 11025 Hz mono: 4·10⁶/11025 = 362 µs
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((11025L, 1L, 4L, 362L)))
+  }
+
   test("docWav round-trip: AudioSystem recovers the derived rate/channels") {
     val docs = Seq((5L, "0123456789abcdef"), (6L, "xyz")).toDF("doc_id", "text")
     val meta = Multimodal.audioMeta(
