@@ -226,6 +226,79 @@ object TextQueries {
       graft.operators.Caching.materializeAndRelease(res, ex)
     }),
 
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    // the standard "remove repetitious documents" filters): fraction of
+    // word-2-grams occupied by the single most frequent 2-gram, plus the
+    // duplicate-token fraction. A spam page repeating one phrase scores
+    // near 1.0 on top_2gram_frac; healthy prose sits near 1/n. All counts
+    // integer, ratios integer-derived doubles — exact on both engines.
+    // Plan: one explode + two hash aggregations (the doc_top_terms shape).
+    "doc_repetition" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val ex = tbl(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("g"))
+      ex.groupBy("doc_id", "n_tokens", "n_uniq", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_tokens", "n_uniq")
+        .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_2gram_n"))
+        .select(col("doc_id"),
+          col("n_2grams"), col("top_2gram_n"),
+          (col("top_2gram_n").cast("double") / col("n_2grams"))
+            .as("top_2gram_frac"),
+          (lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"))
+            .as("dup_token_frac"))
+    }),
+
+    // Corpus-level boilerplate segments (the CCNet/RefinedWeb line-dedup
+    // signal): text units appearing verbatim in more than one document —
+    // cookie banners, navigation chrome, license footers. The unit is a
+    // fixed 12-token segment (the synthetic corpus carries no sentence
+    // punctuation, so deterministic segmentation stands in for line
+    // splits; a real deployment passes its own delimiter). Normalized
+    // segment → 60-bit hash → distinct per doc → corpus count. One
+    // shuffle on the 8-byte segment hash; at 100 TB this is the classic
+    // two-pass line-dedup's first pass (build the boilerplate list).
+    "doc_boilerplate" -> ((s, dir) => {
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 12)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0L), expr("(size(toks) - 1) div 12")),
+          k => concat_ws(" ", slice(col("toks"), (k * 12 + 1).cast("int"), lit(12)))))
+          .as("seg"))
+        .select(col("doc_id"), h(col("seg")).as("line_hash"))
+        .distinct()
+        .groupBy("line_hash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // Deterministic stratified sampling — the corpus-rebalancing step of
+    // a data mixture (downsample the over-represented stratum, keep the
+    // rest at a higher rate): salted md5 of the doc id → per-mille bucket,
+    // compared against a per-language keep rate (en 5%, others 20%).
+    // Pure map-side work, replay-stable (same salt convention as
+    // doc_split, different salt string so the two assignments are
+    // independent), exact integer arithmetic in both engines.
+    "doc_sample" -> ((s, dir) => {
+      val bucket = conv(substring(md5(
+        concat(lit("sample:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1000L
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", 50L).otherwise(200L))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // N-gram (word-3-gram) Jaccard near-dup pairs, blocked by source.
     // explode shingles → self-join on (source, shingle) → |∩| per pair;
     // |∪| = n1 + n2 − |∩|; keep pairs over threshold.
@@ -290,6 +363,44 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "doc_repetition" ->
+      s"""WITH ex AS (
+            SELECT doc_id,
+                   len($tokensSql) AS n_tokens,
+                   len(list_distinct($tokensSql)) AS n_uniq,
+                   unnest(list_transform(
+                     generate_series(1, len($tokensSql) - 1),
+                     i -> array_to_string(($tokensSql)[i:i+1], ' '))) AS g
+            FROM documents WHERE len($tokensSql) >= 2),
+          gc AS (
+            SELECT doc_id, n_tokens, n_uniq, g, COUNT(*) AS c
+            FROM ex GROUP BY 1, 2, 3, 4)
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_2grams,
+                 CAST(MAX(c) AS BIGINT) AS top_2gram_n,
+                 CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+                   AS top_2gram_frac,
+                 1 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_token_frac
+          FROM gc GROUP BY doc_id, n_tokens, n_uniq""",
+    "doc_boilerplate" ->
+      s"""WITH raw AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(0, (len($tokensSql) - 1) // 12),
+                     k -> array_to_string(
+                       ($tokensSql)[k*12+1 : k*12+12], ' '))) AS seg
+            FROM documents WHERE len($tokensSql) >= 12),
+          ln AS (
+            SELECT DISTINCT doc_id, ${strHashSql("seg")} AS line_hash
+            FROM raw)
+          SELECT line_hash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+          FROM ln GROUP BY 1 HAVING COUNT(*) > 1""",
+    "doc_sample" ->
+      s"""SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ${strHashSql("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000 AS b
+            FROM documents)
+          WHERE b < CASE WHEN lang = 'en' THEN 50 ELSE 200 END""",
     "doc_split" ->
       s"""SELECT doc_id,
                  CASE WHEN b < 90 THEN 'train'
