@@ -65,4 +65,23 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded.subsetOf(exact))
   }
+
+  test("autoLshBits holds per-bucket occupancy flat as the corpus grows") {
+    // the SCALE rule: n/2^bits stays in [target/2, target] once n is
+    // large enough to clear the NumPlanes floor
+    for (n <- Seq(10000L, 100000L, 10000000L, 10000000000L)) {
+      val b = Similarity.autoLshBits(n)
+      val occ = n.toDouble / (1L << b)
+      assert(occ <= Similarity.TargetBucketOccupancy, s"n=$n bits=$b occ=$occ")
+      assert(occ > Similarity.TargetBucketOccupancy / 2.0, s"n=$n bits=$b occ=$occ")
+    }
+    // floor: tiny corpora keep at least the single-table plane count
+    assert(Similarity.autoLshBits(10) == Similarity.NumPlanes)
+    // ceiling: absurd counts clamp at 48 bits (bucket fits a Long)
+    assert(Similarity.autoLshBits(Long.MaxValue) == 48)
+    // measured anchors (SCALE_r5.md): 2k->9, 20k->12, 60k->14
+    assert(Similarity.autoLshBits(2000) == 9)
+    assert(Similarity.autoLshBits(20000) == 12)
+    assert(Similarity.autoLshBits(60000) == 14)
+  }
 }
