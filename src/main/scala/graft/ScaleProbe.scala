@@ -44,16 +44,21 @@ object ScaleProbe {
     val sizes = graft.operators.Similarity
       .lshTablesFast(emb, tables, effBits)
       .groupBy("t", "tbucket").agg(count(lit(1)).as("b"))
+    // guard the empty-table case (global agg over zero rows yields null
+    // avg/sum); report BOTH occupancy readings — occ_avg averages only
+    // occupied buckets (skew signal), occ_load is n·tables/2^bits over
+    // the full bucket space (the exact quantity autoLshBits holds flat)
     val shape = sizes.agg(
       avg(col("b")).as("occ_avg"),
       (sum(col("b") * (col("b") - 1)) / 2).as("cand")).first()
-    val occ = shape.getDouble(0)
-    val cand = shape.getDouble(1)
+    val occ = if (shape.isNullAt(0)) 0.0 else shape.getDouble(0)
+    val cand = if (shape.isNullAt(1)) 0.0 else shape.getDouble(1)
+    val load = n.toDouble / (1L << effBits)
     val t0 = System.nanoTime()
     val pairs = graft.operators.Similarity
       .nearDupPairsLsh(emb, threshold, tables, effBits).count()
     val dt = (System.nanoTime() - t0) / 1e9
-    println(s"""{"probe":"neardup_lsh","sf":"$sfDir","n":$n,"tables":$tables,"bits":$effBits,"auto":${bits <= 0},"occ_avg":$occ,"cand":$cand,"pairs":$pairs,"sec":$dt}""")
+    println(s"""{"probe":"neardup_lsh","sf":"$sfDir","n":$n,"tables":$tables,"bits":$effBits,"auto":${bits <= 0},"occ_avg":$occ,"occ_load":$load,"cand":$cand,"pairs":$pairs,"sec":$dt}""")
     spark.stop()
   }
 }

@@ -264,6 +264,9 @@ object TextQueries {
     // segment → 60-bit hash → distinct per doc → corpus count. One
     // shuffle on the 8-byte segment hash; at 100 TB this is the classic
     // two-pass line-dedup's first pass (build the boilerplate list).
+    // Only FULL 12-token windows count: a trailing partial (down to one
+    // token) would let common short tails masquerade as cross-doc
+    // boilerplate and inflate n_docs.
     "doc_boilerplate" -> ((s, dir) => {
       val h = (c: org.apache.spark.sql.Column) =>
         conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -271,7 +274,7 @@ object TextQueries {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 12)
         .select(col("doc_id"), explode(transform(
-          sequence(lit(0L), expr("(size(toks) - 1) div 12")),
+          sequence(lit(0L), expr("(size(toks) div 12) - 1")),
           k => concat_ws(" ", slice(col("toks"), (k * 12 + 1).cast("int"), lit(12)))))
           .as("seg"))
         .select(col("doc_id"), h(col("seg")).as("line_hash"))
@@ -386,7 +389,7 @@ object TextQueries {
       s"""WITH raw AS (
             SELECT doc_id,
                    unnest(list_transform(
-                     generate_series(0, (len($tokensSql) - 1) // 12),
+                     generate_series(0, (len($tokensSql) // 12) - 1),
                      k -> array_to_string(
                        ($tokensSql)[k*12+1 : k*12+12], ' '))) AS seg
             FROM documents WHERE len($tokensSql) >= 12),

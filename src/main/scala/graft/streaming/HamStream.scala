@@ -214,14 +214,54 @@ object HamStream {
       soul: String,
       field: String,
       dedupeRetention: String = "7 hours"): Dataset[Update] = {
+    import org.apache.spark.sql.functions.col
+    // Column predicates, NOT a typed lambda: a Scala-closure filter would
+    // deserialize every store row and defeat Parquet predicate pushdown —
+    // at 100× store size the one-cell snapshot becomes a full scan. With
+    // col() the (soul, field) equality reaches the scan as PushedFilters.
+    val initial = store
+      .filter(col("soul") === soul && col("field") === field)
+      .limit(1).as[GunCell](Encoders.product[GunCell])
+      .collect()
+      .map(c => Update(c.soul, c.field, c.value, c.state))
+    seedAndSubscribe(initial.toIndexedSeq, updates, soul, field, dedupeRetention)
+  }
+
+  /** [[subscribeWithSnapshot]] against an on-disk bucketed store: the
+    * snapshot seed is a [[fetchFromStore]] point read — bucket computed up
+    * front and pushed as a partition filter, so the initial-value read
+    * touches exactly ONE `bucket=N/` directory regardless of store size
+    * (SnapshotPruningSpec asserts the single-directory bound).
+    */
+  def subscribeWithSnapshot(
+      storePath: String,
+      updates: Dataset[Update],
+      soul: String,
+      field: String,
+      dedupeRetention: String,
+      numBuckets: Int): Dataset[Update] = {
+    val res = fetchFromStore(updates.sparkSession, storePath, soul, field, numBuckets)
+    val initial = (res.value, res.state) match {
+      case (Some(v), Some(s)) => Seq(Update(soul, field, v, s))
+      case _                  => Seq.empty[Update]
+    }
+    seedAndSubscribe(initial, updates, soul, field, dedupeRetention)
+  }
+
+  /** Union a snapshot seed (≤1 row, via a one-shot MemoryStream) with the
+    * live subscription and apply the watermark-bounded per-subscription
+    * dedupe — the shared tail of both [[subscribeWithSnapshot]] forms.
+    */
+  private def seedAndSubscribe(
+      initial: Seq[Update],
+      updates: Dataset[Update],
+      soul: String,
+      field: String,
+      dedupeRetention: String): Dataset[Update] = {
     import org.apache.spark.sql.functions.{col, timestamp_millis}
     val spark = updates.sparkSession
     implicit val updEnc: Encoder[Update] = Encoders.product[Update]
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val initial = store
-      .filter(c => c.soul == soul && c.field == field)
-      .collect()
-      .map(c => Update(c.soul, c.field, c.value, c.state))
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Update]
     if (initial.nonEmpty) mem.addData(initial.toIndexedSeq)
     mem.toDS().unionByName(subscribe(updates, soul, field))
@@ -249,6 +289,61 @@ object HamStream {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     pmod(xxhash64(soul, field), lit(numBuckets.toLong))
   }
+
+  /** Store layout version, stamped as a `_layout` file in the store root.
+    * v2 = buckets keyed by xxhash64(soul, field). The round-5 change from
+    * soul-only bucketing silently mis-read older stores: point reads pruned
+    * to the NEW bucket and reported valueExists=false for cells parked in
+    * an old one, and merges left stale duplicate keys in untouched old
+    * buckets. Every store entry point now verifies the marker and fails
+    * fast on a store written under a different (or unmarked pre-v2)
+    * layout — corruption by silent mis-read is strictly worse than an
+    * explicit "re-bucket this store" error. (Underscore-prefixed files are
+    * invisible to parquet scans, like `_SUCCESS`.)
+    */
+  val LayoutVersion = "v2"
+
+  /** Verify the store's `_layout` marker, stamping it on stores that have
+    * no bucket data yet. Throws [[IllegalStateException]] on a mismatched
+    * or missing-but-populated marker. `stamp = false` (read paths) never
+    * writes — a read of a pre-v2 store must fail, not quietly re-label it.
+    */
+  private[streaming] def checkLayout(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: org.apache.hadoop.fs.Path,
+      stamp: Boolean): Unit = {
+    if (!fs.exists(storeDir)) return // first write stamps after the swap
+    val marker = new org.apache.hadoop.fs.Path(storeDir, "_layout")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (found != LayoutVersion) throw new IllegalStateException(
+        s"store at $storeDir has layout '$found' but this build reads " +
+          s"'$LayoutVersion' — re-bucket the store (read every bucket, " +
+          "rewrite through mergeBatchIntoStore against a fresh root) " +
+          "instead of letting point reads prune to the wrong bucket")
+    } else {
+      val hasBuckets = fs.listStatus(storeDir)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      if (hasBuckets) throw new IllegalStateException(
+        s"store at $storeDir has bucket data but no _layout marker: it " +
+          s"predates layout $LayoutVersion (xxhash64(soul, field) " +
+          "bucketing); reading it here would silently miss cells parked " +
+          "in soul-only buckets — re-bucket it first")
+      else if (stamp) writeLayoutMarker(fs, storeDir)
+    }
+  }
+
+  private def writeLayoutMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir, "_layout"))) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(storeDir, "_layout"), true)
+      try out.write(LayoutVersion.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
 
   /** Merged-store streaming sink (SURVEY §3.3 output (a)), incremental and
     * bucketed: the store directory is laid out as `bucket=N/` partitions
@@ -303,9 +398,13 @@ object HamStream {
       val hconf = spark.sparkContext.hadoopConfiguration
       val storeDir = new org.apache.hadoop.fs.Path(storePath)
       val fs = storeDir.getFileSystem(hconf)
+      checkLayout(fs, storeDir, stamp = true) // fail fast on a pre-v2 store
       recoverStore(fs, storeDir) // heal any interrupted prior swap first
+      // "empty" = no bucket data yet (the dir may already hold the marker)
+      val hasBuckets = fs.exists(storeDir) && fs.listStatus(storeDir)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       val existing =
-        if (!fs.exists(storeDir)) {
+        if (!hasBuckets) {
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), newCells.schema)
         } else {
@@ -326,6 +425,7 @@ object HamStream {
           new org.apache.hadoop.fs.Path(staging, s"bucket=$b"))
       }
       fs.delete(staging, true)
+      writeLayoutMarker(fs, storeDir) // idempotent: stamps the first write
     }
   }
 
@@ -390,18 +490,7 @@ object HamStream {
       soul: String,
       field: String,
       numBuckets: Int = 64): graft.core.FetchResult = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val storeDir = new org.apache.hadoop.fs.Path(storePath)
-    recoverStore(storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      storeDir) // one listStatus; heals a crash-interrupted swap before reading
-    val bucket = spark.range(1)
-      .select(bucketOf(lit(soul), lit(field), numBuckets))
-      .head().getLong(0)
-    val rows = spark.read.parquet(storePath)
-      .filter(col("bucket") === bucket) // partition-pruned to one dir
-      .filter(col("soul") === soul && col("field") === field)
-      .select("value.kind", "value.str", "value.num", "value.bool", "value.rel",
-        "state", "valueExists")
+    val rows = pointReadDf(spark, storePath, soul, field, numBuckets)
       .limit(1).collect()
     rows.headOption match {
       case None => graft.core.FetchResult(field, None, None, valueExists = false)
@@ -411,6 +500,32 @@ object HamStream {
           if (r.isNullAt(3)) None else Some(r.getBoolean(3)), Option(r.getString(4)))
         graft.core.FetchResult(field, Some(v), Some(r.getDouble(5)), r.getBoolean(6))
     }
+  }
+
+  /** The point read's scan, exposed un-collected so specs can execute it
+    * and assert the partition-pruning bound on the PRODUCTION plan (scan
+    * metrics `numPartitions`/`numFiles` after execution — see
+    * SnapshotPruningSpec) rather than on a replica of it.
+    */
+  private[graft] def pointReadDf(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      soul: String,
+      field: String,
+      numBuckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkLayout(fs, storeDir, stamp = false) // a pre-v2 store must error, not miss
+    recoverStore(fs, storeDir) // one listStatus; heals a crash-interrupted swap before reading
+    val bucket = spark.range(1)
+      .select(bucketOf(lit(soul), lit(field), numBuckets))
+      .head().getLong(0)
+    spark.read.parquet(storePath)
+      .filter(col("bucket") === bucket) // partition-pruned to one dir
+      .filter(col("soul") === soul && col("field") === field)
+      .select("value.kind", "value.str", "value.num", "value.bool", "value.rel",
+        "state", "valueExists")
   }
 
   /** TTL compaction of a bucketed store — the reference's periodic purge
@@ -431,6 +546,7 @@ object HamStream {
     val storeDir = new org.apache.hadoop.fs.Path(storePath)
     val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(storeDir)) return
+    checkLayout(fs, storeDir, stamp = false)
     recoverStore(fs, storeDir)
     val liveBuckets = fs.listStatus(storeDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
