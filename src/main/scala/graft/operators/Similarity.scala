@@ -154,14 +154,27 @@ object Similarity {
     */
   val TargetBucketOccupancy = 5
 
-  /** The SCALE_r4.md scale rule as code: bits ≈ log₂(n / occupancy), i.e.
-    * hold per-bucket occupancy — and therefore candidate-join work per
+  /** The SCALE_r4.md scale rule as code: bits = ceil(log₂(n / occupancy)),
+    * i.e. hold per-bucket occupancy — and therefore candidate-join work per
     * row — flat as the corpus grows. Clamped to [NumPlanes, 48] (48-bit
     * buckets are beyond any real corpus: 2^48 · 5 ≈ 1.4e15 vectors).
+    *
+    * INTEGER-EXACT on purpose: computed as bit-length(ceil(n/occ) - 1), the
+    * exact mathematical ceil(log₂(ceil(n/occ))) — which equals
+    * ceil(log₂(n/occ)) since no integer lies strictly between n/occ and the
+    * next power of two. A floating `log(n/occ)/log(2)` is 1 ulp away from
+    * flipping at exact powers of two (log(128)/log(2) = 7.000000000000001
+    * on this JVM → ceil = 8, not 7), which would make the auto-sized
+    * default impossible to mirror in an oracle; the integer form is
+    * reproduced exactly in SQL (`emb_neardup_auto`'s oracle derives bits
+    * from its own count(*)).
     */
   def autoLshBits(n: Long, targetOccupancy: Int = TargetBucketOccupancy): Int = {
-    val raw = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    // ceil-div without the (n + occ - 1) add — that form overflows Long
+    // at n near Long.MaxValue and would clamp the result to the FLOOR
+    val target = math.max(1L,
+      n / targetOccupancy + (if (n % targetOccupancy == 0) 0 else 1))
+    val raw = 64 - java.lang.Long.numberOfLeadingZeros(target - 1) // ceil(log2(target))
     math.min(48, math.max(NumPlanes, raw))
   }
 
@@ -616,6 +629,32 @@ object Similarity {
     val pairs = cand
       .join(unitT.select(col("vec_id").as("train_id"), col("uv").as("tv")), "train_id")
       .join(unitE.select(col("vec_id").as("eval_id"), col("uv").as("ev")), "eval_id")
+    val res = cosinePairs(pairs, "train_id", "tv", "eval_id", "ev")
+      .filter(col("cos") >= threshold)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_close_eval"), min(col("eval_id")).as("first_eval_id"))
+    Caching.materializeAndRelease(res, unitT, unitE)
+  }
+
+  /** Exact decontamination — the FINAL-PASS tool where false negatives are
+    * unacceptable: every (train, eval) pair is cosine-scored, so recall is
+    * 1.0 by construction at ANY threshold. The eval side broadcasts (an
+    * eval suite is a bounded benchmark, not a corpus), so the plan is one
+    * corpus scan × a broadcast loop — corpus-LINEAR, no shuffle; the cost
+    * relative to [[decontaminateLsh]] is |eval| cosines per train row
+    * instead of bucket-collision cosines. Use the LSH form as the bulk
+    * pre-pass (high recall in the true near-dup range, see MlQueries
+    * recall table) and this for the decision pass on what remains.
+    */
+  def decontaminateExact(
+      train: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double): DataFrame = {
+    val unitT = unitVectors(train)
+    val unitE = unitVectors(evalSet)
+    val pairs = unitT.select(col("vec_id").as("train_id"), col("uv").as("tv"))
+      .crossJoin(broadcast(
+        unitE.select(col("vec_id").as("eval_id"), col("uv").as("ev"))))
     val res = cosinePairs(pairs, "train_id", "tv", "eval_id", "ev")
       .filter(col("cos") >= threshold)
       .groupBy("train_id")

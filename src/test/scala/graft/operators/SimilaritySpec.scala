@@ -83,5 +83,10 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.autoLshBits(2000) == 9)
     assert(Similarity.autoLshBits(20000) == 12)
     assert(Similarity.autoLshBits(60000) == 14)
+    // exact power-of-two boundary: n/5 = 2^12 must give 12, not 13 — the
+    // case the integer bit-length form exists for (a floating
+    // log(4096)/log(2) is 1 ulp from 12.000...1 → ceil 13, which an SQL
+    // oracle could not mirror deterministically)
+    assert(Similarity.autoLshBits(20480) == 12)
   }
 }
