@@ -1,0 +1,261 @@
+package graft
+
+import graft.core.GunCell
+import graft.sources.{GunWire, InMemoryPeerConn, WireCodec}
+import graft.streaming.HamStream
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.LongAdder
+
+/** Streaming-path benchmark — the throughput numbers for the reference's
+  * actual domain (live ingest: gun/scoped_fetch.go:89-217, standing receive
+  * loop gun/gun.go:236-286), which the batch suite in [[Bench]] never
+  * touches.
+  *
+  * Three measurements, min-of-N passes each (fresh SparkSession per pass —
+  * same isolation rationale as Bench):
+  *
+  *   1. INGEST: generated put frames → InMemoryPeerConn → DSv2 `gun`
+  *      source (WAL on) → [[GunWire.framesToCells]] →
+  *      [[HamStream.updates]] (per-key CRDT state machine) →
+  *      [[HamStream.mergeBatchIntoStore]] (bucketed parquet store with the
+  *      trash-then-swap crash protocol). The feeder is CLOSED-LOOP: it
+  *      keeps one chunk of frames in flight and waits for the stream to
+  *      consume it before sending the next, so the measured rate is the
+  *      pipeline's processing capacity, not the feeder's, and the
+  *      micro-batch cadence is realistic (~chunk-sized batches) instead of
+  *      one giant catch-up batch. Reported: sustained cells/s, per-batch
+  *      latency p50/p95/max.
+  *   2. The same ingest with `option("wal", "false")` — isolates the
+  *      journal's cost (write-then-rename per planned batch).
+  *   3. PUBLISH: updates → [[GunWire.publishStream]] → peer conn, a
+  *      consumer thread draining the socket side. This measures the
+  *      single-writer driver bound (global soul order over
+  *      `toLocalIterator`, ≤512-message frames) that a multi-peer
+  *      deployment would have to shard.
+  *
+  * Workload: `souls × fields` unique (soul, field) keys, written once per
+  * wave with strictly increasing states (each write is a real HAM
+  * transition — nothing merges away, so cells-in = updates-out). States
+  * sit ~1 min in the past: inside the TTL window (no eviction mid-run) and
+  * not in the future (no deferral) — the pure happy-path cost. Defaults
+  * give 8000·8·2 = 128k cells, the sf0.1 `events` table's order of
+  * magnitude.
+  *
+  * Output: one JSON line (metric = best ingest cells/s) + a file
+  * (`SPARK_GRAFT_STREAM_FILE`, default STREAM_BENCH.json).
+  */
+object StreamBench {
+
+  final case class RunStats(
+      cells: Long,
+      elapsedSec: Double,
+      batches: Int,
+      batchMsP50: Long,
+      batchMsP95: Long,
+      batchMsMax: Long) {
+    def rate: Double = if (elapsedSec > 0) cells / elapsedSec else 0.0
+  }
+
+  private def pct(sorted: IndexedSeq[Long], p: Double): Long =
+    if (sorted.isEmpty) 0L
+    else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+
+  /** One put message: all `fields` of one soul at one state. */
+  private def putMsg(wave: Int, soul: String, fields: Int, state: Long): String = {
+    val states = (0 until fields).map(f => s""""f$f":$state""").mkString(",")
+    val vals = (0 until fields).map(f => s""""f$f":"v$wave-$f"""").mkString(",")
+    s"""{"#":"m$wave-$soul","put":{"$soul":{"_":{"#":"$soul",">":{$states}},$vals}}}"""
+  }
+
+  /** Progress listener: frames consumed (completion gate for the
+    * closed-loop feeder) + per-batch trigger latency for non-empty batches.
+    */
+  private final class Progress extends StreamingQueryListener {
+    val inputRows = new LongAdder
+    val batchMs = new ConcurrentLinkedQueue[(Long, Long)] // (rows, durMs)
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val n = e.progress.numInputRows
+      if (n > 0) {
+        inputRows.add(n)
+        batchMs.add(n -> e.progress.durationMs.getOrDefault("triggerExecution", 0L))
+      }
+    }
+  }
+
+  private def stats(cells: Long, elapsedSec: Double, p: Progress): RunStats = {
+    import scala.jdk.CollectionConverters._
+    val durs = p.batchMs.asScala.map(_._2).toIndexedSeq.sorted
+    RunStats(cells, elapsedSec, durs.length,
+      pct(durs, 0.50), pct(durs, 0.95), durs.lastOption.getOrElse(0L))
+  }
+
+  /** Full ingest pipeline at capacity; returns sustained-throughput stats.
+    * `chunkFrames` bounds the frames in flight (closed loop).
+    */
+  def runIngest(
+      spark: SparkSession,
+      souls: Int,
+      fields: Int,
+      waves: Int,
+      msgsPerFrame: Int,
+      chunkFrames: Int,
+      wal: Boolean): RunStats = {
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    val connName = s"stream-bench-$wal-${System.nanoTime()}"
+    InMemoryPeerConn.register(connName, ours)
+    val ckpt = Files.createTempDirectory("sb-ckpt").toString
+    val store = Files.createTempDirectory("sb-store").toString + "/store"
+    val progress = new Progress
+    spark.streams.addListener(progress)
+    try {
+      val frames = spark.readStream.format("gun")
+        .option("conn", connName).option("pid", "stream-bench")
+        .option("wal", wal.toString).load()
+      implicit val cellEnc = org.apache.spark.sql.Encoders.product[GunCell]
+      val cells = GunWire.framesToCells(frames, "frame").as[GunCell]
+      val updates = HamStream.updates(cells, timers = false)
+      val q = updates.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[HamStream.Update], id: Long) =>
+          HamStream.mergeBatchIntoStore(b, id, store, numBuckets = 64)
+        }
+        .start()
+      // states ~1 min in the past: inside TTL, not deferrable-future
+      val stateBase = System.currentTimeMillis() - 60000L
+      val soulIds = (0 until souls).map(i => f"s$i%05d")
+      var sent = 0L
+      val t0 = System.nanoTime()
+      try {
+        for (w <- 0 until waves) {
+          val msgs = soulIds.map(s => putMsg(w, s, fields, stateBase + w))
+          msgs.grouped(msgsPerFrame).grouped(chunkFrames).foreach { chunk =>
+            chunk.foreach(g => theirs.send(WireCodec.joinFrame(g)))
+            sent += chunk.map(_.size).sum
+            val deadline = System.currentTimeMillis() + 120000L
+            while (progress.inputRows.sum < sent &&
+                System.currentTimeMillis() < deadline) Thread.sleep(5)
+            require(progress.inputRows.sum >= sent,
+              s"ingest stalled at ${progress.inputRows.sum}/$sent frames")
+          }
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // correctness gate on the bench itself: every key landed in the store
+      val storeRows = spark.read.parquet(store).count()
+      require(storeRows == souls.toLong * fields,
+        s"store has $storeRows rows, expected ${souls.toLong * fields}")
+      stats(souls.toLong * fields * waves, elapsed, progress)
+    } finally {
+      spark.streams.removeListener(progress)
+      InMemoryPeerConn.unregister(connName)
+      ours.close(); theirs.close()
+    }
+  }
+
+  /** Publish path at capacity: updates fan out over one peer conn as
+    * bounded wire frames; a consumer thread drains the socket side (an
+    * unread LinkedBlockingQueue would otherwise just buffer — draining
+    * keeps the measurement honest about the full send path).
+    */
+  def runPublish(
+      spark: SparkSession,
+      souls: Int,
+      fields: Int,
+      waves: Int,
+      chunkSouls: Int): RunStats = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (ours, theirs) = InMemoryPeerConn.pair()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val cellEnc = org.apache.spark.sql.Encoders.product[GunCell]
+    val progress = new Progress
+    spark.streams.addListener(progress)
+    val in = MemoryStream[GunCell]
+    val q = GunWire.publishStream(HamStream.updates(in.toDS(), timers = false), ours)
+    val receivedMsgs = new LongAdder
+    @volatile var consuming = true
+    val consumer = new Thread(() => {
+      while (consuming) theirs.receive(50).foreach { f =>
+        receivedMsgs.add(WireCodec.splitFrame(f).length)
+      }
+    }, "stream-bench-consumer")
+    consumer.setDaemon(true)
+    consumer.start()
+    try {
+      val stateBase = System.currentTimeMillis() - 60000L
+      val soulIds = (0 until souls).map(i => f"p$i%05d")
+      val expectedMsgs = souls.toLong * waves // one put message per soul per wave
+      val t0 = System.nanoTime()
+      for (w <- 0 until waves; chunk <- soulIds.grouped(chunkSouls)) {
+        val cells = for (s <- chunk; f <- 0 until fields)
+          yield GunCell(s, s"f$f", graft.core.GunValue.string(s"v$w-$f"),
+            (stateBase + w).toDouble)
+        in.addData(cells)
+        q.processAllAvailable()
+      }
+      val deadline = System.currentTimeMillis() + 120000L
+      while (receivedMsgs.sum < expectedMsgs &&
+          System.currentTimeMillis() < deadline) Thread.sleep(5)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      require(receivedMsgs.sum == expectedMsgs,
+        s"received ${receivedMsgs.sum} messages, expected $expectedMsgs")
+      stats(souls.toLong * fields * waves, elapsed, progress)
+    } finally {
+      consuming = false
+      q.stop()
+      spark.streams.removeListener(progress)
+      ours.close(); theirs.close()
+    }
+  }
+
+  private def js(r: RunStats): String =
+    s"""{"cells":${r.cells},"elapsed_sec":${f"${r.elapsedSec}%.3f"},""" +
+      s""""cells_per_sec":${f"${r.rate}%.1f"},"batches":${r.batches},""" +
+      s""""batch_ms_p50":${r.batchMsP50},"batch_ms_p95":${r.batchMsP95},""" +
+      s""""batch_ms_max":${r.batchMsMax}}"""
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILE", "STREAM_BENCH.json")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_STREAM_PASSES", "2").toInt max 1
+    val souls = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOULS", "8000").toInt
+    val fields = sys.env.getOrElse("SPARK_GRAFT_STREAM_FIELDS", "8").toInt
+    val waves = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVES", "2").toInt
+    val msgsPerFrame = sys.env.getOrElse("SPARK_GRAFT_STREAM_MSGS_PER_FRAME", "50").toInt
+    val chunkFrames = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNK_FRAMES", "10").toInt
+
+    def pass[A](run: SparkSession => A): Seq[A] = (1 to passes).map { _ =>
+      val spark = Bench.newSession(cpus)
+      spark.sparkContext.setLogLevel("WARN")
+      try run(spark) finally spark.stop()
+    }
+
+    val ingest = pass(runIngest(_, souls, fields, waves, msgsPerFrame, chunkFrames,
+      wal = true)).maxBy(_.rate)
+    val ingestNoWal = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
+      chunkFrames, wal = false)).maxBy(_.rate)
+    val publish = pass(runPublish(_, souls, fields, waves,
+      chunkSouls = souls / 4 max 1)).maxBy(_.rate)
+
+    val walOverheadPct =
+      if (ingestNoWal.rate > 0)
+        (ingestNoWal.rate - ingest.rate) / ingestNoWal.rate * 100.0
+      else 0.0
+    val json =
+      s"""{"metric":"stream_ingest_cells_per_sec","value":${f"${ingest.rate}%.1f"},""" +
+        s""""unit":"cells/sec","souls":$souls,"fields":$fields,"waves":$waves,""" +
+        s""""msgs_per_frame":$msgsPerFrame,"chunk_frames":$chunkFrames,""" +
+        s""""passes":$passes,"ingest":${js(ingest)},""" +
+        s""""ingest_nowal":${js(ingestNoWal)},""" +
+        s""""wal_overhead_pct":${f"$walOverheadPct%.1f"},""" +
+        s""""publish":${js(publish)}}"""
+    println(json)
+    try Files.writeString(Paths.get(outFile), json)
+    catch { case e: Exception => System.err.println(s"[stream-bench] write failed: $e") }
+  }
+}

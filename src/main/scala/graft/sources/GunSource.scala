@@ -144,8 +144,13 @@ final class GunMicroBatchStream(
   // ---- micro-batch WAL: planned ranges journal to the checkpoint dir so
   // a post-restart replay re-delivers instead of dropping. Dot-free dir
   // name is fine — Spark never parquet-scans the checkpoint location.
+  // `option("wal", "false")` disables the journal, narrowing delivery to
+  // the reference's own class (ALL in-flight frames lost on a crash,
+  // gun/gun.go:236-259) — for pipelines that prefer ingest rate over
+  // replay, and for the WAL-overhead A/B in graft.StreamBench.
   private lazy val walDir: Option[org.apache.hadoop.fs.Path] =
-    checkpointLocation.map(c => new org.apache.hadoop.fs.Path(c, "gun-wal"))
+    if (Option(options.get("wal")).exists(_.equalsIgnoreCase("false"))) None
+    else checkpointLocation.map(c => new org.apache.hadoop.fs.Path(c, "gun-wal"))
   private lazy val walFs: Option[org.apache.hadoop.fs.FileSystem] =
     walDir.map(_.getFileSystem(
       // the session's hadoopConfiguration carries filesystem credentials

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Regression guard for the zero-cartesian invariant: every declared query
+  * plan must be free of CartesianProduct and BroadcastNestedLoopJoin nodes.
+  *
+  * Until round 5 this was audited manually (graft.Explain runs recorded in
+  * SCALE notes) — nothing stopped a future query from reintroducing an
+  * all-pairs join, the one plan shape that cannot survive a 100 TB corpus
+  * (it scales with |left|·|right| regardless of partitioning). This spec
+  * freezes the invariant: plans are built in LAZY composition mode
+  * (spark.graft.eagerRelease=false) so the inspected plan is the operator's
+  * real pipeline, not a localCheckpoint scan of its materialized result.
+  *
+  * The check is on the formatted explain string — the same surface the
+  * manual audits grepped, and the only one that sees inside
+  * AdaptiveSparkPlanExec (a LeafExecNode, invisible to a TreeNode.collect
+  * walk).
+  */
+class PlanHygieneSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val Forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+
+  /** Queries whose plan carries a BroadcastNestedLoopJoin ON PURPOSE: the
+    * broadcast side is bounded BY CONSTRUCTION (not by data luck), so the
+    * shape is corpus-LINEAR — one scan times a constant, not all-pairs:
+    *   - gun_ttl_purge: broadcast side is a 1-row global-max aggregate
+    *     (the scalar "now" the retention window subtracts from);
+    *   - emb_knn: the exact-kNN BASELINE — broadcast side is the fixed
+    *     ≤10-row query set (the scale path is emb_lsh_ann / emb_ivf_ann);
+    *   - emb_decontaminate_exact: the full-recall final-pass tool —
+    *     broadcast side is the eval suite, a bounded benchmark (the bulk
+    *     pre-pass is the LSH-blocked emb_decontaminate).
+    * Anything NOT in this list with a BNLJ — or ANY CartesianProduct —
+    * fails: both all-pairs shapes scale with |left|·|right| and cannot
+    * survive a 100 TB corpus.
+    */
+  private val BoundedBroadcastNlj =
+    Set("gun_ttl_purge", "emb_knn", "emb_decontaminate_exact")
+
+  test("no declared query plans a cartesian or unbounded nested-loop join") {
+    val prev = spark.conf.getOption(operators.Caching.EagerReleaseKey)
+    spark.conf.set(operators.Caching.EagerReleaseKey, "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, sfDir).queryExecution
+            .explainString(ExplainMode.fromString("formatted"))
+          // lazy mode leaves operator caches to the caller — release them
+          // so 60+ built plans don't accumulate cached blocks in the suite
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          Forbidden.filter(plan.contains)
+            .filterNot(_ == "BroadcastNestedLoopJoin" && BoundedBroadcastNlj(name))
+            .map(bad => s"$name: $bad")
+      }
+      assert(offenders.isEmpty,
+        s"forbidden join shapes in declared plans:\n  ${offenders.mkString("\n  ")}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(operators.Caching.EagerReleaseKey, v)
+        case None    => spark.conf.unset(operators.Caching.EagerReleaseKey)
+      }
+    }
+  }
+}
