@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   * and a pixel-luminance histogram. AUDIO METADATA is also real:
   * [[audioMeta]] parses WAV/AIFF containers with JDK-only
   * `javax.sound.sampled.AudioSystem` (sample rate, channels, frame count,
-  * duration). What stays STUBBED is audio CONTENT decode and video
-  * ([[decodeStub]]/[[frameSampleStub]]: the JDK ships no mp3/aac/video
-  * codecs) with deterministic fake features — the media schema, batched
-  * `mapPartitions` shape (the Scala analogue of `mapInPandas` batch
-  * processing) and partitioning contract are identical, so a real codec
-  * drops in by replacing one function.
+  * duration). MULTI-FRAME extraction is real for `image/gif`
+  * ([[frameSample]] via the JDK GIF reader's `getNumImages`/`read(i)`).
+  * What stays STUBBED is audio CONTENT decode and video frames
+  * ([[decodeStub]] / [[frameSample]]'s byte-offset branch: the JDK ships
+  * no mp3/aac/video codecs) with deterministic fakes — the media schema,
+  * batched `mapPartitions` shape (the Scala analogue of `mapInPandas`
+  * batch processing) and partitioning contract are identical, so a real
+  * codec drops in by replacing one function.
   */
 object Multimodal {
 
@@ -229,6 +231,139 @@ object Multimodal {
       .select(col("id").as(idCol), asMedia(col("wav"), "audio/wav").as("media"))
   }
 
+  /** Minimal animated-GIF encoder over the JDK's own `ImageIO` GIF writer
+    * (`prepareWriteSequence`/`writeToSequence` — multi-image GIF89a).
+    * Every frame is a uniform gray `g` over an EXPLICIT 256-gray
+    * `IndexColorModel`, so the indexed round trip is exact: pixel index g
+    * → palette entry (g, g, g) → decoded luminance g, no quantizer in the
+    * loop. Used by [[docGif]] and the golden-GIF spec.
+    */
+  def gifBytes(frameGrays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameGrays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        img.getRaster.setSamples(0, 0, w, h, 0, Array.fill(w * h)(g))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** REAL multi-frame GIF decode (the JDK's GIF reader exposes
+    * `getNumImages(true)` + `read(i)` — no external codec): one
+    * (width, height, mean pixel luminance) per frame; None when no reader
+    * accepts the payload. Mean luminance uses the integer per-pixel
+    * (r+g+b)/3 then averages in double — exact for uniform frames.
+    */
+  private[operators] def decodeGifFrames(
+      bytes: Array[Byte]): Option[IndexedSeq[(Int, Int, Double)]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          Some((0 until n).map { i =>
+            val img = reader.read(i)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            (w, h, sum.toDouble / math.max(1L, w.toLong * h))
+          })
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture-in-query animated GIF (the video-family analogue of
+    * [[docWav]]): each doc becomes an 8×8 GIF of `1 + id % 5` uniform-gray
+    * frames, gray `(id·31 + frame·7) % 256` — so [[frameSample]]'s REAL
+    * multi-frame decode path runs end-to-end while staying arithmetically
+    * oracle-checkable (the oracle recomputes frame count and per-frame
+    * luminance from the id; a corrupt encode, palette drift, or misparse
+    * anywhere breaks the hash).
+    */
+  def docGif(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("id"))
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = 1 + (id % 5).toInt
+        val grays = (0 until n).map(f => (((id * 31 + f * 7) % 256 + 256) % 256).toInt)
+        (id, gifBytes(grays, 8, 8))
+      }
+    }.toDF("id", "gif")
+      .select(col("id").as(idCol), asMedia(col("gif"), "image/gif").as("media"))
+  }
+
+  final case class FrameRow(id: Long, frame_offset: Long,
+    width: Option[Int], height: Option[Int], mean_lum: Option[Double])
+
+  /** Frame sampling with a REAL decode for the one moving-image container
+    * the JDK ships a codec for: `image/gif` payloads go through
+    * [[decodeGifFrames]] and emit every `frameStride`-th frame with its
+    * true width/height/mean-luminance. Video mimes (and any payload no
+    * reader accepts) keep the deterministic byte-offset STUB — every
+    * `byteStride`-th offset, decode columns null — because the JDK ships
+    * no video codecs; a real codec drops in by extending the decode
+    * branch. One unified schema so the dispatch is a column-level fact.
+    */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      frameStride: Int,
+      byteStride: Int): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.bytes").as("bytes"), col(s"$mediaCol.mime").as("mime"))
+    implicit val enc = Encoders.product[FrameRow]
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = r.getString(2)
+        val gif = if (mime == "image/gif") decodeGifFrames(bytes) else None
+        gif match {
+          case Some(frames) =>
+            (0 until frames.length by frameStride).map { i =>
+              val (w, h, lum) = frames(i)
+              FrameRow(id, i.toLong, Some(w), Some(h), Some(lum))
+            }
+          case None =>
+            // byte-offset stub, same shape as the former frameSampleStub:
+            // offsets 0..len-1 step byteStride; empty payload yields [0]
+            (0 until math.max(1, bytes.length) by byteStride)
+              .map(off => FrameRow(id, off.toLong, None, None, None))
+        }
+      }
+    }.toDF("id", "frame_offset", "width", "height", "mean_lum")
+  }
+
   /** STUB decode + feature extraction, batched per partition (the real
     * implementation would hand each batch to a codec library). The fake
     * "feature" is a deterministic 4-bin byte histogram density — keeps the
@@ -253,14 +388,4 @@ object Multimodal {
     }.toDF("id", "dim", "value")
   }
 
-  /** Deterministic frame sampling stub: pick every `stride`-th byte offset
-    * as a "frame" anchor — the real thing samples video frames; the
-    * partition/batch plumbing is identical.
-    */
-  def frameSampleStub(df: DataFrame, idCol: String, mediaCol: String, stride: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-        octet_length(col(s"$mediaCol.bytes")).as("len"))
-      .select(col("id"),
-        explode(sequence(lit(0), greatest(col("len") - 1, lit(0)), lit(stride)))
-          .as("frame_offset"))
 }

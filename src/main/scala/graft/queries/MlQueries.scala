@@ -311,11 +311,22 @@ object MlQueries {
         Multimodal.docWav(docs, "doc_id", "text"), "doc_id", "media")
     }),
 
+    // Frame sampling with the REAL multi-frame GIF decode on half the
+    // corpus: even doc_ids become fixture-in-query animated GIFs
+    // (1 + id % 5 uniform-gray 8×8 frames, gray (id·31 + f·7) % 256 —
+    // docGif, the video-family analogue of docWav) and every 2nd frame is
+    // extracted by the JDK GIF reader with true width/height/luminance;
+    // odd doc_ids stay the honest byte-offset stub for codec-less video
+    // mimes. The oracle recomputes both branches arithmetically, so a
+    // corrupt GIF encode, palette drift, or frame misparse breaks the hash.
     "mm_frame_sample" -> ((s, dir) => {
-      val media = tbl(s, dir, "documents")
+      val docs = tbl(s, dir, "documents")
+      val gifs = Multimodal.docGif(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      val vids = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"),
-          Multimodal.asMedia(col("text").cast("binary"), "text/plain").as("media"))
-      Multimodal.frameSampleStub(media, "doc_id", "media", stride = 64)
+          Multimodal.asMedia(col("text").cast("binary"), "video/mp4").as("media"))
+      Multimodal.frameSample(gifs.unionByName(vids), "doc_id", "media",
+        frameStride = 2, byteStride = 64)
     })
   )
 
@@ -636,10 +647,21 @@ object MlQueries {
                       * 1000000) // (8000 + (doc_id % 8) * 1000)
                      AS BIGINT) AS duration_us
          FROM documents""",
+    // even ids: real GIF frames — count 1 + id % 5, stride 2, 8×8, uniform
+    // gray (id·31 + f·7) % 256 (the exact docGif/decodeGifFrames round
+    // trip); odd ids: byte-offset stub with null decode columns
     "mm_frame_sample" ->
-      """SELECT doc_id AS id,
+      """SELECT doc_id AS id, CAST(f.i AS BIGINT) AS frame_offset,
+                CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+                CAST((doc_id * 31 + f.i * 7) % 256 AS DOUBLE) AS mean_lum
+         FROM documents CROSS JOIN generate_series(0, 4, 2) f(i)
+         WHERE doc_id % 2 = 0 AND f.i < 1 + doc_id % 5
+         UNION ALL
+         SELECT doc_id AS id,
                 CAST(unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64))
-                     AS BIGINT) AS frame_offset
-         FROM documents"""
+                     AS BIGINT) AS frame_offset,
+                CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+                CAST(NULL AS DOUBLE) AS mean_lum
+         FROM documents WHERE doc_id % 2 = 1"""
   )
 }

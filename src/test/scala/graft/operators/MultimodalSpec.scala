@@ -114,6 +114,40 @@ class MultimodalSpec extends SparkSuite {
     assert(meta(6L) == ((14000L, 1L, 1L, 71L)))
   }
 
+  test("golden animated GIF: every frame decodes to exact dims and luminance") {
+    // 3 uniform-gray frames rendered by the same JDK GIF writer that the
+    // reader decodes — the indexed 256-gray palette makes the round trip
+    // exact (no quantizer anywhere)
+    val gif = Multimodal.gifBytes(Seq(10, 200, 77), w = 8, h = 8)
+    val frames = Multimodal.decodeGifFrames(gif)
+    assert(frames.contains(IndexedSeq((8, 8, 10.0), (8, 8, 200.0), (8, 8, 77.0))))
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("frameSample: real frames for GIFs, byte-offset stub for video mimes") {
+    val media = Seq(
+      (1L, Multimodal.gifBytes(Seq(5, 6, 7, 8, 9), 8, 8), "image/gif"),
+      (2L, Array.fill[Byte](130)(0), "video/mp4"))
+      .toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"),
+        struct(col("payload").as("bytes"), col("mime").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"))
+          .as("media"))
+    val rows = Multimodal.frameSample(media, "doc_id", "media",
+        frameStride = 2, byteStride = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(rows == Set(
+      // GIF: frames 0, 2, 4 of 5, true dims + per-frame gray
+      (1L, 0L, Some(8), Some(8), Some(5.0)),
+      (1L, 2L, Some(8), Some(8), Some(7.0)),
+      (1L, 4L, Some(8), Some(8), Some(9.0)),
+      // video: offsets 0, 64, 128 of a 130-byte payload, decode cols null
+      (2L, 0L, None, None, None),
+      (2L, 64L, None, None, None),
+      (2L, 128L, None, None, None)))
+  }
+
   test("decodeFeatures: non-image mimes take the byte-histogram fallback") {
     val payload = Array[Byte](0, 10, 70, 80, -128, -1) // bins 0,0,1,1,2,3
     val media = Seq((9L, payload)).toDF("doc_id", "payload")
