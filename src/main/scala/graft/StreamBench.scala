@@ -97,6 +97,11 @@ object StreamBench {
   /** Full ingest pipeline at capacity; returns sustained-throughput stats.
     * `chunkFrames` bounds the frames in flight (closed loop).
     */
+  /** `storeSink = false` replaces the bucketed-store merge with a count
+    * sink — isolating the source + codec + CRDT state machine from the
+    * store's read-merge-rewrite, so the per-batch cost splits into named
+    * parts (the SCALE_r6 bottleneck attribution).
+    */
   def runIngest(
       spark: SparkSession,
       souls: Int,
@@ -104,7 +109,8 @@ object StreamBench {
       waves: Int,
       msgsPerFrame: Int,
       chunkFrames: Int,
-      wal: Boolean): RunStats = {
+      wal: Boolean,
+      storeSink: Boolean = true): RunStats = {
     val (ours, theirs) = InMemoryPeerConn.pair()
     val connName = s"stream-bench-$wal-${System.nanoTime()}"
     InMemoryPeerConn.register(connName, ours)
@@ -122,7 +128,8 @@ object StreamBench {
       val q = updates.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: Dataset[HamStream.Update], id: Long) =>
-          HamStream.mergeBatchIntoStore(b, id, store, numBuckets = 64)
+          if (storeSink) HamStream.mergeBatchIntoStore(b, id, store, numBuckets = 64)
+          else { b.count(); () }
         }
         .start()
       // states ~1 min in the past: inside TTL, not deferrable-future
@@ -146,10 +153,12 @@ object StreamBench {
         q.processAllAvailable()
       } finally q.stop()
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // correctness gate on the bench itself: every key landed in the store
-      val storeRows = spark.read.parquet(store).count()
-      require(storeRows == souls.toLong * fields,
-        s"store has $storeRows rows, expected ${souls.toLong * fields}")
+      if (storeSink) {
+        // correctness gate on the bench itself: every key landed in the store
+        val storeRows = spark.read.parquet(store).count()
+        require(storeRows == souls.toLong * fields,
+          s"store has $storeRows rows, expected ${souls.toLong * fields}")
+      }
       stats(souls.toLong * fields * waves, elapsed, progress)
     } finally {
       spark.streams.removeListener(progress)
@@ -239,6 +248,10 @@ object StreamBench {
       wal = true)).maxBy(_.rate)
     val ingestNoWal = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
       chunkFrames, wal = false)).maxBy(_.rate)
+    // no-store leg: source + codec + CRDT state machine only — the delta
+    // vs ingest_nowal attributes the per-batch cost to the store merge
+    val ingestNoStore = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
+      chunkFrames, wal = false, storeSink = false)).maxBy(_.rate)
     val publish = pass(runPublish(_, souls, fields, waves,
       chunkSouls = souls / 4 max 1)).maxBy(_.rate)
 
@@ -252,6 +265,7 @@ object StreamBench {
         s""""msgs_per_frame":$msgsPerFrame,"chunk_frames":$chunkFrames,""" +
         s""""passes":$passes,"ingest":${js(ingest)},""" +
         s""""ingest_nowal":${js(ingestNoWal)},""" +
+        s""""ingest_nostore":${js(ingestNoStore)},""" +
         s""""wal_overhead_pct":${f"$walOverheadPct%.1f"},""" +
         s""""publish":${js(publish)}}"""
     println(json)

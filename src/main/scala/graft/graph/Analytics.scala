@@ -111,6 +111,53 @@ object Analytics {
     materializeAndRelease(res, e, owns, g, pr)
   }
 
+  /** [[pageRank]] on the EXACT INTEGER LATTICE, for graphs where every
+    * vertex has out-degree ≤ 1 (forests like the relation graph — the
+    * 1/outdeg edge weight is identically 1). Ranks are carried as Long
+    * NUMERATORS over 20^k: n₀ = 1 and n_{k+1} = 3·20^k + 17·Σ_{u→v} n_k(u),
+    * so n_k / 20^k IS the double recurrence 0.15 + 0.85·Σ — except every
+    * step is integer arithmetic, immune to summation ORDER. This exists
+    * because the double form broke at scale+skew: at sf1 with a vertex
+    * holding 30% of 1.5M edges, Spark's and DuckDB's different summation
+    * orders accumulated enough fp error that round(rank·20⁵) flipped by 1
+    * on one vertex (SCALE_r6.md §2) — the lattice values (denominator
+    * 5⁵·2¹⁰) are not binary fractions, so double noise grows with
+    * magnitude while the round() margin stays fixed. Integer headroom:
+    * Σ n₅ ≤ 3.3·10⁶ × |V|, so Long overflows only past ~10¹² vertices.
+    * Returns (soul, rank_q) with rank_q = n_iters = round(rank·20^iters).
+    */
+  def pageRankLattice(spark: SparkSession, edges: DataFrame, iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (e, owns) = persistEdges(edges)
+    val g = fromEdges(e)
+    // contract check: one aggregateMessages pass — out-degree ≤ 1
+    val maxOut = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), _ + _)
+      .map(_._2).fold(0L)(math.max)
+    require(maxOut <= 1L,
+      s"pageRankLattice requires out-degree <= 1 (found $maxOut); " +
+        "use pageRank (double recurrence) for general graphs")
+    var pow = 1L // 20^k
+    var ranks: Graph[Long, String] = g.mapVertices((_, _) => 1L)
+    var prev: Graph[Long, String] = null
+    for (_ <- 0 until iters) {
+      val msgs = ranks.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
+      val next = ranks.outerJoinVertices(msgs)(
+        (_, _, m) => 3 * pow + 17 * m.getOrElse(0L)).cache()
+      next.vertices.count() // materialize before releasing the previous step
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = ranks
+      ranks = next
+      pow *= 20
+    }
+    val res = ranks.vertices.join(g.vertices.map(identity))
+      .map { case (_, (n, soul)) => (soul, n) }
+      .toDF("soul", "rank_q")
+    val out = materializeAndRelease(res, e, owns, g, ranks)
+    if (prev != null) prev.unpersist(blocking = false)
+    out
+  }
+
   /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
     * `run` canonicalizes: self-edges dropped, one edge per unordered
     * pair). Returns only vertices in ≥1 triangle (soul, n_triangles).

@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * (order→customer→nation→region). CC and BFS have exact SQL oracles
   * because this graph is a forest rooted at regions. PageRank is also
   * oracle-checked: every non-sink vertex here has out-degree exactly 1, so
-  * GraphX's (unnormalized) pagerank recurrence (rank = 0.15 + 0.85·Σ
-  * incoming, init 1.0) unrolls into plain SQL. Output quantization uses
-  * the recurrence's OWN exact lattice: 0.15 = 3/20 and 0.85 = 17/20, so
-  * after t iterations every achievable rank is an exact multiple of 20^-t
-  * — rank·20⁵ is a true integer, and round() of either engine's double
-  * (noise ≪ 0.5) recovers it identically. (A decimal grid like
-  * floor(rank·10⁴) would NOT work: achievable ranks are finite decimals
-  * that land exactly ON that grid's boundaries, and one did at sf0.01.)
+  * the (unnormalized) pagerank recurrence (rank = 0.15 + 0.85·Σ incoming,
+  * init 1.0) unrolls into plain SQL — and because 0.15 = 3/20 and
+  * 0.85 = 17/20, after t iterations every achievable rank is an exact
+  * multiple of 20^-t. Both engines now run the recurrence DIRECTLY on
+  * that lattice in Long/BIGINT numerators (Analytics.pageRankLattice):
+  * the earlier round(double·20⁵) recovery held while fp noise ≪ 0.5, but
+  * broke by exactly 1 at sf1 under a 30%-hot-vertex degree distribution
+  * (different summation orders across 450k incoming edges — SCALE_r6 §2);
+  * integer arithmetic is order-free at any scale.
   */
 object GraphQueries {
 
@@ -37,22 +38,26 @@ object GraphQueries {
       Analytics.reachable(s, rev, Set("region:2"))
     }),
 
-    // PageRank over the forward graph — GraphX, output in exact-lattice
-    // units of 20^-5 (see class doc for why this is oracle-exact).
+    // PageRank over the forward graph — the INTEGER-LATTICE recurrence
+    // (Analytics.pageRankLattice: Long numerators over 20^k), bit-exact at
+    // any scale and summation order. The double form's round(rank·20⁵)
+    // flipped by 1 at sf1 under the 30%-hot-vertex fixture (SCALE_r6 §2);
+    // same output values where the double form was within its margin, so
+    // sf0.01/sf0.1 hashes are unchanged.
     "graph_pagerank" -> ((s, dir) =>
-      Analytics.pageRank(s, edges(s, dir), iters = 5)
-        .select(col("soul"),
-          round(col("rank") * (20L * 20 * 20 * 20 * 20)).cast("long").as("rank_q")))
+      Analytics.pageRankLattice(s, edges(s, dir), iters = 5))
   )
 
-  /** One power-iteration step of the staticPageRank recurrence in SQL:
-    * rank = 0.15 + 0.85 · Σ_{u→v} prev(u) (every src has out-degree 1 in
-    * this graph, so the 1/outdeg edge weight is 1).
+  /** One power-iteration step of the lattice recurrence in SQL, all
+    * BIGINT: n_{k+1} = 3·20^k + 17 · Σ_{u→v} n_k(u) (every src has
+    * out-degree 1 in this graph, so the 1/outdeg edge weight is 1; n_k is
+    * rank·20^k exactly).
     */
-  private def prStep(prev: String): String =
-    s"""SELECT v.soul, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank
+  private def prStep(prev: String, powK: Long): String =
+    s"""SELECT v.soul,
+           CAST(3 * $powK + 17 * COALESCE(m.s, 0) AS BIGINT) AS n
         FROM verts v LEFT JOIN (
-          SELECT e.dst AS soul, SUM(p.rank) AS s
+          SELECT e.dst AS soul, CAST(SUM(p.n) AS BIGINT) AS s
           FROM pr_edges e JOIN $prev p ON p.soul = e.src
           GROUP BY e.dst) m USING (soul)"""
 
@@ -71,13 +76,13 @@ object GraphQueries {
             SELECT DISTINCT soul FROM (
               SELECT src AS soul FROM pr_edges
               UNION ALL SELECT dst FROM pr_edges)),
-          r0 AS (SELECT soul, CAST(1.0 AS DOUBLE) AS rank FROM verts),
-          r1 AS (${prStep("r0")}),
-          r2 AS (${prStep("r1")}),
-          r3 AS (${prStep("r2")}),
-          r4 AS (${prStep("r3")}),
-          r5 AS (${prStep("r4")})
-          SELECT soul, CAST(round(rank * 3200000) AS BIGINT) AS rank_q FROM r5""",
+          r0 AS (SELECT soul, CAST(1 AS BIGINT) AS n FROM verts),
+          r1 AS (${prStep("r0", 1L)}),
+          r2 AS (${prStep("r1", 20L)}),
+          r3 AS (${prStep("r2", 400L)}),
+          r4 AS (${prStep("r3", 8000L)}),
+          r5 AS (${prStep("r4", 160000L)})
+          SELECT soul, n AS rank_q FROM r5""",
     "graph_components" ->
       """WITH members AS (
            SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS soul,
