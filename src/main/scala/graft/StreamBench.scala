@@ -97,10 +97,11 @@ object StreamBench {
   /** Full ingest pipeline at capacity; returns sustained-throughput stats.
     * `chunkFrames` bounds the frames in flight (closed loop).
     */
-  /** `storeSink = false` replaces the bucketed-store merge with a count
-    * sink — isolating the source + codec + CRDT state machine from the
-    * store's read-merge-rewrite, so the per-batch cost splits into named
-    * parts (the SCALE_r6 bottleneck attribution).
+  /** `sink` selects the store leg: "rewrite" = [[HamStream.mergeBatchIntoStore]]
+    * (read-merge-rewrite of touched buckets), "delta" =
+    * [[HamStream.appendBatchIntoStore]] (LSM append, O(batch) I/O), "none" =
+    * count only — isolating the source + codec + CRDT state machine so the
+    * per-batch cost splits into named parts (SCALE_r6 attribution).
     */
   def runIngest(
       spark: SparkSession,
@@ -110,7 +111,7 @@ object StreamBench {
       msgsPerFrame: Int,
       chunkFrames: Int,
       wal: Boolean,
-      storeSink: Boolean = true): RunStats = {
+      sink: String = "rewrite"): RunStats = {
     val (ours, theirs) = InMemoryPeerConn.pair()
     val connName = s"stream-bench-$wal-${System.nanoTime()}"
     InMemoryPeerConn.register(connName, ours)
@@ -128,8 +129,11 @@ object StreamBench {
       val q = updates.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: Dataset[HamStream.Update], id: Long) =>
-          if (storeSink) HamStream.mergeBatchIntoStore(b, id, store, numBuckets = 64)
-          else { b.count(); () }
+          sink match {
+            case "rewrite" => HamStream.mergeBatchIntoStore(b, id, store, numBuckets = 64)
+            case "delta"   => HamStream.appendBatchIntoStore(b, id, store, numBuckets = 64)
+            case _         => b.count(); ()
+          }
         }
         .start()
       // states ~1 min in the past: inside TTL, not deferrable-future
@@ -153,11 +157,16 @@ object StreamBench {
         q.processAllAvailable()
       } finally q.stop()
       val elapsed = (System.nanoTime() - t0) / 1e9
-      if (storeSink) {
+      if (sink == "rewrite") {
         // correctness gate on the bench itself: every key landed in the store
         val storeRows = spark.read.parquet(store).count()
         require(storeRows == souls.toLong * fields,
           s"store has $storeRows rows, expected ${souls.toLong * fields}")
+      } else if (sink == "delta") {
+        // merged view collapses the appended generations to one per key
+        val mergedRows = HamStream.readStore(spark, store).count()
+        require(mergedRows == souls.toLong * fields,
+          s"merged delta store has $mergedRows rows, expected ${souls.toLong * fields}")
       }
       stats(souls.toLong * fields * waves, elapsed, progress)
     } finally {
@@ -248,10 +257,13 @@ object StreamBench {
       wal = true)).maxBy(_.rate)
     val ingestNoWal = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
       chunkFrames, wal = false)).maxBy(_.rate)
-    // no-store leg: source + codec + CRDT state machine only — the delta
+    // delta-store leg: LSM append instead of read-merge-rewrite
+    val ingestDelta = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
+      chunkFrames, wal = true, sink = "delta")).maxBy(_.rate)
+    // no-store leg: source + codec + CRDT state machine only — the gap
     // vs ingest_nowal attributes the per-batch cost to the store merge
     val ingestNoStore = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
-      chunkFrames, wal = false, storeSink = false)).maxBy(_.rate)
+      chunkFrames, wal = false, sink = "none")).maxBy(_.rate)
     val publish = pass(runPublish(_, souls, fields, waves,
       chunkSouls = souls / 4 max 1)).maxBy(_.rate)
 
@@ -265,6 +277,7 @@ object StreamBench {
         s""""msgs_per_frame":$msgsPerFrame,"chunk_frames":$chunkFrames,""" +
         s""""passes":$passes,"ingest":${js(ingest)},""" +
         s""""ingest_nowal":${js(ingestNoWal)},""" +
+        s""""ingest_delta":${js(ingestDelta)},""" +
         s""""ingest_nostore":${js(ingestNoStore)},""" +
         s""""wal_overhead_pct":${f"$walOverheadPct%.1f"},""" +
         s""""publish":${js(publish)}}"""

@@ -25,15 +25,20 @@ object HamMerge {
   private def hamOrderKey =
     struct(col("state"), GunFunctions.canonicalJsonBuiltin(col("value")))
 
-  /** Collapse a cell set to its HAM winners, one row per (soul, field). */
-  def mergeSnapshot(cells: DataFrame): DataFrame =
+  /** Collapse a cell set to its HAM winners, one row per (soul, field).
+    * `passThrough` names extra columns functionally determined by the key
+    * (e.g. the store's `bucket` partition column) — they join the group-by
+    * and survive into the output unchanged.
+    */
+  def mergeSnapshot(cells: DataFrame, passThrough: Seq[String] = Nil): DataFrame =
     cells
-      .groupBy(col("soul"), col("field"))
+      .groupBy((Seq("soul", "field") ++ passThrough).map(col): _*)
       .agg(
         max_by(struct(col("value"), col("state"), col("valueExists")), hamOrderKey)
           .as("w"))
-      .select(col("soul"), col("field"), col("w.value").as("value"),
-        col("w.state").as("state"), col("w.valueExists").as("valueExists"))
+      .select((Seq(col("soul"), col("field"), col("w.value").as("value"),
+        col("w.state").as("state"), col("w.valueExists").as("valueExists")) ++
+        passThrough.map(col)): _*)
 
   /** Merge an incoming batch of cells into an existing store snapshot with
     * the reference's deferral rule (gun/storage.go:100-117):

@@ -366,6 +366,13 @@ object HamStream {
     * Missing-store detection is an explicit FileSystem existence check;
     * any OTHER read error (permissions, corruption) propagates — it must
     * fail the batch, not silently restart from an empty store.
+    *
+    * Write amplification: per-batch I/O is O(touched-bucket DATA) — the
+    * right shape when batches concentrate on few buckets, but a batch
+    * whose keys spread across all buckets rewrites the whole store
+    * (StreamBench measures it). For high-rate ingest prefer
+    * [[appendIntoStore]] (LSM delta append, O(batch) I/O) with
+    * [[compactStore]] on a cadence.
     */
   def mergeIntoStore(
       updates: Dataset[Update],
@@ -427,6 +434,88 @@ object HamStream {
       fs.delete(staging, true)
       writeLayoutMarker(fs, storeDir) // idempotent: stamps the first write
     }
+  }
+
+  /** DELTA-mode streaming sink — the LSM answer to [[mergeIntoStore]]'s
+    * write amplification. The rewrite sink's per-batch cost is
+    * O(touched-bucket DATA): a batch whose keys spread across all buckets
+    * re-reads and re-writes the whole store (StreamBench measured exactly
+    * that — per-batch cost flat in batch size, dominated by the bucket
+    * rewrite). This sink appends each micro-batch as immutable
+    * `delta-b<batchId>-*.parquet` files inside the bucket directories it
+    * touches — per-batch I/O is O(batch), full stop.
+    *
+    * The read contract changes with it: a delta store may hold SEVERAL
+    * rows per (soul, field) — every reader collapses to the HAM winner
+    * ([[pointReadDf]] does, and bulk readers go through [[readStore]]),
+    * which is exactly the CRDT's own merge, so reads are correct at any
+    * compaction lag. [[compactStore]] folds deltas back to one row per
+    * key (merge-then-TTL). Crash safety: files land via write-to-staging
+    * then one rename each; a crash mid-move leaves some buckets with the
+    * delta and some without, and the WAL's at-least-once replay re-appends
+    * the batch — duplicate cells are HAM-idempotent, so the store stays
+    * correct (just uncompacted). At-least-once + idempotent merge is the
+    * same contract the reference's peers rely on.
+    */
+  def appendIntoStore(
+      updates: Dataset[Update],
+      storePath: String,
+      numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Update], batchId: Long) =>
+        appendBatchIntoStore(batch, batchId, storePath, numBuckets)
+      }
+      .start()
+
+  /** One micro-batch of [[appendIntoStore]] (exposed for specs/sinks). */
+  private[graft] def appendBatchIntoStore(
+      batch: Dataset[Update], batchId: Long,
+      storePath: String, numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = batch.sparkSession
+    val newCells = batch.toDF()
+      .select(col("soul"), col("field"), col("value"), col("state"),
+        lit(true).as("valueExists"),
+        bucketOf(col("soul"), col("field"), numBuckets).as("bucket"))
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkLayout(fs, storeDir, stamp = true)
+    recoverStore(fs, storeDir)
+    val staging = new org.apache.hadoop.fs.Path(storePath, s".staging-delta-$batchId")
+    newCells.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .foreach { bdir =>
+        val live = new org.apache.hadoop.fs.Path(storeDir, bdir.getPath.getName)
+        if (!fs.exists(live)) fs.mkdirs(live)
+        fs.listStatus(bdir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, i) =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(live, s"delta-b$batchId-$i.parquet"))
+          }
+      }
+    fs.delete(staging, true)
+    writeLayoutMarker(fs, storeDir)
+  }
+
+  /** Bulk read of a store as its MERGED view — one HAM winner per
+    * (soul, field) regardless of sink mode (a rewrite store is already
+    * collapsed; a delta store collapses here). The merge is one hash
+    * aggregation over the scan — partition pruning and filter pushdown
+    * still apply to predicates a caller adds BEFORE calling (prefer
+    * [[fetchFromStore]] for point reads: it prunes to one bucket first).
+    */
+  def readStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String): org.apache.spark.sql.DataFrame = {
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkLayout(fs, storeDir, stamp = false)
+    recoverStore(fs, storeDir)
+    graft.operators.HamMerge.mergeSnapshot(
+      spark.read.parquet(storePath).drop("bucket"))
   }
 
   /** Swap a staged bucket directory into the live tree with a RECOVERABLE
@@ -521,9 +610,14 @@ object HamStream {
     val bucket = spark.range(1)
       .select(bucketOf(lit(soul), lit(field), numBuckets))
       .head().getLong(0)
-    spark.read.parquet(storePath)
+    val pruned = spark.read.parquet(storePath)
       .filter(col("bucket") === bucket) // partition-pruned to one dir
       .filter(col("soul") === soul && col("field") === field)
+      .drop("bucket")
+    // a DELTA store ([[appendIntoStore]]) holds one row per append for the
+    // key — collapse to the HAM winner; on a rewrite store this aggregates
+    // the single matching row (same plan shape, the scan still prunes)
+    graft.operators.HamMerge.mergeSnapshot(pruned)
       .select("value.kind", "value.str", "value.num", "value.bool", "value.rel",
         "state", "valueExists")
   }
@@ -552,7 +646,16 @@ object HamStream {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(_.getPath.getName)
     if (liveBuckets.isEmpty) return
-    val kept = spark.read.parquet(storePath)
+    // merge-then-TTL: collapse delta rows to their HAM winner FIRST, then
+    // drop expired winners — an expired winner must not resurrect a
+    // stale-but-in-window loser (reference purge drops the cell outright,
+    // gun/storage.go:56-75). On a rewrite store the merge is a no-op
+    // pass-through (already one row per key). This doubles as the delta
+    // store's compaction: the rewrite restores one row per (soul, field).
+    // `bucket` is functionally determined by the key, so it passes through
+    // the merge as a group key — no numBuckets needed here.
+    val kept = graft.operators.HamMerge
+      .mergeSnapshot(spark.read.parquet(storePath), passThrough = Seq("bucket"))
       .filter(col("state") >= lit(nowMs - ttlMs))
     val staging = new org.apache.hadoop.fs.Path(storePath, ".compact-staging")
     kept.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)

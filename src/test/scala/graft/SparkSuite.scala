@@ -22,3 +22,20 @@ object SparkSuite {
     s
   }
 }
+
+object PlanScans {
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  /** All parquet scans in an EXECUTED plan, descending into AQE wrappers —
+    * both AdaptiveSparkPlanExec and materialized QueryStageExec are leaf
+    * nodes to TreeNode.collect, so a plain `plan.collect` misses any scan
+    * below a shuffle once AQE has staged it.
+    */
+  def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec    => Seq(s)
+    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+    case q: QueryStageExec        => fileScans(q.plan)
+    case other                    => other.children.flatMap(fileScans)
+  }
+}

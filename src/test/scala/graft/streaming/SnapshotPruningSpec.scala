@@ -33,11 +33,10 @@ class SnapshotPruningSpec extends SparkSuite {
     val df = HamStream.pointReadDf(spark, dir, "soul7", "f", NumBuckets)
     val rows = df.collect() // execute first: scan metrics fill on run
     assert(rows.length == 1 && rows.head.getString(0) == "number")
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val scans = plan.collect { case s: FileSourceScanExec => s }
+    // fileScans descends into AQE query stages — the point read now
+    // carries the HAM-collapse aggregation (delta-store support), which
+    // puts the scan below a staged shuffle
+    val scans = graft.PlanScans.fileScans(df.queryExecution.executedPlan)
     assert(scans.nonEmpty, "expected a parquet scan in the point-read plan")
     val partitionsRead = scans.map(s =>
       s.metrics.get("numPartitions").map(_.value).getOrElse(-1L))
