@@ -554,6 +554,41 @@ object Similarity {
     out
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method): k-means clustering IS the
+    * blocking. Near-duplicate pairs are scored only WITHIN a cluster, so
+    * candidate work is Σ|cluster|² ≈ n²/k instead of n² — k trades recall
+    * at cluster boundaries for cost. At 100 TB the assignment is a
+    * map-side pass against the k×dims centroid index ([[kmeansAssign]])
+    * and the within-cluster self-join is an equi-join on the cluster id
+    * (shuffle-partitioned — no all-pairs node, PlanHygieneSpec-clean).
+    *
+    * Dedup rule (deterministic): a vector is a duplicate iff some
+    * LOWER-id vector in its cluster has cosine ≥ `threshold` — the
+    * paper's keep-one-representative policy with vec_id order as the
+    * tiebreak. Returns (vec_id, is_dup: 0/1) for EVERY input vector
+    * (0/1 over boolean keeps the cross-engine compare representation-
+    * free).
+    */
+  def semanticDedup(
+      vectors: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assign = kmeansAssign(vectors, k, iters)
+    val unit = unitVectors(vectors)
+    val both = assign.join(unit, "vec_id")
+    val a = both.select(col("cluster"), col("vec_id").as("id_a"), col("uv").as("va"))
+    val b = both.select(col("cluster").as("cluster_b"),
+      col("vec_id").as("id_b"), col("uv").as("vb"))
+    val cand = a.join(b,
+      col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+    val dropped = cosinePairs(cand, "id_a", "va", "id_b", "vb")
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
+      .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+    Caching.materializeAndRelease(res, unit, assign)
+  }
+
   /** Exact near-duplicate pairs over a similarity threshold — the O(n²)
     * reference answer, kept for verification/unit tests only. The declared
     * query uses [[nearDupPairsLsh]], the scale path.

@@ -260,6 +260,14 @@ object MlQueries {
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kmeansAssign(tbl(s, dir, "embeddings"), k = 8, iters = 1)),
 
+    // SemDeDup (cluster-blocked semantic dedup): k-means is the blocking,
+    // near-dup cosine scored only within a cluster, keep the lowest id.
+    // One flag per vector; the oracle reruns the identical integer-exact
+    // assignment (shared CTE chain with emb_kmeans) + double cosines.
+    "emb_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(tbl(s, dir, "embeddings"),
+        k = 8, iters = 1, threshold = 0.4)),
+
     // Per-label centroid SUMS over integer-quantized embeddings — the
     // aggregation step of class-centroid workflows (k-means init,
     // classifier prototypes, cluster quality). Summing the exact
@@ -338,6 +346,44 @@ object MlQueries {
     s"""SELECT vec_id, list_transform(embedding,
           v -> CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS q
         FROM embeddings"""
+
+  /** The one-update k-means assignment as a reusable CTE chain (init =
+    * first k ids, one integer-exact Lloyd update, final assignment `a1`)
+    * — shared verbatim by the `emb_kmeans` oracle and the SemDeDup
+    * blocking so both check the SAME clustering.
+    */
+  private lazy val kmeansA1Ctes =
+    s"""quant AS ($quantSql),
+          c0 AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < 8),
+          d0 AS (
+            SELECT v.vec_id, c.cid,
+                   SUM((v.q[d+1] - c.cq[d+1]) * (v.q[d+1] - c.cq[d+1])) AS dist
+            FROM quant v, c0 c, generate_series(0, 63) t(d)
+            WHERE d < len(v.q)
+            GROUP BY 1, 2),
+          a0 AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d0) WHERE rn = 1),
+          c1 AS (
+            SELECT a0.cid, d AS dim,
+                   CAST(floor(CAST(SUM(v.q[d+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+            FROM quant v JOIN a0 ON a0.vec_id = v.vec_id,
+                 generate_series(0, 63) t(d)
+            WHERE d < len(v.q)
+            GROUP BY 1, 2),
+          d1 AS (
+            SELECT v.vec_id, c.cid,
+                   SUM((v.q[CAST(c.dim AS INTEGER)+1] - c.cd)
+                     * (v.q[CAST(c.dim AS INTEGER)+1] - c.cd)) AS dist
+            FROM quant v JOIN c1 c ON c.dim < len(v.q)
+            GROUP BY 1, 2),
+          a1 AS (
+            SELECT vec_id, cid AS cluster FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d1) WHERE rn = 1)"""
 
   /** [[quantSql]] keyed by label instead of vec_id (centroid aggregation). */
   private val quantSql2 =
@@ -585,36 +631,22 @@ object MlQueries {
           JOIN embeddings eb ON eb.vec_id = vec_b
           WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3""",
     "emb_kmeans" ->
-      s"""WITH quant AS ($quantSql),
-          c0 AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < 8),
-          d0 AS (
-            SELECT v.vec_id, c.cid,
-                   SUM((v.q[d+1] - c.cq[d+1]) * (v.q[d+1] - c.cq[d+1])) AS dist
-            FROM quant v, c0 c, generate_series(0, 63) t(d)
-            WHERE d < len(v.q)
-            GROUP BY 1, 2),
-          a0 AS (
-            SELECT vec_id, cid FROM (
-              SELECT vec_id, cid,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-              FROM d0) WHERE rn = 1),
-          c1 AS (
-            SELECT a0.cid, d AS dim,
-                   CAST(floor(CAST(SUM(v.q[d+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
-            FROM quant v JOIN a0 ON a0.vec_id = v.vec_id,
-                 generate_series(0, 63) t(d)
-            WHERE d < len(v.q)
-            GROUP BY 1, 2),
-          d1 AS (
-            SELECT v.vec_id, c.cid,
-                   SUM((v.q[CAST(c.dim AS INTEGER)+1] - c.cd)
-                     * (v.q[CAST(c.dim AS INTEGER)+1] - c.cd)) AS dist
-            FROM quant v JOIN c1 c ON c.dim < len(v.q)
-            GROUP BY 1, 2)
-          SELECT vec_id, cid AS cluster FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-            FROM d1) WHERE rn = 1""",
+      s"""WITH $kmeansA1Ctes
+          SELECT vec_id, cluster FROM a1""",
+    "emb_semantic_dedup" ->
+      s"""WITH $kmeansA1Ctes,
+          dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM a1 a JOIN a1 b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4)
+          SELECT e.vec_id,
+                 CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_dup
+          FROM embeddings e LEFT JOIN dropped d USING (vec_id)""",
     "emb_label_centroid" ->
       s"""SELECT CAST(label AS BIGINT) AS label, d AS dim,
                  CAST(SUM(q[CAST(d AS INTEGER)+1]) AS BIGINT) AS q_sum,

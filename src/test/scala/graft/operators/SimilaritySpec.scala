@@ -66,6 +66,25 @@ class SimilaritySpec extends SparkSuite {
     assert(banded.subsetOf(exact))
   }
 
+  test("semanticDedup flags exactly the higher-id member of a near-dup pair") {
+    // 30 base vectors + two exact copies of vectors 3 and 17 at ids 100/101:
+    // a copy lands in its original's cluster (distance 0 to the same
+    // centroid) and must be flagged; every base vector must survive.
+    // Modulus 101 > 30 keeps the base vectors pairwise DISTINCT (the
+    // shared `vecs` fixture's % 13 makes ids i and i+13 identical — true
+    // duplicates, which is exactly what this test must not seed).
+    val base = (0L until 30L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 37 + d * 11) % 101) - 50).toFloat / 51f))
+    }
+    val dupped = base ++ Seq(100L -> base(3)._2, 101L -> base(17)._2)
+    val df = dupped.toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(df, k = 4, iters = 1, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.size == 32)
+    assert(res(100L) == 1L && res(101L) == 1L)
+    assert(res.filter(_._2 == 1L).keySet == Set(100L, 101L))
+  }
+
   test("autoLshBits holds per-bucket occupancy flat as the corpus grows") {
     // the SCALE rule: n/2^bits stays in [target/2, target] once n is
     // large enough to clear the NumPlanes floor
