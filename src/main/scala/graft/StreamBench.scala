@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.GunCell
-import graft.sources.{GunWire, InMemoryPeerConn, WireCodec}
+import graft.sources.{GunWebSocketServer, GunWire, InMemoryPeerConn, PeerConn, WebSocketPeerConn, WireCodec}
 import graft.streaming.HamStream
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQueryListener
@@ -102,6 +102,9 @@ object StreamBench {
     * [[HamStream.appendBatchIntoStore]] (LSM append, O(batch) I/O), "none" =
     * count only — isolating the source + codec + CRDT state machine so the
     * per-batch cost splits into named parts (SCALE_r6 attribution).
+    * `transport` = "mem" (in-process conn) or "ws" — a REAL RFC 6455
+    * loopback socket ([[GunWebSocketServer]] accept + JDK client dial), so
+    * one leg prices the full wire path the reference actually runs.
     */
   def runIngest(
       spark: SparkSession,
@@ -111,8 +114,22 @@ object StreamBench {
       msgsPerFrame: Int,
       chunkFrames: Int,
       wal: Boolean,
-      sink: String = "rewrite"): RunStats = {
-    val (ours, theirs) = InMemoryPeerConn.pair()
+      sink: String = "rewrite",
+      transport: String = "mem"): RunStats = {
+    val transportSetup: (PeerConn, PeerConn, () => Unit) =
+      transport match {
+        case "ws" =>
+          val peers = new java.util.concurrent.LinkedBlockingQueue[PeerConn]()
+          val server = new GunWebSocketServer(0, peers.put(_), sendDamOnConnect = false)
+          val client = WebSocketPeerConn.dial(s"ws://127.0.0.1:${server.boundPort}/gun")
+          val accepted = peers.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+          require(accepted != null, "websocket accept timed out")
+          (accepted, client, () => { client.close(); server.close() })
+        case _ =>
+          val (a, b) = InMemoryPeerConn.pair()
+          (a, b, () => { a.close(); b.close() })
+      }
+    val (ours, theirs, closeTransport) = transportSetup
     val connName = s"stream-bench-$wal-${System.nanoTime()}"
     InMemoryPeerConn.register(connName, ours)
     val ckpt = Files.createTempDirectory("sb-ckpt").toString
@@ -172,7 +189,7 @@ object StreamBench {
     } finally {
       spark.streams.removeListener(progress)
       InMemoryPeerConn.unregister(connName)
-      ours.close(); theirs.close()
+      closeTransport()
     }
   }
 
@@ -260,6 +277,10 @@ object StreamBench {
     // delta-store leg: LSM append instead of read-merge-rewrite
     val ingestDelta = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
       chunkFrames, wal = true, sink = "delta")).maxBy(_.rate)
+    // real-socket leg: same pipeline over an RFC 6455 loopback websocket
+    // (server accept + JDK client), delta sink — prices the wire path
+    val ingestWs = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
+      chunkFrames, wal = true, sink = "delta", transport = "ws")).maxBy(_.rate)
     // no-store leg: source + codec + CRDT state machine only — the gap
     // vs ingest_nowal attributes the per-batch cost to the store merge
     val ingestNoStore = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
@@ -278,6 +299,7 @@ object StreamBench {
         s""""passes":$passes,"ingest":${js(ingest)},""" +
         s""""ingest_nowal":${js(ingestNoWal)},""" +
         s""""ingest_delta":${js(ingestDelta)},""" +
+        s""""ingest_ws_delta":${js(ingestWs)},""" +
         s""""ingest_nostore":${js(ingestNoStore)},""" +
         s""""wal_overhead_pct":${f"$walOverheadPct%.1f"},""" +
         s""""publish":${js(publish)}}"""
