@@ -45,7 +45,10 @@ class CachingSpec extends SparkSuite {
     // the heaviest persisting pipelines: shingle self-join, signature
     // reuse across three consumers, LSH buckets + unit vectors, tf/df
     // double-read of an exploded token table
-    for (name <- Seq("doc_ngram_jaccard", "minhash_est", "emb_lsh_ann", "doc_top_terms")) {
+    // (emb_semantic_dedup joins kmeans assignment + unit vectors — two
+    // operator-persisted intermediates that must both be released)
+    for (name <- Seq("doc_ngram_jaccard", "minhash_est", "emb_lsh_ann",
+        "doc_top_terms", "emb_semantic_dedup")) {
       assert(runQuery(name) > 0, s"$name returned no rows")
       awaitNoPersistentRdds(name)
     }
