@@ -364,6 +364,125 @@ object Multimodal {
     }.toDF("id", "frame_offset", "width", "height", "mean_lum")
   }
 
+  final case class ResizeRow(id: Long, orig_w: Int, orig_h: Int,
+    new_w: Int, new_h: Int, lum_sum: Long, n_px: Long)
+
+  /** REAL image resize: ImageIO decode → aspect-preserving fit into a
+    * `box`×`box` bounding box → re-encode to PNG. The resample kernel is
+    * a FULLY-SPECIFIED integer nearest-neighbor — dst(x,y) =
+    * src(x·w ÷ dw, y·h ÷ dh), floor division — rather than AWT's
+    * interpolator, because the kernel's output must be engine-independent
+    * arithmetic (AffineTransformOp's sample positions are implementation
+    * detail; floor-NN is three integer ops an SQL oracle reproduces
+    * exactly). Geometry: scale = box/max(w,h) applied as integer floor
+    * division with a ≥1 clamp — new_w = max(1, w·box ÷ max(w,h)).
+    *
+    * Returns (id, orig_w, orig_h, new_w, new_h, lum_sum, n_px): the
+    * resized dims plus the SUM of per-pixel integer luminance
+    * ((r+g+b)÷3) over the resized image — exact integers end-to-end, so
+    * a declared query over a derived fixture is hash-checkable while the
+    * engine really decodes, really resamples, and really re-encodes (the
+    * resized PNG is produced and re-decoded to read the reported dims —
+    * a corrupt encode breaks the row). Non-image payloads yield a null
+    * row (dims −1 convention avoided: nulls match the audio/image meta
+    * operators).
+    */
+  def resizeFit(df: DataFrame, idCol: String, mediaCol: String, box: Int): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.bytes").as("bytes"), col(s"$mediaCol.mime").as("mime"))
+    implicit val enc = Encoders.product[ResizeRow]
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = r.getString(2)
+        val img =
+          if (mime != null && mime.startsWith("image/"))
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        img.map { src =>
+          val w = src.getWidth
+          val h = src.getHeight
+          val m = math.max(w, h)
+          val dw = math.max(1, w * box / m)
+          val dh = math.max(1, h * box / m)
+          val dst = new java.awt.image.BufferedImage(dw, dh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw) {
+              dst.setRGB(x, y, src.getRGB(x * w / dw, y * h / dh))
+              x += 1
+            }
+            y += 1
+          }
+          // real re-encode + re-decode: the reported dims come from the
+          // produced PNG, not the in-memory buffer
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(out.toByteArray))
+          var lum = 0L
+          y = 0
+          while (y < back.getHeight) {
+            var x = 0
+            while (x < back.getWidth) {
+              val rgb = back.getRGB(x, y)
+              lum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          ResizeRow(id, w, h, back.getWidth, back.getHeight,
+            lum, back.getWidth.toLong * back.getHeight)
+        }
+      }
+    }.toDF("id", "orig_w", "orig_h", "new_w", "new_h", "lum_sum", "n_px")
+  }
+
+  /** Fixture-in-query two-tone PNG (the resize analogue of [[docGif]]):
+    * each doc becomes a (8 + id%16) × (8 + id%8) image whose LEFT half
+    * (x·2 < w) is gray `(id·13) % 256` and right half `(id·29) % 256`,
+    * PNG-encoded by the same ImageIO that decodes it. Two tones make the
+    * resize CONTENT check real: the oracle recomputes the resized
+    * luminance sum from the nearest-neighbor sample positions, so a
+    * kernel that sampled wrong positions (or a codec that shifted
+    * pixels) breaks the hash.
+    */
+  def docPng(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("id"))
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 16).toInt
+        val h = 8 + (id % 8).toInt
+        val ga = (((id * 13) % 256 + 256) % 256).toInt
+        val gb = (((id * 29) % 256 + 256) % 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = if (x * 2 < w) ga else gb
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF("id", "png")
+      .select(col("id").as(idCol), asMedia(col("png"), "image/png").as("media"))
+  }
+
   /** STUB decode + feature extraction, batched per partition (the real
     * implementation would hand each batch to a codec library). The fake
     * "feature" is a deterministic 4-bin byte histogram density — keeps the

@@ -319,6 +319,17 @@ object MlQueries {
         Multimodal.docWav(docs, "doc_id", "text"), "doc_id", "media")
     }),
 
+    // REAL image resize under oracle check: two-tone PNG fixture per doc
+    // (docPng), ImageIO decode -> integer nearest-neighbor fit into an
+    // 8x8 box -> PNG re-encode -> re-decode; the oracle recomputes dims
+    // AND the resized luminance sum from the NN sample positions, so a
+    // wrong-position sample, a codec pixel shift, or a broken re-encode
+    // all break the hash.
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeFit(
+        Multimodal.docPng(tbl(s, dir, "documents"), "doc_id"),
+        "doc_id", "media", box = 8)),
+
     // Frame sampling with the REAL multi-frame GIF decode on half the
     // corpus: even doc_ids become fixture-in-query animated GIFs
     // (1 + id % 5 uniform-gray 8×8 frames, gray (id·31 + f·7) % 256 —
@@ -679,6 +690,25 @@ object MlQueries {
                       * 1000000) // (8000 + (doc_id % 8) * 1000)
                      AS BIGINT) AS duration_us
          FROM documents""",
+    // resize geometry + NN content sum, all integer arithmetic (docPng
+    // fixture: w=8+id%16, h=8+id%8, left half ga=(id·13)%256, right gb)
+    "mm_resize" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+                  (doc_id * 13) % 256 AS ga, (doc_id * 29) % 256 AS gb,
+                  GREATEST(1, (8 + doc_id % 16) * 8 // GREATEST(8 + doc_id % 16, 8 + doc_id % 8)) AS dw,
+                  GREATEST(1, (8 + doc_id % 8) * 8 // GREATEST(8 + doc_id % 16, 8 + doc_id % 8)) AS dh
+           FROM documents)
+         SELECT doc_id AS id, CAST(w AS INTEGER) AS orig_w,
+                CAST(h AS INTEGER) AS orig_h,
+                CAST(dw AS INTEGER) AS new_w, CAST(dh AS INTEGER) AS new_h,
+                CAST(dh * SUM(CASE WHEN (x.i * w // dw) * 2 < w
+                              THEN ga ELSE gb END) AS BIGINT) AS lum_sum,
+                CAST(dw * dh AS BIGINT) AS n_px
+         FROM dims CROSS JOIN generate_series(0, 7) x(i)
+         WHERE x.i < dw
+         GROUP BY doc_id, w, h, dw, dh, ga, gb""",
     // even ids: real GIF frames — count 1 + id % 5, stride 2, 8×8, uniform
     // gray (id·31 + f·7) % 256 (the exact docGif/decodeGifFrames round
     // trip); odd ids: byte-offset stub with null decode columns

@@ -148,6 +148,44 @@ class MultimodalSpec extends SparkSuite {
       (2L, 128L, None, None, None)))
   }
 
+  test("resizeFit: golden two-tone PNG resizes to exact NN geometry and sum") {
+    // 4×2 image, left half gray 40, right half 200; fit into a 2×2 box:
+    // m=4 → dw=2, dh=1; NN samples src x = 0·4÷2=0 (left), 1·4÷2=2
+    // (right) → lum_sum = 40 + 200, n_px = 2
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val g = if (x * 2 < 4) 40 else 200
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq((5L, out.toByteArray, "image/png"),
+      (6L, "not an image".getBytes("UTF-8"), "video/mp4"))
+      .toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"),
+        struct(col("payload").as("bytes"), col("mime").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"))
+          .as("media"))
+    val rows = Multimodal.resizeFit(media, "doc_id", "media", box = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6)))
+    // non-image rows are dropped (no decode, no resize)
+    assert(rows.toSeq == Seq((5L, 4, 2, 2, 1, 240L, 2L)))
+  }
+
+  test("docPng round-trip: resizeFit geometry matches the id arithmetic") {
+    val docs = Seq((3L, "x"), (12L, "y")).toDF("doc_id", "text")
+    val rows = Multimodal.resizeFit(
+        Multimodal.docPng(docs, "doc_id"), "doc_id", "media", box = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    // id 3: w=11, h=11 → m=11 → dw=dh=8
+    assert(rows(3L) == ((11, 11, 8, 8)))
+    // id 12: w=20, h=12 → m=20 → dw=8, dh=12·8÷20=4
+    assert(rows(12L) == ((20, 12, 8, 4)))
+  }
+
   test("decodeFeatures: non-image mimes take the byte-histogram fallback") {
     val payload = Array[Byte](0, 10, 70, 80, -128, -1) // bins 0,0,1,1,2,3
     val media = Seq((9L, payload)).toDF("doc_id", "payload")
