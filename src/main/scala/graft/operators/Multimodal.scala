@@ -383,9 +383,9 @@ object Multimodal {
     * a declared query over a derived fixture is hash-checkable while the
     * engine really decodes, really resamples, and really re-encodes (the
     * resized PNG is produced and re-decoded to read the reported dims —
-    * a corrupt encode breaks the row). Non-image payloads yield a null
-    * row (dims −1 convention avoided: nulls match the audio/image meta
-    * operators).
+    * a corrupt encode breaks the row). Non-image payloads and
+    * undecodable images are DROPPED (a resize has no meaningful output
+    * row for them; callers wanting per-row presence join back on id).
     */
   def resizeFit(df: DataFrame, idCol: String, mediaCol: String, box: Int): DataFrame = {
     val spark = df.sparkSession
