@@ -483,7 +483,12 @@ object HamStream {
     checkLayout(fs, storeDir, stamp = true)
     recoverStore(fs, storeDir)
     val staging = new org.apache.hadoop.fs.Path(storePath, s".staging-delta-$batchId")
-    newCells.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    // hash-repartition on the bucket column first: each bucket's rows land
+    // in exactly one task, so a batch adds ONE delta file per touched
+    // bucket (not files-per-task×bucket) — 4-8× slower file-count growth
+    // between compactions for one small-batch shuffle
+    newCells.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
     fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .foreach { bdir =>

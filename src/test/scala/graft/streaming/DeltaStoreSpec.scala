@@ -32,6 +32,16 @@ class DeltaStoreSpec extends SparkSuite {
     // raw store carries both generations of s1/f (append-only)...
     assert(spark.read.parquet(dir)
       .filter($"soul" === "s1" && $"field" === "f").count() == 2)
+    // ...as ONE delta file per touched bucket per batch (the repartition
+    // bound on file-count growth between compactions)
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("bucket="))
+      .foreach { b =>
+        val perBatch = b.listFiles().filter(_.getName.endsWith(".parquet"))
+          .groupBy(_.getName.split("-")(1))
+        perBatch.foreach { case (batch, files) =>
+          assert(files.length == 1, s"${b.getName} batch $batch: ${files.length} files")
+        }
+      }
     // ...but the point read returns the winner
     val r = HamStream.fetchFromStore(spark, dir, "s1", "f", NumBuckets)
     assert(r.value.contains(GunValue.string("new")) && r.state.contains(2000.0))
