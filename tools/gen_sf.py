@@ -66,6 +66,9 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+ADJ = ["large", "hot", "small", "cold", "bright", "dark", "smooth", "rough"]
+NOUN = ["ring", "bolt", "cog", "plate", "tube", "wheel", "pin", "lever"]
+PTYPES = ["LARGE", "ECONOMY", "STANDARD", "SMALL", "MEDIUM", "PROMO"]
 
 
 def gen_relational(sf, rnd, out, hot_share=0.30):
@@ -135,7 +138,57 @@ def gen_relational(sf, rnd, out, hot_share=0.30):
         "props": pa.array(
             ['{"k": %d}' % rnd.randrange(100) for _ in range(n_ev)]),
     }), f"{out}/events.parquet")
-    print(f"wrote {n_cust} customers, {n_ord} orders, {n_ev} events to {out}")
+    # part/supplier/lineitem draw AFTER events so the round-6 recorded
+    # fixtures (customer/orders/events content) stay byte-reproducible
+    n_part = int(200000 * sf)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(n_part), pa.int64()),
+        "p_name": pa.array([f"{rnd.choice(ADJ)} {rnd.choice(NOUN)}"
+                            for _ in range(n_part)]),
+        "p_brand": pa.array([f"Brand#{rnd.randrange(1, 26)}" for _ in range(n_part)]),
+        "p_type": pa.array([rnd.choice(PTYPES) for _ in range(n_part)]),
+        "p_size": pa.array([rnd.randrange(1, 51) for _ in range(n_part)], pa.int32()),
+        "p_retailprice": pa.array(
+            [round(900.0 + i / 10.0, 2) for i in range(n_part)]),
+    }), f"{out}/part.parquet")
+
+    n_supp = int(10000 * sf)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(
+            [rnd.randrange(25) for _ in range(n_supp)], pa.int32()),
+        "s_acctbal": pa.array(
+            [round(rnd.uniform(0.0, 9999.99), 2) for _ in range(n_supp)]),
+    }), f"{out}/supplier.parquet")
+
+    n_li = int(6000000 * sf)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(
+            [rnd.randrange(n_ord) for _ in range(n_li)], pa.int64()),
+        "l_partkey": pa.array(
+            [rnd.randrange(n_part) for _ in range(n_li)], pa.int64()),
+        "l_suppkey": pa.array(
+            [rnd.randrange(n_supp) for _ in range(n_li)], pa.int64()),
+        "l_linenumber": pa.array(
+            [1 + i % 7 for i in range(n_li)], pa.int32()),
+        "l_quantity": pa.array(
+            [float(rnd.randrange(1, 51)) for _ in range(n_li)]),
+        "l_extendedprice": pa.array(
+            [round(rnd.uniform(1000.0, 105000.0), 2) for _ in range(n_li)]),
+        "l_discount": pa.array(
+            [rnd.randrange(0, 11) / 100.0 for _ in range(n_li)]),
+        "l_tax": pa.array(
+            [rnd.randrange(0, 9) / 100.0 for _ in range(n_li)]),
+        "l_returnflag": pa.array([rnd.choice("RAN") for _ in range(n_li)]),
+        "l_linestatus": pa.array([rnd.choice("OF") for _ in range(n_li)]),
+        "l_shipdate": pa.array(
+            [base_date + rnd.randrange(2600) * day_us for _ in range(n_li)],
+            pa.timestamp("us")),
+    }), f"{out}/lineitem.parquet")
+
+
+    print(f"wrote {n_cust} customers, {n_ord} orders, {n_ev} events, {n_li} lineitems to {out}")
 
 
 def main():
