@@ -2,8 +2,6 @@ package graft.streaming
 
 import graft.SparkSuite
 import graft.core.{GunCell, GunValue}
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** The snapshot seed of a subscription must stay a POINT READ as the store
