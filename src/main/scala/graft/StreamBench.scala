@@ -143,13 +143,19 @@ object StreamBench {
       implicit val cellEnc = org.apache.spark.sql.Encoders.product[GunCell]
       val cells = GunWire.framesToCells(frames, "frame").as[GunCell]
       val updates = HamStream.updates(cells, timers = false)
+      // "delta-buf4": the buffered LSM sink — 4 micro-batches per delta
+      // write, amortizing the fixed write-job cost that dominates the
+      // per-batch floor (flushed explicitly before the correctness gate)
+      val bufSink = new HamStream.BufferedDeltaSink(store, 64,
+        HamStream.DefaultCompactThreshold, flushEvery = 4)
       val q = updates.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: Dataset[HamStream.Update], id: Long) =>
           sink match {
-            case "rewrite" => HamStream.mergeBatchIntoStore(b, id, store, numBuckets = 64)
-            case "delta"   => HamStream.appendBatchIntoStore(b, id, store, numBuckets = 64)
-            case _         => b.count(); ()
+            case "rewrite"    => HamStream.mergeBatchIntoStore(b, id, store, numBuckets = 64)
+            case "delta"      => HamStream.appendBatchIntoStore(b, id, store, numBuckets = 64)
+            case "delta-buf4" => bufSink.add(b, id)
+            case _            => b.count(); ()
           }
         }
         .start()
@@ -173,13 +179,14 @@ object StreamBench {
         }
         q.processAllAvailable()
       } finally q.stop()
+      if (sink == "delta-buf4") bufSink.flush() // drain the remainder before the gate
       val elapsed = (System.nanoTime() - t0) / 1e9
       if (sink == "rewrite") {
         // correctness gate on the bench itself: every key landed in the store
         val storeRows = spark.read.parquet(store).count()
         require(storeRows == souls.toLong * fields,
           s"store has $storeRows rows, expected ${souls.toLong * fields}")
-      } else if (sink == "delta") {
+      } else if (sink == "delta" || sink == "delta-buf4") {
         // merged view collapses the appended generations to one per key
         val mergedRows = HamStream.readStore(spark, store).count()
         require(mergedRows == souls.toLong * fields,
@@ -193,34 +200,101 @@ object StreamBench {
     }
   }
 
+  final case class ReadAmpStats(
+      batches: Int,
+      maxFilesEnd: Int,
+      probes: IndexedSeq[(Int, Double)]) { // (batch index, point-read ms)
+    private def avg(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.length
+    def firstQuartileMs: Double = avg(probes.take(probes.length / 4 max 1).map(_._2))
+    def lastQuartileMs: Double = avg(probes.takeRight(probes.length / 4 max 1).map(_._2))
+  }
+
+  /** Read-amplification under a long delta-store ingest: drive
+    * [[HamStream.appendBatchIntoStore]] for `batches` micro-batches over a
+    * fixed key pool (every batch re-touches the same buckets — the
+    * worst case for uncompacted-delta growth) and probe the point-read
+    * latency every `probeEvery` batches (min of 3 reads). With the
+    * compaction trigger OFF every probe collapses an ever-growing delta
+    * stack through the HAM merge; with it ON the per-bucket file count —
+    * and therefore the read — stays flat. The store-only loop (no wire,
+    * no state machine) isolates exactly the variable under test.
+    */
+  def runReadAmp(
+      spark: SparkSession,
+      batches: Int,
+      cellsPerBatch: Int,
+      buckets: Int,
+      compactThreshold: Int,
+      probeEvery: Int): ReadAmpStats = {
+    import spark.implicits._
+    val store = Files.createTempDirectory("sb-readamp").toString + "/store"
+    val soulPool = 500
+    val stateBase = System.currentTimeMillis() - 60000L
+    val probes = IndexedSeq.newBuilder[(Int, Double)]
+    for (b <- 0 until batches) {
+      val cells = (0 until cellsPerBatch).map { i =>
+        val s = (b * cellsPerBatch + i) % soulPool
+        HamStream.Update(f"ra$s%04d", s"f${i % 4}",
+          graft.core.GunValue.string(s"v$b-$i"), (stateBase + b).toDouble)
+      }
+      HamStream.appendBatchIntoStore(cells.toDS(), b.toLong, store, buckets,
+        compactThreshold)
+      if (b % probeEvery == probeEvery - 1) {
+        val ms = (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          HamStream.fetchFromStore(spark, store, "ra0001", "f1", buckets)
+          (System.nanoTime() - t) / 1e6
+        }.min
+        probes += b -> ms
+      }
+    }
+    val maxFiles = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      .foldLeft(0)(math.max)
+    ReadAmpStats(batches, maxFiles, probes.result())
+  }
+
   /** Publish path at capacity: updates fan out over one peer conn as
     * bounded wire frames; a consumer thread drains the socket side (an
     * unread LinkedBlockingQueue would otherwise just buffer — draining
     * keeps the measurement honest about the full send path).
+    */
+  /** `peers` > 1 exercises the all-peers fan-out ([[GunWire.publishStream]]
+    * over a peer set, gun/gun.go:206-234): EVERY peer receives every
+    * frame, each with its own consumer thread — the reported rate is
+    * cells/s THROUGH THE PIPELINE (each cell crosses the wire `peers`
+    * times; wire-message throughput is `rate × peers`).
     */
   def runPublish(
       spark: SparkSession,
       souls: Int,
       fields: Int,
       waves: Int,
-      chunkSouls: Int): RunStats = {
+      chunkSouls: Int,
+      peers: Int = 1): RunStats = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val (ours, theirs) = InMemoryPeerConn.pair()
+    val pairs = (1 to peers).map(_ => InMemoryPeerConn.pair())
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val cellEnc = org.apache.spark.sql.Encoders.product[GunCell]
     val progress = new Progress
     spark.streams.addListener(progress)
     val in = MemoryStream[GunCell]
-    val q = GunWire.publishStream(HamStream.updates(in.toDS(), timers = false), ours)
-    val receivedMsgs = new LongAdder
+    val q = GunWire.publishStream(HamStream.updates(in.toDS(), timers = false),
+      pairs.map(_._1), GunWire.MaxFrameMessages, (_, _) => ())
+    val receivedMsgs = pairs.map(_ => new LongAdder)
     @volatile var consuming = true
-    val consumer = new Thread(() => {
-      while (consuming) theirs.receive(50).foreach { f =>
-        receivedMsgs.add(WireCodec.splitFrame(f).length)
-      }
-    }, "stream-bench-consumer")
-    consumer.setDaemon(true)
-    consumer.start()
+    val consumers = pairs.zip(receivedMsgs).zipWithIndex.map {
+      case (((_, theirs), counter), i) =>
+        val t = new Thread(() => {
+          while (consuming) theirs.receive(50).foreach { f =>
+            counter.add(WireCodec.splitFrame(f).length)
+          }
+        }, s"stream-bench-consumer-$i")
+        t.setDaemon(true)
+        t.start()
+        t
+    }
     try {
       val stateBase = System.currentTimeMillis() - 60000L
       val soulIds = (0 until souls).map(i => f"p$i%05d")
@@ -234,18 +308,28 @@ object StreamBench {
         q.processAllAvailable()
       }
       val deadline = System.currentTimeMillis() + 120000L
-      while (receivedMsgs.sum < expectedMsgs &&
+      while (receivedMsgs.exists(_.sum < expectedMsgs) &&
           System.currentTimeMillis() < deadline) Thread.sleep(5)
       val elapsed = (System.nanoTime() - t0) / 1e9
-      require(receivedMsgs.sum == expectedMsgs,
-        s"received ${receivedMsgs.sum} messages, expected $expectedMsgs")
+      receivedMsgs.zipWithIndex.foreach { case (c, i) =>
+        require(c.sum == expectedMsgs,
+          s"peer $i received ${c.sum} messages, expected $expectedMsgs")
+      }
       stats(souls.toLong * fields * waves, elapsed, progress)
     } finally {
       consuming = false
       q.stop()
+      consumers.foreach(_.join(2000))
       spark.streams.removeListener(progress)
-      ours.close(); theirs.close()
+      pairs.foreach { case (a, b) => a.close(); b.close() }
     }
+  }
+
+  private def raJs(key: String, r: ReadAmpStats): String = {
+    val pts = r.probes.map { case (b, ms) => s"[$b,${f"$ms%.1f"}]" }.mkString(",")
+    s""""$key":{"batches":${r.batches},"max_files_end":${r.maxFilesEnd},""" +
+      s""""read_ms_first_quartile":${f"${r.firstQuartileMs}%.1f"},""" +
+      s""""read_ms_last_quartile":${f"${r.lastQuartileMs}%.1f"},"probes":[$pts]}"""
   }
 
   private def js(r: RunStats): String =
@@ -277,6 +361,10 @@ object StreamBench {
     // delta-store leg: LSM append instead of read-merge-rewrite
     val ingestDelta = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
       chunkFrames, wal = true, sink = "delta")).maxBy(_.rate)
+    // buffered delta leg: 4 micro-batches per delta write — amortizes the
+    // fixed write-job floor the un-buffered leg pays every batch
+    val ingestDeltaBuf = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
+      chunkFrames, wal = true, sink = "delta-buf4")).maxBy(_.rate)
     // real-socket leg: same pipeline over an RFC 6455 loopback websocket
     // (server accept + JDK client), delta sink — prices the wire path
     val ingestWs = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
@@ -287,6 +375,25 @@ object StreamBench {
       chunkFrames, wal = false, sink = "none")).maxBy(_.rate)
     val publish = pass(runPublish(_, souls, fields, waves,
       chunkSouls = souls / 4 max 1)).maxBy(_.rate)
+    // all-peers fan-out: every frame to each of 4 peers (wire throughput
+    // = 4× the reported pipeline rate)
+    val publishP4 = pass(runPublish(_, souls, fields, waves,
+      chunkSouls = souls / 4 max 1, peers = 4)).maxBy(_.rate)
+    // read-amplification A/B: same long append run, compaction trigger
+    // on (default threshold) vs off — the LSM's read-side evidence
+    val raBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_RA_BATCHES", "120").toInt
+    val raOn = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runReadAmp(spark, raBatches, cellsPerBatch = 500, buckets = 8,
+        compactThreshold = HamStream.DefaultCompactThreshold, probeEvery = 10)
+      finally spark.stop()
+    }
+    val raOff = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runReadAmp(spark, raBatches, cellsPerBatch = 500, buckets = 8,
+        compactThreshold = 0, probeEvery = 10)
+      finally spark.stop()
+    }
 
     val walOverheadPct =
       if (ingestNoWal.rate > 0)
@@ -299,10 +406,14 @@ object StreamBench {
         s""""passes":$passes,"ingest":${js(ingest)},""" +
         s""""ingest_nowal":${js(ingestNoWal)},""" +
         s""""ingest_delta":${js(ingestDelta)},""" +
+        s""""ingest_delta_buf4":${js(ingestDeltaBuf)},""" +
         s""""ingest_ws_delta":${js(ingestWs)},""" +
         s""""ingest_nostore":${js(ingestNoStore)},""" +
         s""""wal_overhead_pct":${f"$walOverheadPct%.1f"},""" +
-        s""""publish":${js(publish)}}"""
+        s""""publish":${js(publish)},""" +
+        s""""publish_p4":${js(publishP4)},""" +
+        raJs("readamp_trigger_on", raOn) + "," +
+        raJs("readamp_trigger_off", raOff) + "}"
     println(json)
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[stream-bench] write failed: $e") }

@@ -201,15 +201,43 @@ object GunWire {
     * globally ordered, so frame contents and boundaries are
     * deterministic. Receivers treat each frame independently (the HAM
     * merge is idempotent/commutative — the reference's own multi-frame
-    * delivery semantics), so the chunking is invisible to the protocol. A
-    * multi-peer deployment would shard conns across `foreachPartition`
-    * sinks; same encoding.
+    * delivery semantics), so the chunking is invisible to the protocol.
     */
   def publishStream(
       updates: org.apache.spark.sql.Dataset[graft.streaming.HamStream.Update],
       conn: PeerConn,
       maxFrameMessages: Int = MaxFrameMessages): org.apache.spark.sql.streaming.StreamingQuery =
-    updates.writeStream
+    publishStream(updates, Seq(conn), maxFrameMessages, (_, _) => ())
+
+  /** Multi-peer [[publishStream]] — the reference's all-peers fan-out
+    * (gun/gun.go:206-234): every frame goes to EVERY live peer, sends run
+    * concurrently (one task per peer, awaited per frame — the reference's
+    * goroutine-per-peer + WaitGroup), and a peer's send failure is
+    * ISOLATED: the error goes to `onPeerError` and the peer is dropped
+    * from the live set for the rest of the query (the reference's
+    * `removePeer` for conns without reconnect support — a
+    * [[ReconnectingPeerConn]] re-dials internally and only surfaces an
+    * error once reconnection is exhausted, so wrapping a peer in one opts
+    * it into the reference's "reconnectSupported" branch). A dead peer
+    * never fails the batch: replicas converge through HAM idempotence
+    * when the peer re-syncs, exactly the protocol's at-least-once
+    * contract.
+    *
+    * Per-peer frame ORDER is preserved: frames page out sequentially and
+    * each frame's fan-out is awaited before the next frame is cut, so
+    * every peer observes the same globally-soul-ordered frame sequence.
+    */
+  def publishStream(
+      updates: org.apache.spark.sql.Dataset[graft.streaming.HamStream.Update],
+      conns: Seq[PeerConn],
+      maxFrameMessages: Int,
+      onPeerError: (PeerConn, Throwable) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(conns.nonEmpty, "publishStream needs at least one peer")
+    val live = new java.util.concurrent.CopyOnWriteArrayList[PeerConn]()
+    conns.foreach(live.add)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(conns.length)
+    val spark = updates.sparkSession
+    val q = updates.writeStream
       .outputMode("append")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[graft.streaming.HamStream.Update],
@@ -220,7 +248,21 @@ object GunWire {
           val buf = new scala.collection.mutable.ArrayBuffer[String](maxFrameMessages)
           def flush(): Unit =
             if (buf.nonEmpty) {
-              conn.send(WireCodec.joinFrame(buf.toIndexedSeq))
+              val frame = WireCodec.joinFrame(buf.toIndexedSeq)
+              import scala.jdk.CollectionConverters._
+              val futures = live.asScala.toSeq.map { peer =>
+                peer -> pool.submit(new java.lang.Runnable {
+                  override def run(): Unit = peer.send(frame)
+                })
+              }
+              futures.foreach { case (peer, f) =>
+                try f.get()
+                catch {
+                  case e: java.util.concurrent.ExecutionException =>
+                    live.remove(peer)
+                    onPeerError(peer, if (e.getCause != null) e.getCause else e)
+                }
+              }
               buf.clear()
             }
           while (it.hasNext) {
@@ -234,6 +276,21 @@ object GunWire {
           ()
       }
       .start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          pool.shutdown()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
+  }
 
   /** Encode cells back into put-message JSON (one message per soul), the
     * sink side of a wire-compat connector. Node JSON: `_` metadata with

@@ -460,18 +460,113 @@ object HamStream {
   def appendIntoStore(
       updates: Dataset[Update],
       storePath: String,
-      numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
-    updates.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[Update], batchId: Long) =>
-        appendBatchIntoStore(batch, batchId, storePath, numBuckets)
+      numBuckets: Int = 64,
+      compactThreshold: Int = DefaultCompactThreshold,
+      bufferBatches: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    if (bufferBatches <= 1)
+      updates.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[Update], batchId: Long) =>
+          appendBatchIntoStore(batch, batchId, storePath, numBuckets, compactThreshold)
+        }
+        .start()
+    else {
+      // BUFFERED mode: fold `bufferBatches` micro-batches into one delta
+      // write. The per-batch floor of the delta sink is dominated by fixed
+      // write-job cost (launch + shuffle + commit), not data volume
+      // (SCALE_r6 §1) — amortizing it over N batches raises ingest
+      // throughput without changing the store contract. Legality: HAM is
+      // idempotent/commutative and the gun source's WAL replays the
+      // planned ranges, so a crash that loses the in-memory buffer
+      // re-appends the same cells on restart (at-least-once + idempotent
+      // merge — the contract the delta store already runs on). A
+      // graceful stop flushes the remainder via the termination listener.
+      val sink = new BufferedDeltaSink(storePath, numBuckets, compactThreshold,
+        bufferBatches)
+      val spark = updates.sparkSession
+      val q = updates.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[Update], batchId: Long) =>
+          sink.add(batch, batchId)
+        }
+        .start()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            try sink.flush()
+            finally spark.streams.removeListener(this)
+          }
       }
-      .start()
+      spark.streams.addListener(listener)
+      q
+    }
 
-  /** One micro-batch of [[appendIntoStore]] (exposed for specs/sinks). */
+  /** The buffered delta sink of [[appendIntoStore]]`(bufferBatches > 1)`:
+    * accumulates eagerly-materialized micro-batches and flushes them as
+    * ONE [[appendBatchIntoStore]] call every `flushEvery` batches (and on
+    * query termination). Each added batch is `localCheckpoint`ed — the
+    * micro-batch's source blocks are only valid during its own
+    * foreachBatch call, so the buffer must own a materialized copy; the
+    * checkpointed blocks are released by the ContextCleaner when the
+    * buffer drops its handles at flush.
+    */
+  final class BufferedDeltaSink(
+      storePath: String,
+      numBuckets: Int,
+      compactThreshold: Int,
+      flushEvery: Int) {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[Update]]
+    private var lastBatchId = 0L
+
+    def add(batch: Dataset[Update], batchId: Long): Unit = synchronized {
+      buf += batch.localCheckpoint(eager = true)
+      lastBatchId = batchId
+      if (buf.length >= flushEvery) flushLocked()
+    }
+
+    def flush(): Unit = synchronized { flushLocked() }
+
+    private def flushLocked(): Unit =
+      if (buf.nonEmpty) {
+        val all = buf.reduce(_ unionByName _)
+        appendBatchIntoStore(all, lastBatchId, storePath, numBuckets, compactThreshold)
+        buf.clear()
+      }
+
+    /** Batches currently buffered (test/introspection hook). */
+    def pending: Int = synchronized(buf.length)
+  }
+
+  /** Delta-file count per bucket above which [[appendBatchIntoStore]]
+    * folds the bucket ([[compactBuckets]]). An LSM append path without a
+    * compaction trigger degrades unboundedly — every point read collapses
+    * ALL of a bucket's deltas through the HAM merge, so read cost grows
+    * linearly with uncompacted-file count. The reference's storage layer
+    * runs its own maintenance on a cadence (the 5 s purge ticker,
+    * gun/storage.go:56-77); here the trigger is count-based (the standard
+    * LSM level-0 file-count trigger) so maintenance cost stays proportional
+    * to write activity: a bucket is folded only when ITS delta count
+    * crosses the threshold, and only that bucket rewrites.
+    */
+  val DefaultCompactThreshold = 12
+
+  /** One micro-batch of [[appendIntoStore]] (exposed for specs/sinks).
+    *
+    * `compactThreshold` ≤ 0 disables the auto-trigger (callers owning
+    * their own compaction cadence). Auto-triggered folds are FOLD-ONLY
+    * (ttl = ∞): TTL expiry is retention policy, owned by the caller's
+    * [[compactStore]] cadence, not a side effect of crossing a file-count
+    * threshold mid-ingest.
+    */
   private[graft] def appendBatchIntoStore(
       batch: Dataset[Update], batchId: Long,
-      storePath: String, numBuckets: Int): Unit = {
+      storePath: String, numBuckets: Int,
+      compactThreshold: Int = DefaultCompactThreshold): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val spark = batch.sparkSession
     val newCells = batch.toDF()
@@ -486,23 +581,63 @@ object HamStream {
     // hash-repartition on the bucket column first: each bucket's rows land
     // in exactly one task, so a batch adds ONE delta file per touched
     // bucket (not files-per-task×bucket) — 4-8× slower file-count growth
-    // between compactions for one small-batch shuffle
-    newCells.repartition(col("bucket"))
+    // between compactions for one small-batch shuffle. Task count is
+    // capped at numBuckets (more tasks than buckets is pure launch
+    // overhead on the per-batch floor).
+    newCells.repartition(numBuckets min newCells.sparkSession.sessionState.conf.numShufflePartitions, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-    fs.listStatus(staging)
+    // Promote staged delta files into the live bucket dirs IN PARALLEL: a
+    // sequential driver loop serializes one rename RPC per touched bucket
+    // (thousands of NameNode round-trips per batch at a 100k-bucket
+    // production store). Hadoop FileSystem instances are thread-safe; a
+    // bounded pool turns the promotion into max(RPC latency) instead of
+    // sum(RPC latency). Each task returns the bucket's post-promotion
+    // delta-file count so the compaction trigger needs no extra listing.
+    val bucketDirs = fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .foreach { bdir =>
-        val live = new org.apache.hadoop.fs.Path(storeDir, bdir.getPath.getName)
-        if (!fs.exists(live)) fs.mkdirs(live)
-        fs.listStatus(bdir.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
-          .foreach { case (f, i) =>
-            fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(live, s"delta-b$batchId-$i.parquet"))
+    val overThreshold =
+      if (bucketDirs.isEmpty) Array.empty[String]
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          bucketDirs.length min 16)
+        try {
+          val futures = bucketDirs.map { bdir =>
+            pool.submit(new java.util.concurrent.Callable[(String, Int)] {
+              override def call(): (String, Int) = {
+                val name = bdir.getPath.getName
+                val live = new org.apache.hadoop.fs.Path(storeDir, name)
+                if (!fs.exists(live)) fs.mkdirs(live)
+                fs.listStatus(bdir.getPath)
+                  .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+                  .foreach { case (f, i) =>
+                    val dest =
+                      new org.apache.hadoop.fs.Path(live, s"delta-b$batchId-$i.parquet")
+                    // rename signals failure by returning FALSE, not by
+                    // throwing. dest-already-exists is the same-batchId WAL
+                    // replay (the delta landed on the previous attempt) —
+                    // benign, HAM-idempotent. Any OTHER false must FAIL the
+                    // batch so the checkpoint doesn't commit a batch whose
+                    // cells never reached the store.
+                    if (!fs.rename(f.getPath, dest) && !fs.exists(dest))
+                      throw new java.io.IOException(
+                        s"delta promotion rename failed: ${f.getPath} -> $dest")
+                  }
+                name -> fs.listStatus(live)
+                  .count(_.getPath.getName.endsWith(".parquet"))
+              }
+            })
           }
+          futures.map(_.get()).collect {
+            case (name, n) if compactThreshold > 0 && n >= compactThreshold => name
+          }
+        } finally pool.shutdown()
       }
     fs.delete(staging, true)
     writeLayoutMarker(fs, storeDir)
+    if (overThreshold.nonEmpty)
+      compactBuckets(spark, storePath, overThreshold.toSeq,
+        nowMs = 0.0, ttlMs = Double.PositiveInfinity,
+        stagingName = s".compact-staging-b$batchId")
   }
 
   /** Bulk read of a store as its MERGED view — one HAM winner per
@@ -641,7 +776,6 @@ object HamStream {
       storePath: String,
       nowMs: Double,
       ttlMs: Double = graft.operators.HamMerge.DefaultTtlMs): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
     val storeDir = new org.apache.hadoop.fs.Path(storePath)
     val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(storeDir)) return
@@ -651,20 +785,50 @@ object HamStream {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(_.getPath.getName)
     if (liveBuckets.isEmpty) return
-    // merge-then-TTL: collapse delta rows to their HAM winner FIRST, then
-    // drop expired winners — an expired winner must not resurrect a
-    // stale-but-in-window loser (reference purge drops the cell outright,
-    // gun/storage.go:56-75). On a rewrite store the merge is a no-op
-    // pass-through (already one row per key). This doubles as the delta
-    // store's compaction: the rewrite restores one row per (soul, field).
-    // `bucket` is functionally determined by the key, so it passes through
-    // the merge as a group key — no numBuckets needed here.
+    compactBuckets(spark, storePath, liveBuckets.toSeq, nowMs, ttlMs,
+      stagingName = ".compact-staging")
+  }
+
+  /** Fold a SUBSET of buckets back to one row per (soul, field) —
+    * merge-then-TTL, the shared body of [[compactStore]] (whole store, the
+    * caller's retention cadence) and [[appendBatchIntoStore]]'s auto
+    * trigger (only the buckets whose delta count crossed the threshold,
+    * ttl = ∞).
+    *
+    * merge-then-TTL: collapse delta rows to their HAM winner FIRST, then
+    * drop expired winners — an expired winner must not resurrect a
+    * stale-but-in-window loser (reference purge drops the cell outright,
+    * gun/storage.go:56-75). On a rewrite store the merge is a no-op
+    * pass-through (already one row per key). `bucket` is functionally
+    * determined by the key, so it passes through the merge as a group key.
+    * The scan is partition-pruned to the requested buckets, so per-fold
+    * I/O is O(folded-bucket data), not O(store); surviving buckets rewrite
+    * via the recoverable [[swapBucket]] ordering, fully-expired buckets
+    * are removed outright (an intentional delete, not a swap-crash
+    * window).
+    */
+  private[streaming] def compactBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      bucketNames: Seq[String],
+      nowMs: Double,
+      ttlMs: Double,
+      stagingName: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = bucketNames.map(_.stripPrefix("bucket=").toLong)
     val kept = graft.operators.HamMerge
-      .mergeSnapshot(spark.read.parquet(storePath), passThrough = Seq("bucket"))
+      .mergeSnapshot(
+        spark.read.parquet(storePath).filter(col("bucket").isin(ids: _*)),
+        passThrough = Seq("bucket"))
       .filter(col("state") >= lit(nowMs - ttlMs))
-    val staging = new org.apache.hadoop.fs.Path(storePath, ".compact-staging")
-    kept.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-    liveBuckets.foreach { name =>
+    val staging = new org.apache.hadoop.fs.Path(storePath, stagingName)
+    // one task per folded bucket: the fold must not RAISE the bucket's
+    // file count (a 32-task write of 3 buckets would)
+    kept.repartition(ids.length, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    bucketNames.foreach { name =>
       val next = new org.apache.hadoop.fs.Path(staging, name)
       if (fs.exists(next)) swapBucket(fs, storeDir, name, next)
       else fs.delete(new org.apache.hadoop.fs.Path(storeDir, name), true) // fully expired

@@ -81,6 +81,74 @@ class DeltaStoreSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("auto-compaction bounds the per-bucket delta-file count over a long run") {
+    val dir = newDir()
+    val threshold = 4
+    val buckets = 2 // few buckets so every batch touches all of them
+    def maxFiles(): Int = {
+      val bs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+      if (bs.isEmpty) 0
+      else bs.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    }
+    for (b <- 0 until 30) {
+      HamStream.appendBatchIntoStore(
+        Seq(Update("s1", "f", GunValue.string(s"v$b"), 1000.0 + b),
+          Update("s2", "g", GunValue.string(s"w$b"), 1000.0 + b)).toDS(),
+        b.toLong, dir, buckets, compactThreshold = threshold)
+      // invariant at EVERY batch, not just the end: the trigger fires the
+      // moment a bucket crosses the threshold, folding it back to 1 file
+      assert(maxFiles() <= threshold,
+        s"batch $b: a bucket holds ${maxFiles()} delta files (> $threshold)")
+    }
+    // folded store still reads to the latest HAM winner
+    val r = HamStream.fetchFromStore(spark, dir, "s1", "f", buckets)
+    assert(r.value.contains(GunValue.string("v29")) && r.state.contains(1029.0))
+    assert(HamStream.readStore(spark, dir).count() == 2)
+    // fold-only: ancient states (epoch ~1970) survive the auto trigger —
+    // TTL expiry belongs to the caller's compactStore cadence, and a
+    // count-based trigger running at wall-clock now must not purge them
+    assert(spark.read.parquet(dir).filter($"soul" === "s2").count() >= 1)
+  }
+
+  test("disabled trigger (compactThreshold <= 0) appends without folding") {
+    val dir = newDir()
+    for (b <- 0 until 6)
+      HamStream.appendBatchIntoStore(
+        Seq(Update("s1", "f", GunValue.string(s"v$b"), 1000.0 + b)).toDS(),
+        b.toLong, dir, 1, compactThreshold = 0)
+    val files = new java.io.File(dir + "/bucket=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 6, s"expected 6 uncompacted deltas, found $files")
+    assert(HamStream.readStore(spark, dir).count() == 1)
+  }
+
+  test("buffered sink folds N micro-batches into one delta write, flush drains") {
+    val dir = newDir()
+    val sink = new HamStream.BufferedDeltaSink(dir, NumBuckets,
+      compactThreshold = 0, flushEvery = 2)
+    sink.add(Seq(Update("s1", "f", GunValue.string("a"), 1000)).toDS(), 0L)
+    assert(sink.pending == 1) // below flushEvery: nothing written yet
+    assert(!new java.io.File(dir).exists())
+    sink.add(Seq(Update("s1", "f", GunValue.string("b"), 2000)).toDS(), 1L)
+    assert(sink.pending == 0) // second add crossed flushEvery: one write
+    // both batches landed in ONE delta generation (file name carries the
+    // flush's last batch id)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.startsWith("delta-b1-")))
+    // remainder flush on demand (the termination-listener path)
+    sink.add(Seq(Update("s2", "g", GunValue.string("c"), 3000)).toDS(), 2L)
+    assert(sink.pending == 1)
+    sink.flush()
+    assert(sink.pending == 0)
+    val merged = HamStream.readStore(spark, dir)
+      .select("soul", "value.str").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(merged == Set(("s1", "b"), ("s2", "c")))
+  }
+
   test("delta point read still prunes to one bucket partition") {
     val dir = newDir()
     HamStream.appendBatchIntoStore(
