@@ -137,6 +137,257 @@ object Multimodal {
   final case class AudioMetaRow(id: Long, sample_rate: Option[Long],
     channels: Option[Long], frames: Option[Long], duration_us: Option[Long])
 
+  final case class VideoMetaRow(id: Long, container: Option[String],
+    duration_ms: Option[Long], width: Option[Long], height: Option[Long],
+    n_tracks: Option[Long])
+
+  /** Minimal-but-REAL MP4 container (ISO/IEC 14496-12 box layout, public
+    * spec): `ftyp` + `moov[mvhd + n×trak[tkhd]]`, all fields big-endian,
+    * v0 boxes, 16.16 fixed-point track dims. Headers-only (no mdat) — a
+    * metadata probe never needs media data, and that is exactly what a
+    * pipeline filter reads at 100 TB: the first KB of each object.
+    */
+  def mp4Bytes(timescale: Int, duration: Int, width: Int, height: Int,
+      tracks: Int): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(8)
+      bb.put("isom".getBytes("US-ASCII")).putInt(0x200)
+      bb.array()
+    })
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(timescale).putInt(duration)
+        .putInt(0x00010000) // rate 1.0
+        .putShort(0x0100.toShort) // volume 1.0
+        .putShort(0).putLong(0L) // reserved
+      // identity matrix
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(tracks + 1) // next_track_ID
+      bb.array()
+    })
+    val traks = (1 to tracks).map { tid =>
+      box("trak", box("tkhd", {
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.putInt(0x00000007) // v0, flags: enabled|in_movie|in_preview
+          .putInt(0).putInt(0) // creation, modification
+          .putInt(tid).putInt(0) // track_ID, reserved
+          .putInt(duration)
+          .putLong(0L) // reserved
+          .putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/resv
+        bb.putInt(0x00010000).putInt(0).putInt(0)
+          .putInt(0).putInt(0x00010000).putInt(0)
+          .putInt(0).putInt(0).putInt(0x40000000)
+        bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+        bb.array()
+      }))
+    }
+    val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
+    ftyp ++ moov
+  }
+
+  /** Minimal-but-REAL AVI container (RIFF 'AVI ' with LIST hdrl/avih —
+    * the public Microsoft RIFF layout, little-endian): the avih main
+    * header carries µs-per-frame, total frames, stream count and dims —
+    * the fields a pipeline filter reads.
+    */
+  def aviBytes(usPerFrame: Int, totalFrames: Int, width: Int, height: Int,
+      streams: Int): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(totalFrames).putInt(0).putInt(streams).putInt(0)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    val hdrlPayload = "hdrl".getBytes("US-ASCII") ++ avih.array()
+    val list = java.nio.ByteBuffer.allocate(8 + hdrlPayload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    list.put("LIST".getBytes("US-ASCII")).putInt(hdrlPayload.length)
+      .put(hdrlPayload)
+    val riffPayload = "AVI ".getBytes("US-ASCII") ++ list.array()
+    val riff = java.nio.ByteBuffer.allocate(8 + riffPayload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(riffPayload.length)
+      .put(riffPayload)
+    riff.array()
+  }
+
+  /** JDK-only video CONTAINER header parse — MP4 box walk (moov→mvhd for
+    * timescale/duration, trak count, first tkhd for 16.16 dims; v0 and v1
+    * boxes both handled) and RIFF/AVI chunk walk (LIST hdrl→avih).
+    * Returns (container, duration_ms, width, height, n_tracks); None when
+    * neither layout matches. duration_ms is exact integer floor division
+    * (mp4: duration·1000/timescale; avi: µsPerFrame·frames/1000) — the
+    * oracle-mirrorable arithmetic. This is deliberately METADATA-level:
+    * the JDK ships no video codecs, so frame DECODE stays stubbed
+    * ([[frameSample]]), but the filter-relevant header fields parse for
+    * real — the same JDK-feasible boundary as the WAV/AIFF audio parse.
+    */
+  private[operators] def decodeVideoMeta(
+      bytes: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+    def ascii(b: Array[Byte], off: Int): String =
+      if (off + 4 <= b.length) new String(b, off, 4, "US-ASCII") else ""
+    try {
+      if (bytes.length >= 12 && ascii(bytes, 0) == "RIFF" && ascii(bytes, 8) == "AVI ") {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var pos = 12
+        while (pos + 8 <= bytes.length) {
+          val tpe = ascii(bytes, pos)
+          val size = bb.getInt(pos + 4)
+          if (tpe == "LIST" && ascii(bytes, pos + 8) == "hdrl") {
+            var p = pos + 12
+            val end = math.min(bytes.length, pos + 8 + size)
+            while (p + 8 <= end) {
+              if (ascii(bytes, p) == "avih") {
+                val usPerFrame = bb.getInt(p + 8).toLong & 0xffffffffL
+                val frames = bb.getInt(p + 24).toLong & 0xffffffffL
+                val streams = bb.getInt(p + 32).toLong & 0xffffffffL
+                val w = bb.getInt(p + 40).toLong & 0xffffffffL
+                val h = bb.getInt(p + 44).toLong & 0xffffffffL
+                return Some(("avi", usPerFrame * frames / 1000L, w, h, streams))
+              }
+              p += 8 + bb.getInt(p + 4) + (bb.getInt(p + 4) & 1) // chunks pad to even
+            }
+            return None // hdrl without avih: not a parseable AVI
+          }
+          pos += 8 + size + (size & 1)
+        }
+        None
+      } else {
+        // MP4: top-level box walk to moov, then one child walk
+        val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian default
+        var pos = 0
+        var moov = -1
+        var moovEnd = -1
+        while (pos + 8 <= bytes.length && moov < 0) {
+          val size = bb.getInt(pos)
+          if (size < 8) return None
+          if (ascii(bytes, pos + 4) == "moov") {
+            moov = pos + 8; moovEnd = math.min(bytes.length, pos + size)
+          }
+          pos += size
+        }
+        if (moov < 0) return None
+        var p = moov
+        var timescale = 0L
+        var duration = 0L
+        var tracks = 0L
+        var w = 0L
+        var h = 0L
+        while (p + 8 <= moovEnd) {
+          val size = bb.getInt(p)
+          if (size < 8) return None
+          ascii(bytes, p + 4) match {
+            case "mvhd" =>
+              val version = bytes(p + 8) & 0xff
+              if (version == 1) {
+                timescale = bb.getInt(p + 8 + 4 + 16).toLong & 0xffffffffL
+                duration = bb.getLong(p + 8 + 4 + 20)
+              } else {
+                timescale = bb.getInt(p + 8 + 4 + 8).toLong & 0xffffffffL
+                duration = bb.getInt(p + 8 + 4 + 12).toLong & 0xffffffffL
+              }
+            case "trak" =>
+              tracks += 1
+              // child walk for tkhd (dims from the FIRST trak)
+              var c = p + 8
+              val trakEnd = math.min(moovEnd, p + size)
+              while (c + 8 <= trakEnd) {
+                val csize = bb.getInt(c)
+                if (csize < 8) return None
+                if (ascii(bytes, c + 4) == "tkhd" && w == 0L) {
+                  val version = bytes(c + 8) & 0xff
+                  // v0: verflags 4 + times 8 + id/resv 8 + dur 4 = 24;
+                  // v1 times are 8 bytes each and dur 8 → 40
+                  val afterDur = c + 8 + (if (version == 1) 4 + 16 + 8 + 8 else 4 + 8 + 8 + 4)
+                  // + reserved 8 + layer/alt/volume/resv 8 + matrix 36
+                  val dimsOff = afterDur + 8 + 8 + 36
+                  w = (bb.getInt(dimsOff).toLong & 0xffffffffL) >> 16
+                  h = (bb.getInt(dimsOff + 4).toLong & 0xffffffffL) >> 16
+                }
+                c += csize
+              }
+            case _ => ()
+          }
+          p += size
+        }
+        if (timescale <= 0 || tracks == 0) None
+        else Some(("mp4", duration * 1000L / timescale, w, h, tracks))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL video-container metadata: parse each `video/ *` payload's MP4 or
+    * AVI header with [[decodeVideoMeta]] and emit (id, container,
+    * duration_ms, width, height, n_tracks); non-video mimes and
+    * unparseable payloads yield nulls. Same batched `mapPartitions`
+    * contract as [[audioMeta]].
+    */
+  def videoMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.bytes").as("bytes"), col(s"$mediaCol.mime").as("mime"))
+    implicit val enc = Encoders.product[VideoMetaRow]
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = r.getString(2)
+        val meta =
+          if (mime != null && mime.startsWith("video/")) decodeVideoMeta(bytes)
+          else None
+        meta match {
+          case Some((container, durMs, w, h, tracks)) =>
+            VideoMetaRow(id, Some(container), Some(durMs), Some(w), Some(h),
+              Some(tracks))
+          case None => VideoMetaRow(id, None, None, None, None, None)
+        }
+      }
+    }.toDF(idCol, "container", "duration_ms", "width", "height", "n_tracks")
+  }
+
+  /** Fixture-in-query video containers (the video analogue of [[docWav]]):
+    * even ids become headers-only MP4s, odd ids AVIs, every header field
+    * an arithmetic function of the id — so [[videoMeta]]'s REAL box/RIFF
+    * walk runs end-to-end while the oracle recomputes
+    * duration/dims/tracks from the id alone.
+    */
+  def docVideo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("id"))
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY, Encoders.STRING)
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 2 == 0)
+          (id, mp4Bytes(timescale = 600,
+            duration = (1000 + id * 37 % 100000).toInt,
+            width = (160 + id % 32).toInt, height = (90 + id % 18).toInt,
+            tracks = (1 + id % 3).toInt), "video/mp4")
+        else
+          (id, aviBytes(usPerFrame = 33333,
+            totalFrames = (10 + id % 100).toInt,
+            width = (320 + id % 16).toInt, height = (240 + id % 9).toInt,
+            streams = (1 + id % 2).toInt), "video/x-msvideo")
+      }
+    }.toDF("id", "payload", "mime")
+      .select(col("id").as(idCol),
+        struct(col("payload").as("bytes"), col("mime").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"))
+          .as("media"))
+  }
+
   /** Canonical 16-bit PCM WAV container around `data` (RIFF/fmt/data, the
     * 44-byte header layout): a JVM-side writer used by the declared audio
     * query's fixture-in-query and by the golden-bytes spec. `data` is
@@ -356,8 +607,12 @@ object Multimodal {
             }
           case None =>
             // byte-offset stub, same shape as the former frameSampleStub:
-            // offsets 0..len-1 step byteStride; empty payload yields [0]
-            (0 until math.max(1, bytes.length) by byteStride)
+            // offsets 0..len-1 step byteStride. An EMPTY payload yields no
+            // rows — the same contract as the oracle's
+            // range(0, octet_length, stride), which emits nothing at
+            // length 0 (a synthetic offset-0 row for zero bytes diverged
+            // cross-engine and only passed by fixture luck)
+            (0 until bytes.length by byteStride)
               .map(off => FrameRow(id, off.toLong, None, None, None))
         }
       }

@@ -520,15 +520,21 @@ object Similarity {
         }
       }.toDF("vec_id", "cluster")
 
-    var cents: Array[(Long, Array[Long])] = quantized(
-      vectors.filter(col("vec_id") < k))
+    // persist the quantized projection for the LOOP's lifetime: each Lloyd
+    // iteration's centroid update scans it, and without the cache `iters`
+    // sequential jobs re-run the quantization over the full input —
+    // O(iters × corpus) recompute at 100× scale. ownPersist keeps a cache
+    // the caller already installed (lazy-mode composition) untouched.
+    val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
+    var cents: Array[(Long, Array[Long])] = quant
+      .filter(col("vec_id") < k)
       .as[(Long, Array[Long])].collect().sortBy(_._1)
     var round = 0
     while (round < iters) {
       val assign = assignTo(cents)
       // floor-average update per (cluster, dim): one posexplode + one agg;
       // the k×dims result is the next round's index parameter.
-      cents = quantized(vectors).join(assign, "vec_id")
+      cents = quant.join(assign, "vec_id")
         .select(col("cluster"),
           posexplode(col("q")))
         .toDF("cluster", "dim", "qv")
@@ -551,6 +557,7 @@ object Similarity {
     // vector id + cluster).
     val out = assignTo(cents).localCheckpoint(eager = true)
     typed.unpersist(blocking = false)
+    if (ownsQuant) quant.unpersist(blocking = false)
     out
   }
 
@@ -563,12 +570,21 @@ object Similarity {
     * and the within-cluster self-join is an equi-join on the cluster id
     * (shuffle-partitioned — no all-pairs node, PlanHygieneSpec-clean).
     *
-    * Dedup rule (deterministic): a vector is a duplicate iff some
-    * LOWER-id vector in its cluster has cosine ≥ `threshold` — the
-    * paper's keep-one-representative policy with vec_id order as the
-    * tiebreak. Returns (vec_id, is_dup: 0/1) for EVERY input vector
-    * (0/1 over boolean keeps the cross-engine compare representation-
-    * free).
+    * Dedup rule (deterministic): a vector is a duplicate iff ANY lower-id
+    * vector in its cluster has cosine ≥ `threshold`, with vec_id order as
+    * the tiebreak. NOTE the chain behavior this implies: for A<B<C with
+    * A~B and B~C but A≁C, C is still flagged even though its only
+    * near-dup (B) was itself dropped — a transitive chain keeps only its
+    * lowest-id member, which prunes MORE aggressively than a strict
+    * keep-one-representative-per-survivor rule (dup only against KEPT
+    * members) would. The aggressive form is the one implemented AND the
+    * one the oracle implements, deliberately: it is a single equi-join +
+    * filter, while survivor-relative marking is inherently sequential
+    * within a cluster. Returns (vec_id, is_dup: 0/1) for EVERY input
+    * vector (0/1 over boolean keeps the cross-engine compare
+    * representation-free). Threshold-margin caveat: see
+    * [[decontaminateExact]] — thresholds must sit far from attainable
+    * fixture cosines.
     */
   def semanticDedup(
       vectors: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
@@ -680,6 +696,18 @@ object Similarity {
     * instead of bucket-collision cosines. Use the LSH form as the bulk
     * pre-pass (high recall in the true near-dup range, see MlQueries
     * recall table) and this for the decision pass on what remains.
+    *
+    * Oracle-parity caveat (shared with [[semanticDedup]]): the cosine here
+    * is a float dot of pre-normalized unit vectors, while DuckDB's
+    * `list_cosine_similarity` divides the raw dot by the norms — different
+    * rounding paths, so a pair lying within a few ulps of `threshold` can
+    * flip between engines. The declared queries are safe because the
+    * driver's embedding fixture draws components from a coarse integer
+    * lattice and the thresholds (0.3 / 0.4 here and in MlQueries) sit far
+    * from any attainable cosine value — the nearest fixture cosine is
+    * orders of magnitude more than double-rounding error away. A NEW
+    * fixture or threshold must preserve that margin (or quantize the
+    * decision the way the sketch operators do on the integer lattice).
     */
   def decontaminateExact(
       train: DataFrame,

@@ -319,6 +319,22 @@ object MlQueries {
         Multimodal.docWav(docs, "doc_id", "text"), "doc_id", "media")
     }),
 
+    // REAL video-container metadata via a JDK-only MP4 box walk / RIFF
+    // chunk walk: even doc_ids become headers-only MP4s (moov/mvhd/trak/
+    // tkhd), odd ids AVIs (LIST hdrl/avih), every header field derived
+    // from doc_id (docVideo — the video analogue of docWav), then parsed
+    // back by decodeVideoMeta. The oracle recomputes container, duration
+    // (integer floor: mp4 duration·1000//timescale, avi µsPerFrame·
+    // frames//1000), dims and track count arithmetically — a box-offset
+    // slip, endianness error, or 16.16 fixed-point misread breaks the
+    // hash. Frame DECODE stays honestly stubbed (no JDK video codec);
+    // this is the metadata level a pipeline filter actually reads.
+    "mm_video_meta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Multimodal.videoMeta(
+        Multimodal.docVideo(docs, "doc_id"), "doc_id", "media")
+    }),
+
     // REAL image resize under oracle check: two-tone PNG fixture per doc
     // (docPng), ImageIO decode -> integer nearest-neighbor fit into an
     // 8x8 box -> PNG re-encode -> re-decode; the oracle recomputes dims
@@ -689,6 +705,25 @@ object MlQueries {
                 CAST(((octet_length(encode(text)) // (2 * (1 + doc_id % 2)))
                       * 1000000) // (8000 + (doc_id % 8) * 1000)
                      AS BIGINT) AS duration_us
+         FROM documents""",
+    // video-container fixture arithmetic (docVideo): even ids MP4
+    // (timescale 600, duration 1000+(id·37)%100000, w 160+id%32,
+    // h 90+id%18, tracks 1+id%3), odd ids AVI (33333 µs/frame,
+    // frames 10+id%100, w 320+id%16, h 240+id%9, streams 1+id%2) —
+    // duration_ms is exact integer floor division in both engines
+    "mm_video_meta" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+                CAST(CASE WHEN doc_id % 2 = 0
+                          THEN ((1000 + (doc_id * 37) % 100000) * 1000) // 600
+                          ELSE (33333 * (10 + doc_id % 100)) // 1000
+                     END AS BIGINT) AS duration_ms,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 160 + doc_id % 32
+                          ELSE 320 + doc_id % 16 END AS BIGINT) AS width,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 90 + doc_id % 18
+                          ELSE 240 + doc_id % 9 END AS BIGINT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+                          ELSE 1 + doc_id % 2 END AS BIGINT) AS n_tracks
          FROM documents""",
     // resize geometry + NN content sum, all integer arithmetic (docPng
     // fixture: w=8+id%16, h=8+id%8, left half ga=(id·13)%256, right gb)

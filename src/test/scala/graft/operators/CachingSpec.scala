@@ -47,8 +47,10 @@ class CachingSpec extends SparkSuite {
     // double-read of an exploded token table
     // (emb_semantic_dedup joins kmeans assignment + unit vectors — two
     // operator-persisted intermediates that must both be released)
+    // (emb_kmeans now persists the quantized projection for the Lloyd
+    // loop's lifetime — the release on return is part of the invariant)
     for (name <- Seq("doc_ngram_jaccard", "minhash_est", "emb_lsh_ann",
-        "doc_top_terms", "emb_semantic_dedup")) {
+        "doc_top_terms", "emb_semantic_dedup", "emb_kmeans")) {
       assert(runQuery(name) > 0, s"$name returned no rows")
       awaitNoPersistentRdds(name)
     }

@@ -127,7 +127,10 @@ class MultimodalSpec extends SparkSuite {
   test("frameSample: real frames for GIFs, byte-offset stub for video mimes") {
     val media = Seq(
       (1L, Multimodal.gifBytes(Seq(5, 6, 7, 8, 9), 8, 8), "image/gif"),
-      (2L, Array.fill[Byte](130)(0), "video/mp4"))
+      (2L, Array.fill[Byte](130)(0), "video/mp4"),
+      // empty payload: NO rows — matching the oracle's
+      // range(0, octet_length, stride) at length 0
+      (3L, Array.empty[Byte], "video/mp4"))
       .toDF("doc_id", "payload", "mime")
       .select(col("doc_id"),
         struct(col("payload").as("bytes"), col("mime").as("mime"),
@@ -146,6 +149,29 @@ class MultimodalSpec extends SparkSuite {
       (2L, 0L, None, None, None),
       (2L, 64L, None, None, None),
       (2L, 128L, None, None, None)))
+  }
+
+  test("videoMeta: golden MP4 box walk and AVI RIFF walk round-trip") {
+    val media = Seq(
+      // 3 tracks, timescale 600, duration 1234 → ms = 1234*1000/600 = 2056
+      (1L, Multimodal.mp4Bytes(600, 1234, 320, 180, 3), "video/mp4"),
+      // 33333 µs/frame × 42 frames → 1399986/1000 = 1399 ms, 2 streams
+      (2L, Multimodal.aviBytes(33333, 42, 640, 480, 2), "video/x-msvideo"),
+      (3L, Array.fill[Byte](64)(7), "video/mp4"), // garbage: nulls
+      (4L, Multimodal.mp4Bytes(600, 600, 16, 9, 1), "text/plain")) // wrong mime: nulls
+      .toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"),
+        struct(col("payload").as("bytes"), col("mime").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"))
+          .as("media"))
+    val rows = Multimodal.videoMeta(media, "doc_id", "media")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    assert(rows == Set(
+      (1L, Some("mp4"), Some(2056L), Some(320L), Some(180L), Some(3L)),
+      (2L, Some("avi"), Some(1399L), Some(640L), Some(480L), Some(2L)),
+      (3L, None, None, None, None, None),
+      (4L, None, None, None, None, None)))
   }
 
   test("resizeFit: golden two-tone PNG resizes to exact NN geometry and sum") {
