@@ -111,47 +111,69 @@ object Analytics {
     materializeAndRelease(res, e, owns, g, pr)
   }
 
-  /** [[pageRank]] on the EXACT INTEGER LATTICE, for graphs where every
-    * vertex has out-degree ≤ 1 (forests like the relation graph — the
-    * 1/outdeg edge weight is identically 1). Ranks are carried as Long
-    * NUMERATORS over 20^k: n₀ = 1 and n_{k+1} = 3·20^k + 17·Σ_{u→v} n_k(u),
-    * so n_k / 20^k IS the double recurrence 0.15 + 0.85·Σ — except every
-    * step is integer arithmetic, immune to summation ORDER. This exists
-    * because the double form broke at scale+skew: at sf1 with a vertex
-    * holding 30% of 1.5M edges, Spark's and DuckDB's different summation
-    * orders accumulated enough fp error that round(rank·20⁵) flipped by 1
-    * on one vertex (SCALE_r6.md §2) — the lattice values (denominator
-    * 5⁵·2¹⁰) are not binary fractions, so double noise grows with
-    * magnitude while the round() margin stays fixed. Integer headroom:
-    * Σ n₅ ≤ 3.3·10⁶ × |V|, so Long overflows only past ~10¹² vertices.
-    * Returns (soul, rank_q) with rank_q = n_iters = round(rank·20^iters).
+  /** Exact lcm with overflow trap (`Long` range enforced by
+    * `multiplyExact`); associative+commutative, safe as an RDD fold.
+    */
+  private def lcmExact(a: Long, b: Long): Long =
+    if (a == 0L || b == 0L) math.max(a, b)
+    else Math.multiplyExact(a / java.math.BigInteger.valueOf(a)
+      .gcd(java.math.BigInteger.valueOf(b)).longValueExact(), b)
+
+  /** [[pageRank]] on the EXACT INTEGER LATTICE, for ANY out-degree.
+    * Ranks are carried as Long NUMERATORS over S_k = (20·L)^k where
+    * L = lcm of all out-degrees in the graph: n₀ = 1 and
+    * n_{k+1} = 3·L·S_k + 17·Σ_{u→v} n_k(u)·(L/d(u)), so n_k / S_k IS the
+    * double recurrence 0.15 + 0.85·Σ rank(u)/outdeg(u) — except every
+    * step is integer arithmetic (L/d(u) is integral by construction of
+    * L), immune to summation ORDER. On a forest (all d = 1) L = 1 and
+    * this degenerates to the original 20^k lattice, so forest-query
+    * output values are unchanged. This exists because the double form
+    * broke at scale+skew: at sf1 with a vertex holding 30% of 1.5M
+    * edges, Spark's and DuckDB's different summation orders accumulated
+    * enough fp error that round(rank·20⁵) flipped by 1 on one vertex
+    * (SCALE_r6.md §2) — the lattice values are not binary fractions, so
+    * double noise grows with magnitude while the round() margin stays
+    * fixed. Integer headroom scales as rank_max·(20L)^iters: every
+    * multiply/add goes through `Math.*Exact`, so exceeding Long range
+    * throws `ArithmeticException` (reduce `iters` or the degree spread)
+    * rather than silently wrapping. Forest case: Σ n₅ ≤ 3.3·10⁶ × |V|,
+    * overflow only past ~10¹² vertices; mixed degrees {1..4} (L=12,
+    * 20L=240) leave ~10⁶× headroom at iters=5 for rank_max ≤ 10.
+    * Degree = out-EDGE count (multigraph semantics: parallel edges each
+    * carry a contribution, matching GraphX's `staticPageRank`).
+    * Returns (soul, rank_q) with rank_q = n_iters = rank·(20·L)^iters.
     */
   def pageRankLattice(spark: SparkSession, edges: DataFrame, iters: Int = 5): DataFrame = {
     import spark.implicits._
     val (e, owns) = persistEdges(edges)
     val g = fromEdges(e)
-    // contract check: one aggregateMessages pass — out-degree ≤ 1
-    val maxOut = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), _ + _)
-      .map(_._2).fold(0L)(math.max)
-    require(maxOut <= 1L,
-      s"pageRankLattice requires out-degree <= 1 (found $maxOut); " +
-        "use pageRank (double recurrence) for general graphs")
-    var pow = 1L // 20^k
-    var ranks: Graph[Long, String] = g.mapVertices((_, _) => 1L)
-    var prev: Graph[Long, String] = null
+    // out-degree per vertex (one aggregateMessages pass), then L = lcm of
+    // the distinct degrees — a reduce over ≤ |distinct degrees| values,
+    // never a driver collect of the degree table itself.
+    val degRdd = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), Math.addExact)
+    val lcmAll = degRdd.map(_._2).distinct().fold(1L)(lcmExact)
+    var pow = 1L // S_k = (20·L)^k
+    // vertex attr: (out-degree, numerator)
+    var ranks: Graph[(Long, Long), String] =
+      g.outerJoinVertices(degRdd)((_, _, d) => (d.getOrElse(0L), 1L))
+    var prev: Graph[(Long, Long), String] = null
     for (_ <- 0 until iters) {
       val msgs = ranks.aggregateMessages[Long](
-        ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
-      val next = ranks.outerJoinVertices(msgs)(
-        (_, _, m) => 3 * pow + 17 * m.getOrElse(0L)).cache()
+        ctx => ctx.sendToDst(
+          Math.multiplyExact(ctx.srcAttr._2, lcmAll / ctx.srcAttr._1)),
+        Math.addExact)
+      val base = Math.multiplyExact(Math.multiplyExact(3L, lcmAll), pow)
+      val next = ranks.outerJoinVertices(msgs) { case (_, (d, _), m) =>
+        (d, Math.addExact(base, Math.multiplyExact(17L, m.getOrElse(0L))))
+      }.cache()
       next.vertices.count() // materialize before releasing the previous step
       if (prev != null) prev.unpersist(blocking = false)
       prev = ranks
       ranks = next
-      pow *= 20
+      pow = Math.multiplyExact(pow, Math.multiplyExact(20L, lcmAll))
     }
     val res = ranks.vertices.join(g.vertices.map(identity))
-      .map { case (_, (n, soul)) => (soul, n) }
+      .map { case (_, ((_, n), soul)) => (soul, n) }
       .toDF("soul", "rank_q")
     val out = materializeAndRelease(res, e, owns, g, ranks)
     if (prev != null) prev.unpersist(blocking = false)

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * the earlier round(double·20⁵) recovery held while fp noise ≪ 0.5, but
   * broke by exactly 1 at sf1 under a 30%-hot-vertex degree distribution
   * (different summation orders across 450k incoming edges — SCALE_r6 §2);
-  * integer arithmetic is order-free at any scale.
+  * integer arithmetic is order-free at any scale. The lattice is no
+  * longer forest-only: `graph_pagerank_general` runs it on a multi-out-
+  * degree graph (order→part, degrees 1..4) with per-edge integral
+  * weights L/d(u), L = lcm of out-degrees, scale (20L)^k.
   */
 object GraphQueries {
 
@@ -45,7 +48,31 @@ object GraphQueries {
     // same output values where the double form was within its margin, so
     // sf0.01/sf0.1 hashes are unchanged.
     "graph_pagerank" -> ((s, dir) =>
-      Analytics.pageRankLattice(s, edges(s, dir), iters = 5))
+      Analytics.pageRankLattice(s, edges(s, dir), iters = 5)),
+
+    // PageRank on a GENERAL graph (out-degree > 1): order→part edges from
+    // lineitem, capped STRUCTURALLY at each order's 4 lexicographically-
+    // first parts (row_number over dst — deterministic: pairs are
+    // distinct, so the sort has no ties) so out-degrees stay in {1..4}
+    // and the lattice scale (20·lcm)^5 ≤ 240^5 ≈ 8·10^11 leaves ~10^6×
+    // Long headroom AT ANY sf (a linenumber filter would not bound it:
+    // the driver's linenumbers repeat within an order). Exercises the
+    // L = lcm(out-degrees) generalization of pageRankLattice — the
+    // weight 1/outdeg is no longer identically 1.
+    "graph_pagerank_general" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(
+          concat(lit("order:"), col("l_orderkey").cast("string")).as("src"),
+          concat(lit("part:"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      val e = pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))))
+        .filter(col("rn") <= 4)
+        .select(col("src"), lit("has_part").as("field"), col("dst"))
+      Analytics.pageRankLattice(s, e, iters = 5)
+    })
   )
 
   /** One power-iteration step of the lattice recurrence in SQL, all
@@ -61,7 +88,59 @@ object GraphQueries {
           FROM pr_edges e JOIN $prev p ON p.soul = e.src
           GROUP BY e.dst) m USING (soul)"""
 
+  /** One power-iteration step of the GENERAL lattice recurrence in SQL:
+    * n_{k+1} = 3·L·S_k + 17 · Σ_{u→v} n_k(u)·(L/d(u)), with L from the
+    * `lv` CTE (lcm-fold over distinct out-degrees), S_k from `spows`
+    * ((20L)^k, built by recursion — no double-typed power()), and the
+    * integral per-edge weight L/d(u) from `we`. All BIGINT.
+    */
+  private def prStepW(prev: String, k: Int): String =
+    s"""SELECT v.soul,
+           CAST(3 * (SELECT l FROM lv) * (SELECT s FROM spows WHERE k = $k)
+                + 17 * COALESCE(m.s, 0) AS BIGINT) AS n
+        FROM verts v LEFT JOIN (
+          SELECT e.dst AS soul, CAST(SUM(p.n * e.w) AS BIGINT) AS s
+          FROM we e JOIN $prev p ON p.soul = e.src
+          GROUP BY e.dst) m USING (soul)"""
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank_general" ->
+      s"""WITH RECURSIVE pr_edges AS (
+            SELECT src, dst FROM (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+              FROM (SELECT DISTINCT
+                      'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+                      'part:' || CAST(l_partkey AS VARCHAR) AS dst
+                    FROM lineitem))
+            WHERE rn <= 4),
+          verts AS (
+            SELECT DISTINCT soul FROM (
+              SELECT src AS soul FROM pr_edges
+              UNION ALL SELECT dst FROM pr_edges)),
+          deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+                  FROM pr_edges GROUP BY src),
+          dd AS (SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+                 FROM (SELECT DISTINCT d FROM deg)),
+          fold AS (
+            SELECT i, d AS l FROM dd WHERE i = 1
+            UNION ALL
+            SELECT dd.i, lcm(fold.l, dd.d) FROM fold JOIN dd ON dd.i = fold.i + 1),
+          lv AS (SELECT CAST(l AS BIGINT) AS l FROM fold ORDER BY i DESC LIMIT 1),
+          spows AS (
+            SELECT 0 AS k, CAST(1 AS BIGINT) AS s
+            UNION ALL
+            SELECT k + 1, CAST(s * 20 * (SELECT l FROM lv) AS BIGINT)
+            FROM spows WHERE k < 4),
+          we AS (SELECT e.src, e.dst, (SELECT l FROM lv) / d.d AS w
+                 FROM pr_edges e JOIN deg d ON d.src = e.src),
+          r0 AS (SELECT soul, CAST(1 AS BIGINT) AS n FROM verts),
+          r1 AS (${prStepW("r0", 0)}),
+          r2 AS (${prStepW("r1", 1)}),
+          r3 AS (${prStepW("r2", 2)}),
+          r4 AS (${prStepW("r3", 3)}),
+          r5 AS (${prStepW("r4", 4)})
+          SELECT soul, n AS rank_q FROM r5""",
     "graph_pagerank" ->
       s"""WITH pr_edges AS (
             SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS src,

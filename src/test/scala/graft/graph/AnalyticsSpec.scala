@@ -28,6 +28,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(pr.length == 5 && pr.forall(_.getDouble(1) > 0))
   }
 
+  test("lattice pagerank on a forest matches the 20^k recurrence") {
+    // chain a→b→c: out-degrees all ≤1, so L=1 and the scale is 20^k.
+    // By hand (2 iters): n1 = {a:3, b:20, c:20}·… — concretely
+    // n1(v) = 3 + 17·Σ n0(u): a=3, b=20, c=20; pow=20, base=60:
+    // n2(a)=60, n2(b)=60+17·3=111, n2(c)=60+17·20=400.
+    val pr = Analytics.pageRankLattice(spark, edges.filter("src != 'x'"), iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pr == Set(("a", 60L), ("b", 111L), ("c", 400L)))
+  }
+
+  test("lattice pagerank generalizes to out-degree > 1 (L = lcm of degrees)") {
+    import spark.implicits._
+    // a→{b,c}, b→c: degrees a=2, b=1 → L=2, scale (20·2)^k. By hand:
+    // weights a→*: L/2=1, b→c: L/1=2. iter1 (base 3L=6): a=6, b=6+17·1=23,
+    // c=6+17·(1+2)=57 — i.e. ranks 0.15, 0.575, 1.425 over 40.
+    // iter2 (base 3L·40=240): a=240, b=240+17·6=342, c=240+17·(6+46)=1124.
+    val multi = Seq(("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c"))
+      .toDF("src", "field", "dst")
+    val pr = Analytics.pageRankLattice(spark, multi, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pr == Set(("a", 240L), ("b", 342L), ("c", 1124L)))
+  }
+
   test("triangle counts: one triangle plus a dangling edge") {
     import spark.implicits._
     // triangle a-b-c (mixed edge directions — must canonicalize to
