@@ -561,6 +561,157 @@ object Similarity {
     out
   }
 
+  /** Assign every quantized vector to its nearest centroid on the dim
+    * slice [off, off+len): the per-subspace form of [[kmeansAssign]]'s
+    * kernel (same integer squared-L2, same lowest-id tiebreak), against
+    * a broadcast centroid array. Map-side only — no shuffle.
+    */
+  private def assignSlice(quant: DataFrame, cents: Array[(Long, Array[Long])],
+                          off: Int, len: Int): DataFrame = {
+    val spark = quant.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    quant.select(col("vec_id").cast("long"), col("q"))
+      .as[(Long, Array[Long])].mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, q) =>
+          var bestId = -1L
+          var bestDist = Long.MaxValue
+          cs.foreach { case (cid, cq) =>
+            var s = 0L
+            var d = 0
+            val n = math.min(math.min(len, math.max(0, q.length - off)), cq.length)
+            while (d < n) { val df = q(off + d) - cq(d); s += df * df; d += 1 }
+            if (s < bestDist || (s == bestDist && cid < bestId)) {
+              bestDist = s; bestId = cid
+            }
+          }
+          (id, bestId)
+        }
+      }.toDF("vec_id", "code")
+  }
+
+  /** Floor-average centroid update on the dim slice [off, off+len) —
+    * [[kmeansAssign]]'s update restricted to a subspace. Returns the
+    * k×len integer centroid table (empty clusters drop out, mirrored in
+    * the oracle). Sums < 2^53, so the double divide + floor is exact and
+    * engine-independent.
+    */
+  private def centUpdateSlice(quant: DataFrame, assign: DataFrame,
+                              off: Int, len: Int): Array[(Long, Array[Long])] =
+    quant.join(assign, "vec_id")
+      .select(col("code"), posexplode(slice(col("q"), off + 1, len)))
+      .toDF("code", "dim", "qv")
+      .groupBy("code", "dim")
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long")
+        .as("cd"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        val arr = new Array[Long](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        (cid, arr)
+      }
+      .toArray.sortBy(_._1)
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search" — public method; FAISS's IVFPQ is the
+    * canonical implementation): split each vector into `m` subspaces,
+    * k-means each subspace independently (init = first k ids, one Lloyd
+    * update — the [[kmeansAssign]] convention), and represent every
+    * vector by its m centroid codes. Distance between two vectors is
+    * then approximated SYMMETRICALLY (SDC) as Σ_s dtab_s[code_a][code_b]
+    * where dtab_s is the k×k table of integer squared-L2 distances
+    * between subspace-s centroids — a driver-side index parameter of
+    * m·k² cells, like the IVF centroid table.
+    *
+    * Scale shape — the point of PQ at 100 TB: the corpus is stored as
+    * m small ints per vector (codes), NOT floats; candidate scoring
+    * never touches raw vectors. The probe→corpus scoring here is an
+    * EQUI-join: corpus codes explode to (vec_id, s, code) and join the
+    * broadcast probe-side partial-distance table (probe, s, code) →
+    * partial on (s, code), then one hash aggregation sums the m partials
+    * per (probe, vec_id). No cartesian, no BNLJ — PlanHygieneSpec-clean.
+    * Every quantity is integer-exact (per-subspace sums ≤ 16·(2^22)² <
+    * 2^48, total < 2^50), so the ranking is engine-independent and the
+    * oracle reproduces it bit-for-bit.
+    *
+    * Returns (probe_id, vec_id, pq_dist, rank) — `topK` nearest corpus
+    * vectors per probe (probes = the first `probes` vec_ids, excluded
+    * from their own result lists), ranked by (pq_dist, vec_id).
+    */
+  def pqTopK(vectors: DataFrame, m: Int, k: Int,
+             probes: Int, topK: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
+    val dims = quant.select(size(col("q"))).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+
+    // per-subspace: init from the first k ids, one Lloyd update, code
+    // assignment, and the k×k centroid-centroid distance table
+    val perSub = (0 until m).map { s =>
+      val off = s * sub
+      import spark.implicits._
+      val c0 = quant.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("long"),
+          slice(col("q"), off + 1, sub))
+        .as[(Long, Array[Long])].collect().sortBy(_._1)
+      val a0 = assignSlice(quant, c0, off, sub)
+      val c1 = centUpdateSlice(quant, a0, off, sub)
+      val codes = assignSlice(quant, c1, off, sub)
+        .withColumnRenamed("code", s"code_$s")
+      val dtab = for {
+        (ci, qi) <- c1
+        (cj, qj) <- c1
+      } yield {
+        var d = 0L
+        var t = 0
+        while (t < math.min(qi.length, qj.length)) {
+          val df = qi(t) - qj(t); d += df * df; t += 1
+        }
+        (s, ci, cj, d)
+      }
+      (codes, dtab)
+    }
+
+    // corpus codes (vec_id, s, code) — the PQ-compressed corpus
+    val wide = perSub.map(_._1).reduce(_.join(_, "vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codeArr = array((0 until m).map(s => col(s"code_$s")): _*)
+    val corpus = wide.select(col("vec_id"), posexplode(codeArr))
+      .toDF("vec_id", "s", "code")
+
+    // probe-side partial-distance table: for each probe p and subspace s,
+    // dtab_s[pcode_s][·] keyed by the corpus code — probes×m×k rows,
+    // broadcast-sized by construction
+    import spark.implicits._
+    val dtabDf = perSub.flatMap(_._2)
+      .toSeq.toDF("s", "pcode", "code", "partial")
+    val probeCodes = wide.filter(col("vec_id") < probes)
+      .select(col("vec_id").as("probe_id"), posexplode(codeArr))
+      .toDF("probe_id", "s", "pcode")
+    val probeTab = broadcast(
+      probeCodes.join(dtabDf, Seq("s", "pcode"))
+        .select(col("probe_id"), col("s"), col("code"), col("partial")))
+
+    val dist = corpus.join(probeTab, Seq("s", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("partial")).as("pq_dist"))
+    val ranked = dist
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("pq_dist"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("vec_id"), col("pq_dist"),
+        col("rank").cast("long").as("rank"))
+    val out = Caching.materializeAndRelease(ranked, wide)
+    if (ownsQuant) quant.unpersist(blocking = false)
+    out
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public method): k-means clustering IS the
     * blocking. Near-duplicate pairs are scored only WITHIN a cluster, so

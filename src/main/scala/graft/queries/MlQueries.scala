@@ -260,6 +260,15 @@ object MlQueries {
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kmeansAssign(tbl(s, dir, "embeddings"), k = 8, iters = 1)),
 
+    // Product-quantization ANN (the FAISS-style scale path): 4 subspaces
+    // × 8 centroids, symmetric (SDC) code-to-code distances, top-10 per
+    // probe. Completes the ANN family (brute / LSH / IVF / PQ). The
+    // oracle replays the per-subspace clustering and the m·k² distance
+    // table integer-for-integer.
+    "emb_pq_ann" -> ((s, dir) =>
+      Similarity.pqTopK(tbl(s, dir, "embeddings"),
+        m = 4, k = 8, probes = 5, topK = 10)),
+
     // SemDeDup (cluster-blocked semantic dedup): k-means is the blocking,
     // near-dup cosine scored only within a cluster, keep the lowest id.
     // One flag per vector; the oracle reruns the identical integer-exact
@@ -411,6 +420,82 @@ object MlQueries {
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
               FROM d1) WHERE rn = 1)"""
+
+  /** One PQ subspace's CTE block: the [[kmeansA1Ctes]] pipeline (init =
+    * first k ids, one Lloyd update, final assignment) restricted to the
+    * dim slice [off+1, off+sub], plus the k×k symmetric centroid
+    * distance table `dt_s` — integer-for-integer what
+    * `Similarity.pqTopK` computes per subspace.
+    */
+  private def pqSubCtes(s: Int, off: Int, sub: Int, k: Int): String =
+    s"""sq$s AS (SELECT vec_id, q[${off + 1}:${off + sub}] AS sq FROM quant),
+        c0_$s AS (SELECT vec_id AS cid, sq AS cq FROM sq$s WHERE vec_id < $k),
+        d0_$s AS (
+          SELECT v.vec_id, c.cid,
+                 SUM((v.sq[d+1] - c.cq[d+1]) * (v.sq[d+1] - c.cq[d+1])) AS dist
+          FROM sq$s v, c0_$s c, generate_series(0, ${sub - 1}) t(d)
+          WHERE d < len(v.sq)
+          GROUP BY 1, 2),
+        a0_$s AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d0_$s) WHERE rn = 1),
+        c1_$s AS (
+          SELECT a.cid, d AS dim,
+                 CAST(floor(CAST(SUM(v.sq[d+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+          FROM sq$s v JOIN a0_$s a ON a.vec_id = v.vec_id,
+               generate_series(0, ${sub - 1}) t(d)
+          WHERE d < len(v.sq)
+          GROUP BY 1, 2),
+        d1_$s AS (
+          SELECT v.vec_id, c.cid,
+                 SUM((v.sq[CAST(c.dim AS INTEGER)+1] - c.cd)
+                   * (v.sq[CAST(c.dim AS INTEGER)+1] - c.cd)) AS dist
+          FROM sq$s v JOIN c1_$s c ON c.dim < len(v.sq)
+          GROUP BY 1, 2),
+        a1_$s AS (
+          SELECT vec_id, cid AS code FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d1_$s) WHERE rn = 1),
+        dt_$s AS (
+          SELECT i.cid AS ci, j.cid AS cj,
+                 SUM((i.cd - j.cd) * (i.cd - j.cd)) AS dd
+          FROM c1_$s i JOIN c1_$s j ON i.dim = j.dim
+          GROUP BY 1, 2)"""
+
+  /** The full `emb_pq_ann` oracle: 4 × [[pqSubCtes]], the code join, and
+    * the SDC rank (top-10 per probe by (pq_dist, vec_id), self excluded).
+    */
+  private lazy val pqAnnSql = {
+    val m = 4; val sub = 16; val k = 8; val nProbes = 5; val topK = 10
+    val subCtes = (0 until m).map(s => pqSubCtes(s, s * sub, sub, k))
+      .mkString(",\n        ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN a1_$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"a1_$s.code AS k$s").mkString(", ")
+    val dtJoins = (0 until m).map(s =>
+      s"JOIN dt_$s t$s ON t$s.ci = p.k$s AND t$s.cj = v.k$s").mkString("\n          ")
+    val distSum = (0 until m).map(s => s"t$s.dd").mkString(" + ")
+    s"""WITH quant AS ($quantSql),
+        $subCtes,
+        codes AS (
+          SELECT a1_0.vec_id, $codeCols
+          FROM a1_0 $codeJoins),
+        pr AS (SELECT * FROM codes WHERE vec_id < $nProbes),
+        dist AS (
+          SELECT p.vec_id AS probe_id, v.vec_id, $distSum AS pq_dist
+          FROM pr p JOIN codes v ON v.vec_id <> p.vec_id
+          $dtJoins)
+        SELECT probe_id, vec_id, CAST(pq_dist AS BIGINT) AS pq_dist,
+               CAST(rank AS BIGINT) AS rank FROM (
+          SELECT probe_id, vec_id, pq_dist,
+                 row_number() OVER (
+                   PARTITION BY probe_id ORDER BY pq_dist, vec_id) AS rank
+          FROM dist)
+        WHERE rank <= $topK"""
+  }
 
   /** [[quantSql]] keyed by label instead of vec_id (centroid aggregation). */
   private val quantSql2 =
@@ -660,6 +745,7 @@ object MlQueries {
     "emb_kmeans" ->
       s"""WITH $kmeansA1Ctes
           SELECT vec_id, cluster FROM a1""",
+    "emb_pq_ann" -> pqAnnSql,
     "emb_semantic_dedup" ->
       s"""WITH $kmeansA1Ctes,
           dropped AS (

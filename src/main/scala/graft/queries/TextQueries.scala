@@ -351,8 +351,92 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
       graft.operators.Caching.materializeAndRelease(res, shingled)
+    }),
+
+    // PII scrubbing — the redaction pass every training-data pipeline
+    // runs before anything else. The corpus is synthetic (no real PII),
+    // so the query INJECTS deterministic addresses/numbers first
+    // (fixture-in-query, same convention as mm_* and gun_*), then
+    // redacts with patterns drawn from the Java∩RE2 regex subset
+    // (char classes, +, {m,}, no lookaround — identical semantics in
+    // Spark's Java regex and DuckDB's RE2; Spark regexp_replace is
+    // replace-all by default, the oracle passes the 'g' flag).
+    // Pure per-row map work — no shuffle; at 100 TB this is the
+    // cheapest pass in the pipeline and must stay scan-shaped.
+    "doc_pii_scrub" -> ((s, dir) => {
+      val body = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or admin@test.org now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val clean = regexp_replace(
+        regexp_replace(body, PiiEmailPat, "<EMAIL>"),
+        PiiPhonePat, "<PHONE>")
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(body, lit(PiiEmailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(body, lit(PiiPhonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean).as("clean_hash"))
+    }),
+
+    // Count-min-sketch heavy hitters — the frequency-sketch member of
+    // the sketch family (MinHash = set resemblance, SimHash = vector
+    // similarity, CMS = frequency). d=4 rows × w=64 buckets, bucket =
+    // md5-derived 60-bit hash mod w (integer-exact, the repo's standard
+    // cross-engine hash). The sketch is O(d·w) cells AFTER map-side
+    // combine — the point at 100 TB: term frequencies without a
+    // vocabulary-wide shuffle; only the fixed probe set (a driver-side
+    // literal, broadcast) is ever looked up. est = min over rows of the
+    // probed bucket (classic CMS upper bound); the true count (a
+    // filtered, probe-only aggregation — small by construction) rides
+    // along so the overestimate bias is visible in the output.
+    "doc_countmin_heavy" -> ((s, dir) => {
+      import s.implicits._
+      val h = (r: Int, c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(concat(lit(s"cm:$r:"), c)), 1, 15), 16, 10)
+          .cast("long") % CmWidth
+      val buckets = (c: org.apache.spark.sql.Column) =>
+        array((0 until CmDepth).map(r => h(r, c)): _*)
+      val toks = tbl(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+      val sketch = toks
+        .select(posexplode(buckets(col("tok"))))
+        .toDF("r", "bucket")
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      val probes = CmProbes.toDF("term")
+        .select(col("term"), posexplode(buckets(col("term"))))
+        .toDF("term", "r", "bucket")
+      val est = probes.join(sketch, Seq("r", "bucket"), "left")
+        .groupBy("term")
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+      val truth = toks.filter(col("tok").isInCollection(CmProbes))
+        .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+        .withColumnRenamed("tok", "term")
+      est.join(truth, Seq("term"), "left")
+        .select(col("term"), col("est_count"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"))
     })
   )
+
+  /** Java∩RE2 PII patterns (shared verbatim with the oracle). */
+  private val PiiEmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhonePat = "555-[0-9]{4}"
+
+  /** CMS geometry + fixed probe set (drawn from the fixture vocabulary
+    * plus two absent terms so the 0-estimate path is exercised).
+    */
+  private val CmDepth = 4
+  private val CmWidth = 64
+  private val CmProbes = Seq("spark", "table", "row", "value", "scan",
+    "key", "agg", "fast", "slow", "batch", "window", "merge", "join",
+    "filter", "data", "column", "query", "the", "zzz-absent", "qqq-absent")
 
   private val tokensSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -366,6 +450,60 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "doc_pii_scrub" ->
+      s"""WITH body AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com or admin@test.org now'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                        THEN ' call 555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS b
+            FROM documents),
+          clean AS (
+            SELECT doc_id, b,
+                   regexp_replace(regexp_replace(b,
+                     '$PiiEmailPat', '<EMAIL>', 'g'),
+                     '$PiiPhonePat', '<PHONE>', 'g') AS c
+            FROM body)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(b, '$PiiEmailPat')) AS BIGINT)
+                   AS n_emails,
+                 CAST(len(regexp_extract_all(b, '$PiiPhonePat')) AS BIGINT)
+                   AS n_phones,
+                 CAST(length(c) AS BIGINT) AS clean_len,
+                 md5(c) AS clean_hash
+          FROM clean""",
+    "doc_countmin_heavy" -> {
+      val probeValues = CmProbes.map(p => s"('$p')").mkString(", ")
+      val probeIn = CmProbes.map(p => s"'$p'").mkString(", ")
+      s"""WITH toks AS (SELECT unnest($tokensSql) AS tok FROM documents),
+          cells AS (
+            SELECT r, ${strHashSql("'cm:' || CAST(r AS VARCHAR) || ':' || tok")}
+                     % $CmWidth AS bucket
+            FROM toks, generate_series(0, ${CmDepth - 1}) t(r)),
+          sketch AS (
+            SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2),
+          probes(term) AS (VALUES $probeValues),
+          pb AS (
+            SELECT term, r,
+                   ${strHashSql("'cm:' || CAST(r AS VARCHAR) || ':' || term")}
+                     % $CmWidth AS bucket
+            FROM probes, generate_series(0, ${CmDepth - 1}) t(r)),
+          est AS (
+            SELECT term, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+            FROM pb LEFT JOIN sketch s USING (r, bucket) GROUP BY term),
+          truth AS (
+            SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM toks WHERE tok IN ($probeIn) GROUP BY 1)
+          SELECT e.term, e.est_count,
+                 CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count
+          FROM est e LEFT JOIN truth t USING (term)"""
+    },
     "doc_repetition" ->
       s"""WITH ex AS (
             SELECT doc_id,
