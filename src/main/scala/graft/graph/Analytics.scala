@@ -148,10 +148,10 @@ object Analytics {
     val (e, owns) = persistEdges(edges)
     val g = fromEdges(e)
     // out-degree per vertex (one aggregateMessages pass), then L = lcm of
-    // the distinct degrees — a reduce over ≤ |distinct degrees| values,
-    // never a driver collect of the degree table itself.
+    // the degrees — folded directly (no distinct shuffle: lcm(a, a) = a,
+    // so duplicates are free), never a driver collect of the degree table.
     val degRdd = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), Math.addExact)
-    val lcmAll = degRdd.map(_._2).distinct().fold(1L)(lcmExact)
+    val lcmAll = degRdd.map(_._2).fold(1L)(lcmExact)
     var pow = 1L // S_k = (20·L)^k
     // vertex attr: (out-degree, numerator)
     var ranks: Graph[(Long, Long), String] =
