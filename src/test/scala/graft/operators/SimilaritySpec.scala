@@ -85,6 +85,36 @@ class SimilaritySpec extends SparkSuite {
     assert(res.filter(_._2 == 1L).keySet == Set(100L, 101L))
   }
 
+  test("pqTopK: an exact copy sits at SDC distance zero in a full ranking") {
+    // 20 base vectors plus an exact copy of vector 7 at id 100: the copy
+    // quantizes to the SAME m codes, so its symmetric (SDC) distance to
+    // vector 7 is exactly 0. Other vectors may ALSO collide into 7's
+    // codes (k=4 books over 21 vectors — coarse by design) and dist-0
+    // ties rank by vec_id, so the robust claims are membership + the
+    // zero distance, not "heads the list". topK ≥ corpus keeps every
+    // neighbor visible.
+    val base = (0L until 20L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 37 + d * 11) % 101) - 50).toFloat / 51f))
+    }
+    val df = (base :+ (100L -> base(7)._2)).toDF("vec_id", "embedding")
+    val res = Similarity.pqTopK(df, m = 4, k = 4, probes = 8, topK = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val probe7 = res.filter(_._1 == 7L).sortBy(_._4)
+    assert(probe7.length == 20)                      // everyone but self
+    val copyRow = probe7.find(_._2 == 100L).get
+    assert(copyRow._3 == 0L)                         // SDC(v, copy) = 0
+    assert(res.forall(t => t._1 != t._2))            // self excluded
+    // every probe's ranks are 1..n with nondecreasing distance, and
+    // dist-0 ties are ordered by vec_id (the deterministic layout)
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+      val zeros = sorted.takeWhile(_._3 == 0L)
+      assert(zeros.map(_._2).toSeq == zeros.map(_._2).sorted.toSeq)
+    }
+  }
+
   test("autoLshBits holds per-bucket occupancy flat as the corpus grows") {
     // the SCALE rule: n/2^bits stays in [target/2, target] once n is
     // large enough to clear the NumPlanes floor
