@@ -88,6 +88,27 @@ object RelationalQueries {
         .select(col("l_suppkey"), col("rn").cast("long").as("rn"), col("running_qty"))
     }),
 
+    // RANGE-frame window (value-based frame, the one frame flavor the
+    // surface lacked): per customer, the count and cents-sum of their
+    // orders falling in the 30 days up to each order's date. RANGE
+    // frames are tie-inclusive (all peers of the current ORDER BY value
+    // join the frame), so the result is set-determined — no ordering
+    // ambiguity — and the sums are integer cents, so the aggregation is
+    // order-free. Same shuffle shape as any window: one exchange on the
+    // partition key.
+    "q_window_range" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+        count(lit(1)).over(w).as("n_last30"),
+        sum(col("price_c")).over(w).as("sum_last30"))
+    }),
+
     // Ranking top-k per group: 3 priciest parts per brand.
     "q_topk_brand" -> ((s, dir) => {
       val w = Window.partitionBy(col("p_brand"))
@@ -312,6 +333,17 @@ object RelationalQueries {
            FROM lineitem
            WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
          WHERE rn <= 5""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, day,
+                CAST(COUNT(*) OVER w AS BIGINT) AS n_last30,
+                CAST(SUM(price_c) OVER w AS BIGINT) AS sum_last30
+         FROM (SELECT o_custkey, o_orderkey,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                      CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+               FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
     "q_topk_brand" ->
       """SELECT p_brand, rk, p_partkey, price_c FROM (
            SELECT p_brand, p_partkey,
