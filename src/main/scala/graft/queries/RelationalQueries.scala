@@ -264,6 +264,30 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("prev_click_us"))
     }),
 
+    // Range (interval) join with NO equi key — 100 staggered 6-hour
+    // windows (7-hour stride, fixture-in-query) against the event
+    // stream, via RangeJoin.joinPointInInterval: intervals explode to
+    // the time bins they cover, events bin map-side, EQUI-join on the
+    // bin, exact containment re-checked. Spark's native plan for a pure
+    // range predicate is the all-pairs BNLJ PlanHygieneSpec bans; the
+    // binned form is a plain hash join at any scale. Counts + integer
+    // cents per window keep the aggregation order-free.
+    "q_events_range_join" -> ((s, dir) => {
+      val stride = 7L * 3600 * 1000000
+      val width = 6L * 3600 * 1000000
+      val base = 1704067200000000L // 2024-01-01T00:00:00Z, epoch micros
+      val wins = s.range(0, 100).select(
+        col("id").as("win_id"),
+        (lit(base) + col("id") * stride).as("w_start"),
+        (lit(base) + col("id") * stride + width).as("w_end"))
+      val ev = events(s, dir).select(col("state_us"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      graft.operators.RangeJoin
+        .joinPointInInterval(ev, "state_us", wins, "w_start", "w_end", width)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("value_c")).as("sum_value_c"))
+    }),
+
     // Sessionization: 30-min inactivity gap, per-user session count (lag +
     // cumulative-sum gap detection — the scalable batch formulation).
     "q_events_sessions" -> ((s, dir) => {
@@ -432,6 +456,19 @@ object RelationalQueries {
                   event_type
            FROM events)
          GROUP BY 1, 2""",
+    "q_events_range_join" ->
+      """WITH wins AS (
+           SELECT i AS win_id,
+                  1704067200000000 + i * 25200000000 AS w_start,
+                  1704067200000000 + i * 25200000000 + 21600000000 AS w_end
+           FROM range(0, 100) t(i)),
+         ev AS (SELECT epoch_us(ts) AS state_us,
+                       CAST(floor(value * 100) AS BIGINT) AS value_c
+                FROM events)
+         SELECT win_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+         FROM wins JOIN ev ON state_us >= w_start AND state_us < w_end
+         GROUP BY win_id""",
     "q_events_asof" ->
       """SELECT event_id, user_id, prev_click_us FROM (
            SELECT event_id, user_id, event_type,
