@@ -423,11 +423,127 @@ object TextQueries {
         .select(col("term"), col("est_count"),
           coalesce(col("true_count"), lit(0L)).as("true_count"))
     })
+    ,
+
+    // HyperLogLog distinct-count — the CARDINALITY member of the sketch
+    // family (MinHash resemblance / SimHash similarity / CMS frequency /
+    // HLL cardinality / Bloom membership), over the corpus's 8-token
+    // SHINGLE hashes (tens of thousands distinct — the vocabulary is ~30
+    // words, not worth sketching). 64 registers; register = low 6 bits
+    // of the md5-derived 60-bit shingle hash, rank = 1 + trailing zeros
+    // of the remaining bits (bin()/rtrim string arithmetic — identical
+    // builtins on both engines), capped at 31 so every 2^x below fits a
+    // BIGINT exactly. The estimate stays on an integer lattice:
+    // S = Σ 2^(maxM − Mj) over all 64 registers (exact shifts,
+    // order-free), est_q = (709·m²·2^maxM) div S — Flajolet's
+    // α_64·m²/Σ2^−M scaled by 1000, floor division. The small-range
+    // branch (V = zero registers > 0 and raw E < 2.5m) switches to
+    // linear counting m·ln(m/V); its 64 possible values are PRECOMPUTED
+    // in Scala and embedded as the same integer table in both engines,
+    // so the fp logarithm never crosses the engine boundary. Scale
+    // shape: one map-side hash pass + a 64-group max — the sketch IS
+    // the shuffle payload; true distinct (a full shuffle) rides along
+    // for the bias check only.
+    "doc_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val ex = tbl(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 7),
+          i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("gram"))
+        .select(h(col("gram")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val regs = ex
+        .select((col("g") % 64).as("j"), shiftright(col("g"), 6).as("w"))
+        .withColumn("tz",
+          length(bin(col("w"))) - length(rtrim(bin(col("w")), "0")))
+        .withColumn("rank",
+          when(col("w") === 0, lit(31L))
+            .otherwise(least(lit(31L), lit(1L) + col("tz"))))
+        .groupBy("j").agg(max(col("rank")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val m = (0L until 64L).map(j => regs.getOrElse(j, 0L))
+      val mMax = m.max
+      val sScaled = m.map(mj => 1L << (mMax - mj)).sum
+      val estQ = (709L * 64 * 64 * (1L << mMax)) / sScaled
+      val vZero = m.count(_ == 0L).toLong
+      val estFinal =
+        if (vZero > 0 && estQ < 2500L * 64) HllLinTable(vZero.toInt) else estQ
+      val nTrue = ex.agg(countDistinct(col("g"))).head.getLong(0)
+      ex.unpersist(blocking = false)
+      Seq((mMax, sScaled, estQ, vZero, estFinal, nTrue))
+        .toDF("m_max", "s_scaled", "est_q", "v_zero", "est_final_q",
+          "true_distinct")
+    }),
+
+    // Bloom-filter membership probe — the shape of shuffle-free
+    // decontamination at 100 TB: the test set's 8-token shingles are
+    // folded into a 16384-bit, 4-hash Bloom filter (distinct set bits —
+    // bounded by the bit width, a driver-side index parameter like the
+    // centroid tables), and every training shingle probes it MAP-SIDE via
+    // array_contains on the broadcast literal — no shuffle touches the
+    // corpus until the tiny per-doc count aggregation. The exact
+    // semi-join count rides along, so the output exposes the filter's
+    // false-positive overcount per doc (n_maybe ≥ n_true always; the
+    // fp rate is the Bloom tradeoff being demonstrated).
+    "doc_bloom_probe" -> ((s, dir) => {
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val hb = (i: Int, g: org.apache.spark.sql.Column) =>
+        conv(substring(md5(concat(lit(s"bl:$i:"), g.cast("string"))), 1, 15),
+          16, 10).cast("long") % BloomBits
+      val sh = tbl(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("toks")) - 7),
+            i => concat_ws(" ", slice(col("toks"), i, lit(8)))).as("grams"))
+        .select(col("doc_id"),
+          array_distinct(transform(col("grams"), g => h(g))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val test = ex.filter(col("doc_id") < 20)
+      val bits = test
+        .select(explode(array(
+          (0 until BloomHashes).map(i => hb(i, col("g"))): _*)).as("b"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val testSet = test.select(col("g")).distinct()
+      val probe = ex.filter(col("doc_id") >= 20)
+        .withColumn("maybe",
+          (0 until BloomHashes)
+            .map(i => array_contains(lit(bits), hb(i, col("g"))))
+            .reduce(_ && _).cast("long"))
+      val res = probe
+        .join(testSet.withColumn("hit", lit(1L)), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("maybe")).as("n_maybe"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_true"))
+      graft.operators.Caching.materializeAndRelease(res, sh)
+    })
   )
 
   /** Java∩RE2 PII patterns (shared verbatim with the oracle). */
   private val PiiEmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PiiPhonePat = "555-[0-9]{4}"
+
+  /** Linear-counting table for the HLL small-range branch:
+    * floor(1000·64·ln(64/V)) for V ∈ 1..64, computed ONCE here and
+    * embedded verbatim in both the Spark result (driver arithmetic) and
+    * the generated oracle SQL — the logarithm never crosses the engine
+    * boundary, so the lattice rule holds even on the fp branch.
+    */
+  private val HllLinTable: Map[Int, Long] =
+    (1 to 64).map(v =>
+      v -> math.floor(1000.0 * 64 * math.log(64.0 / v)).toLong).toMap
+
+  /** Bloom geometry: 16384 bits × 4 hashes — sized so the ~1k-shingle
+    * test set loads the filter to ~23% (fp ≈ 0.3%), visible but small.
+    */
+  private val BloomBits = 16384
+  private val BloomHashes = 4
 
   /** CMS geometry + fixed probe set (drawn from the fixture vocabulary
     * plus two absent terms so the 0-estimate path is exercised).
@@ -550,6 +666,76 @@ object TextQueries {
           FROM (SELECT doc_id,
                   ${strHashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
                 FROM documents)""",
+    "doc_hll_distinct" -> {
+      val linValues = (1 to 64)
+        .map(v => s"($v, ${HllLinTable(v)})").mkString(", ")
+      s"""WITH hs AS (
+            SELECT ${strHashSql("g")} AS h FROM (
+              SELECT unnest(list_transform(
+                       list_transform(
+                         generate_series(1, len($tokensSql) - 7),
+                         i -> array_to_string($tokensSql[i:i+7], ' ')),
+                       x -> x)) AS g
+              FROM documents WHERE len($tokensSql) >= 8)),
+          rr AS (SELECT h % 64 AS j, h >> 6 AS w FROM hs),
+          rk AS (SELECT j,
+                   CASE WHEN w = 0 THEN 31
+                        ELSE LEAST(31, 1 + (length(bin(w))
+                               - length(rtrim(bin(w), '0')))) END AS rank
+                 FROM rr),
+          regs AS (SELECT i AS j, CAST(COALESCE(mx, 0) AS BIGINT) AS m
+                   FROM range(0, 64) t(i)
+                   LEFT JOIN (SELECT j, MAX(rank) AS mx FROM rk GROUP BY j) r
+                     ON r.j = i),
+          ag AS (SELECT CAST(MAX(m) AS BIGINT) AS m_max,
+                        CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS v_zero
+                 FROM regs),
+          sq AS (SELECT CAST(SUM(1::BIGINT << CAST((SELECT m_max FROM ag) - m AS INTEGER))
+                   AS BIGINT) AS s_scaled FROM regs),
+          lin(v, lq) AS (VALUES $linValues),
+          est AS (SELECT CAST((709 * 64 * 64
+                     * (1::BIGINT << CAST((SELECT m_max FROM ag) AS INTEGER)))
+                     // (SELECT s_scaled FROM sq) AS BIGINT) AS est_q)
+          SELECT (SELECT m_max FROM ag) AS m_max,
+                 (SELECT s_scaled FROM sq) AS s_scaled,
+                 (SELECT est_q FROM est) AS est_q,
+                 (SELECT v_zero FROM ag) AS v_zero,
+                 CAST(CASE WHEN (SELECT v_zero FROM ag) > 0
+                            AND (SELECT est_q FROM est) < 2500 * 64
+                      THEN (SELECT lq FROM lin WHERE v = (SELECT v_zero FROM ag))
+                      ELSE (SELECT est_q FROM est) END AS BIGINT) AS est_final_q,
+                 (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM hs)
+                   AS true_distinct""" },
+    "doc_bloom_probe" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     list_transform(
+                       generate_series(1, len($tokensSql) - 7),
+                       i -> array_to_string($tokensSql[i:i+7], ' ')),
+                     g -> ${strHashSql("g")}))) AS g
+            FROM documents WHERE len($tokensSql) >= 8),
+          test AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20),
+          bits AS (
+            SELECT DISTINCT
+              ${strHashSql("'bl:' || CAST(i AS VARCHAR) || ':' || CAST(g AS VARCHAR)")}
+                % $BloomBits AS b
+            FROM test, range(0, $BloomHashes) t(i)),
+          probe AS (
+            SELECT doc_id, g,
+              CASE WHEN
+                (${strHashSql("'bl:0:' || CAST(g AS VARCHAR)")} % $BloomBits) IN (SELECT b FROM bits)
+                AND (${strHashSql("'bl:1:' || CAST(g AS VARCHAR)")} % $BloomBits) IN (SELECT b FROM bits)
+                AND (${strHashSql("'bl:2:' || CAST(g AS VARCHAR)")} % $BloomBits) IN (SELECT b FROM bits)
+                AND (${strHashSql("'bl:3:' || CAST(g AS VARCHAR)")} % $BloomBits) IN (SELECT b FROM bits)
+              THEN 1 ELSE 0 END AS maybe,
+              CASE WHEN g IN (SELECT g FROM test) THEN 1 ELSE 0 END AS hit
+            FROM sh WHERE doc_id >= 20)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+                 CAST(SUM(hit) AS BIGINT) AS n_true
+          FROM probe GROUP BY doc_id""",
     "doc_contamination" ->
       s"""WITH sh AS (
             SELECT doc_id,
