@@ -522,6 +522,107 @@ object TextQueries {
           sum(col("maybe")).as("n_maybe"),
           sum(coalesce(col("hit"), lit(0L))).as("n_true"))
       graft.operators.Caching.materializeAndRelease(res, sh)
+    }),
+
+    // Sequence packing (concat-and-chunk) — the final assignment step of
+    // an LLM training pipeline: documents laid end-to-end in doc_id
+    // order, sliced into fixed 512-token context windows. The global
+    // running sum runs as a distributed two-pass prefix sum
+    // (operators/Packing.scala) — range-partition, per-partition totals
+    // to the driver (O(#partitions)), base offsets broadcast back,
+    // parallel within-partition windows — NOT a single-partition global
+    // window. Result is bit-identical to the naive form for any
+    // partition count, so the oracle is the plain SUM() OVER (ORDER BY).
+    "doc_pack_chunks" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.packChunks(base, "doc_id", "n_tokens", PackBudget)
+        .select("doc_id", "n_tokens", "start_off", "chunk_first",
+          "chunk_last", "n_chunks")
+    }),
+
+    // Stratified sampling with exact per-stratum quotas: deterministic
+    // salted-hash rank within each language, keep the quota lowest. The
+    // per-stratum global rank is computed in two phases — a LOCAL
+    // window over (lang, physical partition) prunes each partition to
+    // its own top-quota first, so the per-lang global window (one
+    // shuffle on lang) sees ≤ quota·#partitions rows per stratum
+    // instead of the whole stratum. Exact: a global top-q survivor is a
+    // local top-q survivor in its own partition. At 100 TB this is the
+    // difference between a bounded window input and sorting every
+    // stratum end-to-end.
+    "doc_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hk = conv(substring(md5(
+        concat(lit("strat:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val local = Window.partitionBy(col("lang"), col("_pid"))
+        .orderBy(col("hk"), col("doc_id"))
+      val global = Window.partitionBy(col("lang"))
+        .orderBy(col("hk"), col("doc_id"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), hk.as("hk"))
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(local))
+        .filter(col("lrk") <= StratQuota)
+        .withColumn("rk", row_number().over(global).cast("long"))
+        .filter(col("rk") <= StratQuota)
+        .select("lang", "rk", "doc_id", "hk")
+    }),
+
+    // BM25 retrieval against a fixed probe-term set, scored entirely on
+    // an integer lattice. The fp-unfriendly pieces are replaced by
+    // exact integer forms shared with the oracle:
+    //   idf_q  = bit_length((N - df + 1)·65536 DIV (df + 1)) — a
+    //            monotone floor-log2 quantization of the Robertson idf
+    //            (length(bin(x)) on both engines);
+    //   tf_q   = (44·T·tf·10^6) DIV (20·T·tf + 6·T + 18·dl·N) — the
+    //            k1=1.2, b=0.75 saturation term with avgdl = T/N kept
+    //            rational (all fractions cleared by 20·T), scaled 10^6;
+    //   score_q = idf_q · tf_q.
+    // Long headroom: 44·T·tf·10^6 at tf≤64 needs T ≤ 3.2e9 — a ~10 TB
+    // token stream per job before the scale constant must drop to 10^3.
+    // Plan: explode → filter to the broadcast probe list (map-side) →
+    // two hash aggs (tf, df) → broadcast joins of the tiny df/totals
+    // tables → per-term top-5 window over ≤ corpus-matching rows.
+    // Absent probe terms (df = 0) simply emit no rows.
+    "doc_bm25_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val probesArr = array(BmProbes.map(lit): _*)
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          col("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(array_contains(probesArr, col("term")))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(totals))
+        .withColumn("idf_q",
+          length(bin(expr("(n - df + 1) * 65536L DIV (df + 1)"))).cast("long"))
+        .withColumn("tf_q", expr(
+          "(44L * t * tf * 1000000L) DIV (20L * t * tf + 6L * t + 18L * dl * n)"))
+        .withColumn("score_q", col("idf_q") * col("tf_q"))
+      // same two-phase top-k as doc_sample_stratified: local per-partition
+      // prune bounds the per-term global window input to 5·#partitions.
+      val local = Window.partitionBy(col("term"), col("_pid"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+      val w = Window.partitionBy(col("term"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+      val res = scored
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(local))
+        .filter(col("lrk") <= 5)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("term", "rank", "doc_id", "tf", "dl", "idf_q", "score_q")
+      graft.operators.Caching.materializeAndRelease(res, docs)
     })
   )
 
@@ -544,6 +645,24 @@ object TextQueries {
     */
   private val BloomBits = 16384
   private val BloomHashes = 4
+
+  /** Packing context-window budget (tokens): small enough that the
+    * sf0.01 corpus (27k tokens) spans ~53 chunks and many docs straddle
+    * a boundary, exercising the multi-chunk branch.
+    */
+  private val PackBudget = 512L
+
+  /** Stratified-sampling per-stratum quota (smallest sf0.01 stratum has
+    * 64 docs, so every stratum fills its quota).
+    */
+  private val StratQuota = 10
+
+  /** BM25 probe terms: df spread from rare ("dup", df≈25 at sf0.01) to
+    * near-universal ("batch", df≈402), plus one absent term exercising
+    * the no-rows path.
+    */
+  private val BmProbes = Seq("dup", "key", "batch", "the", "vector",
+    "zzz-absent")
 
   /** CMS geometry + fixed probe set (drawn from the fixture vocabulary
     * plus two absent terms so the 0-estimate path is exercised).
@@ -736,6 +855,64 @@ object TextQueries {
                  CAST(SUM(maybe) AS BIGINT) AS n_maybe,
                  CAST(SUM(hit) AS BIGINT) AS n_true
           FROM probe GROUP BY doc_id""",
+    // Plain global window — the Spark side's two-pass prefix sum is
+    // bit-identical by construction. (// is floor division; all cum
+    // values are ≥ 1 because the tokenizer never yields 0 tokens, so
+    // floor == truncate and the DIV/`//` semantics coincide.)
+    "doc_pack_chunks" ->
+      s"""WITH d AS (SELECT doc_id,
+                   CAST(len($tokensSql) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM d)
+          SELECT doc_id, n_tokens,
+                 CAST(cum - n_tokens AS BIGINT) AS start_off,
+                 CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS chunk_first,
+                 CAST((cum - 1) // $PackBudget AS BIGINT) AS chunk_last,
+                 CAST(GREATEST((cum - 1) // $PackBudget
+                   - (cum - n_tokens) // $PackBudget + 1, 0) AS BIGINT)
+                   AS n_chunks
+          FROM c""",
+    "doc_sample_stratified" ->
+      s"""SELECT lang, rk, doc_id, hk FROM (
+            SELECT lang, doc_id, hk,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY hk, doc_id) AS BIGINT) AS rk
+            FROM (SELECT doc_id, lang,
+                    ${strHashSql("'strat:' || CAST(doc_id AS VARCHAR)")} AS hk
+                  FROM documents))
+          WHERE rk <= $StratQuota""",
+    "doc_bm25_topk" -> {
+      val probeIn = BmProbes.map(p => s"'$p'").mkString(", ")
+      s"""WITH docs AS (
+            SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS dl,
+                   $tokensSql AS toks
+            FROM documents),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(dl) AS BIGINT) AS t FROM docs),
+          tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+                 WHERE term IN ($probeIn)
+                 GROUP BY doc_id, dl, term),
+          df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM tf GROUP BY term),
+          scored AS (
+            SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
+                   CAST(length(bin((n - df + 1) * 65536 // (df + 1)))
+                     AS BIGINT) AS idf_q,
+                   CAST((44 * t * tf * 1000000)
+                     // (20 * t * tf + 6 * t + 18 * dl * n) AS BIGINT)
+                     AS tf_q
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN tot)
+          SELECT term, rank, doc_id, tf, dl, idf_q,
+                 CAST(idf_q * tf_q AS BIGINT) AS score_q
+          FROM (SELECT *,
+                  CAST(row_number() OVER (PARTITION BY term
+                    ORDER BY idf_q * tf_q DESC, doc_id) AS BIGINT) AS rank
+                FROM scored)
+          WHERE rank <= 5""" },
     "doc_contamination" ->
       s"""WITH sh AS (
             SELECT doc_id,

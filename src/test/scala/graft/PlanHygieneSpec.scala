@@ -32,13 +32,16 @@ class PlanHygieneSpec extends SparkSuite {
     *     ≤10-row query set (the scale path is emb_lsh_ann / emb_ivf_ann);
     *   - emb_decontaminate_exact: the full-recall final-pass tool —
     *     broadcast side is the eval suite, a bounded benchmark (the bulk
-    *     pre-pass is the LSH-blocked emb_decontaminate).
+    *     pre-pass is the LSH-blocked emb_decontaminate);
+    *   - doc_bm25_topk: broadcast side is the 1-row (N, total-tokens)
+    *     global aggregate the scoring constants divide by.
     * Anything NOT in this list with a BNLJ — or ANY CartesianProduct —
     * fails: both all-pairs shapes scale with |left|·|right| and cannot
     * survive a 100 TB corpus.
     */
   private val BoundedBroadcastNlj =
-    Set("gun_ttl_purge", "emb_knn", "emb_decontaminate_exact")
+    Set("gun_ttl_purge", "emb_knn", "emb_decontaminate_exact",
+      "doc_bm25_topk")
 
   test("no declared query plans a cartesian or unbounded nested-loop join") {
     val prev = spark.conf.getOption(operators.Caching.EagerReleaseKey)
