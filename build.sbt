@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON; sbt's "[success] Total time …" trailer lands after the bench's
+// JSON line and has made BENCH_r*.json.parsed null since round 6. Suppress it
+// so the forked main's final println is also the process's final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Pass the forked main's stdout straight through (no "[info] " logger
+// prefix) so the JSON line is parseable verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

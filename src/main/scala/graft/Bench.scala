@@ -104,11 +104,13 @@ object Bench {
       if (passes > 1) s""","passes":${passTotals.mkString("[", ",", "]")}""" else ""
     val mode = if (isolate) "context-per-query" else "shared-context"
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_first":${jsonMap(firsts)},"repeat":$repeat,"isolation":"$mode","sf":"$sfDir"$passesJson}"""
-    // stdout for the driver's tail-grep AND a file for reliable parsing
-    // (sbt [info] prefixes make the stdout line fragile to extract).
-    println(json)
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    // Stop Spark BEFORE the stdout emit so no shutdown chatter can follow it:
+    // the driver parses the process's LAST stdout line as JSON (sbt's
+    // "[success]" trailer is separately suppressed via showSuccess in
+    // build.sbt).
     spark.stop()
+    println(json)
   }
 }
