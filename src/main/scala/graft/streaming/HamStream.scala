@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.{GunCell, GunValue, Ham}
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming form of the reference's standing dataflow (SURVEY
@@ -462,7 +462,8 @@ object HamStream {
       storePath: String,
       numBuckets: Int = 64,
       compactThreshold: Int = DefaultCompactThreshold,
-      bufferBatches: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+      bufferBatches: Int = 1,
+      bufferDurable: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
     if (bufferBatches <= 1)
       updates.writeStream
         .outputMode("append")
@@ -475,14 +476,23 @@ object HamStream {
       // write. The per-batch floor of the delta sink is dominated by fixed
       // write-job cost (launch + shuffle + commit), not data volume
       // (SCALE_r6 §1) — amortizing it over N batches raises ingest
-      // throughput without changing the store contract. Legality: HAM is
-      // idempotent/commutative and the gun source's WAL replays the
-      // planned ranges, so a crash that loses the in-memory buffer
-      // re-appends the same cells on restart (at-least-once + idempotent
-      // merge — the contract the delta store already runs on). A
-      // graceful stop flushes the remainder via the termination listener.
+      // throughput without changing the store contract.
+      //
+      // Durability (ADVICE_r7 high): the source's WAL does NOT cover the
+      // buffer window — foreachBatch returning commits the batch, and
+      // GunSource.commit prunes the WAL journals for that range, so a
+      // crash before the flush would lose up to bufferBatches-1 committed
+      // micro-batches with an in-memory buffer. Default `bufferDurable`
+      // therefore journals each batch to `<store>/.buffer-journal/` BEFORE
+      // foreachBatch returns and replays leftovers on the next start
+      // ([[recoverBufferJournal]]) — at-least-once, HAM-idempotent.
+      // `bufferDurable = false` keeps the journal-free fast path and
+      // accepts the documented at-most-once window. A graceful stop
+      // flushes the remainder via the termination listener.
+      recoverBufferJournal(updates.sparkSession, storePath, numBuckets,
+        compactThreshold)
       val sink = new BufferedDeltaSink(storePath, numBuckets, compactThreshold,
-        bufferBatches)
+        bufferBatches, durable = bufferDurable)
       val spark = updates.sparkSession
       val q = updates.writeStream
         .outputMode("append")
@@ -507,39 +517,121 @@ object HamStream {
     }
 
   /** The buffered delta sink of [[appendIntoStore]]`(bufferBatches > 1)`:
-    * accumulates eagerly-materialized micro-batches and flushes them as
-    * ONE [[appendBatchIntoStore]] call every `flushEvery` batches (and on
-    * query termination). Each added batch is `localCheckpoint`ed — the
-    * micro-batch's source blocks are only valid during its own
-    * foreachBatch call, so the buffer must own a materialized copy; the
-    * checkpointed blocks are released by the ContextCleaner when the
-    * buffer drops its handles at flush.
+    * accumulates micro-batches and flushes them as ONE
+    * [[appendBatchIntoStore]] call every `flushEvery` batches (and on
+    * query termination).
+    *
+    * `durable = true` (default): each batch is written to
+    * `<store>/.buffer-journal/batch-<id>` BEFORE `add` returns. Once
+    * foreachBatch returns, Structured Streaming commits the batch and the
+    * gun source prunes its WAL for that range (GunSource.commit) — from
+    * that moment the journal is the ONLY durable copy until the flush
+    * lands it in the store. A crash between adds replays the journal on
+    * the next [[appendIntoStore]] start ([[recoverBufferJournal]]);
+    * journal dirs are deleted only AFTER the flushed append, so a crash
+    * mid-flush re-appends the same cells — HAM-idempotent.
+    *
+    * `durable = false`: the journal-free fast path — each batch is
+    * `localCheckpoint`ed in memory (the micro-batch's source blocks are
+    * only valid during its own foreachBatch call, so the buffer must own
+    * a materialized copy; blocks release at flush). AT-MOST-ONCE across
+    * crashes: up to `flushEvery - 1` committed-but-unflushed batches are
+    * lost if the driver dies before the flush. Use only where the
+    * upstream can re-send (or the loss window is acceptable).
     */
   final class BufferedDeltaSink(
       storePath: String,
       numBuckets: Int,
       compactThreshold: Int,
-      flushEvery: Int) {
+      flushEvery: Int,
+      durable: Boolean = true) {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[Update]]
+    private val journaled = scala.collection.mutable.ArrayBuffer.empty[String]
     private var lastBatchId = 0L
+    @volatile private var sess: SparkSession = _
 
     def add(batch: Dataset[Update], batchId: Long): Unit = synchronized {
-      buf += batch.localCheckpoint(eager = true)
+      sess = batch.sparkSession
+      if (durable) {
+        val dir = journalBatchDir(storePath, batchId)
+        // overwrite: a same-batchId redelivery (crash before the streaming
+        // checkpoint committed) replaces its own partial journal dir
+        batch.toDF().write.mode("overwrite").parquet(dir)
+        journaled += dir
+      } else {
+        buf += batch.localCheckpoint(eager = true)
+      }
       lastBatchId = batchId
-      if (buf.length >= flushEvery) flushLocked()
+      if ((if (durable) journaled.length else buf.length) >= flushEvery)
+        flushLocked()
     }
 
     def flush(): Unit = synchronized { flushLocked() }
 
     private def flushLocked(): Unit =
-      if (buf.nonEmpty) {
+      if (durable) {
+        if (journaled.nonEmpty) {
+          val spark = sess
+          import spark.implicits._
+          val all = spark.read.parquet(journaled.toSeq: _*).as[Update]
+          appendBatchIntoStore(all, lastBatchId, storePath, numBuckets,
+            compactThreshold)
+          // delete AFTER the append: a crash between the two replays the
+          // journal on restart; duplicate cells are HAM-idempotent
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          journaled.foreach(d =>
+            fs.delete(new org.apache.hadoop.fs.Path(d), true))
+          journaled.clear()
+        }
+      } else if (buf.nonEmpty) {
         val all = buf.reduce(_ unionByName _)
         appendBatchIntoStore(all, lastBatchId, storePath, numBuckets, compactThreshold)
         buf.clear()
       }
 
     /** Batches currently buffered (test/introspection hook). */
-    def pending: Int = synchronized(buf.length)
+    def pending: Int = synchronized(if (durable) journaled.length else buf.length)
+  }
+
+  private def journalBatchDir(storePath: String, batchId: Long): String =
+    new org.apache.hadoop.fs.Path(storePath,
+      s".buffer-journal/batch-$batchId").toString
+
+  /** Replay (or discard) `.buffer-journal` leftovers from a crashed
+    * `bufferBatches > 1` run. A journal dir WITH a `_SUCCESS` marker holds
+    * a batch whose foreachBatch returned — the streaming checkpoint
+    * committed it and the source WAL was pruned, so the journal copy is
+    * the only one left: fold it into the store. A dir WITHOUT the marker
+    * is a write the crash interrupted BEFORE its batch committed — the
+    * source replays that batch on restart, so drop the partial files.
+    * Returns the number of batches replayed into the store.
+    */
+  private[graft] def recoverBufferJournal(
+      spark: SparkSession,
+      storePath: String,
+      numBuckets: Int,
+      compactThreshold: Int = DefaultCompactThreshold): Int = {
+    val root = new org.apache.hadoop.fs.Path(storePath, ".buffer-journal")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else {
+      val dirs = fs.listStatus(root).filter(_.isDirectory)
+      val (complete, partial) = dirs.partition(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
+      partial.foreach(d => fs.delete(d.getPath, true))
+      if (complete.nonEmpty) {
+        import spark.implicits._
+        val batchId = complete.map(_.getPath.getName.stripPrefix("batch-"))
+          .flatMap(_.toLongOption).foldLeft(0L)(_ max _)
+        val all = spark.read
+          .parquet(complete.map(_.getPath.toString).toIndexedSeq: _*).as[Update]
+        appendBatchIntoStore(all, batchId, storePath, numBuckets,
+          compactThreshold)
+        complete.foreach(d => fs.delete(d.getPath, true))
+      }
+      complete.length
+    }
   }
 
   /** Delta-file count per bucket above which [[appendBatchIntoStore]]

@@ -126,7 +126,7 @@ class DeltaStoreSpec extends SparkSuite {
   test("buffered sink folds N micro-batches into one delta write, flush drains") {
     val dir = newDir()
     val sink = new HamStream.BufferedDeltaSink(dir, NumBuckets,
-      compactThreshold = 0, flushEvery = 2)
+      compactThreshold = 0, flushEvery = 2, durable = false)
     sink.add(Seq(Update("s1", "f", GunValue.string("a"), 1000)).toDS(), 0L)
     assert(sink.pending == 1) // below flushEvery: nothing written yet
     assert(!new java.io.File(dir).exists())
@@ -147,6 +147,51 @@ class DeltaStoreSpec extends SparkSuite {
       .select("soul", "value.str").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(merged == Set(("s1", "b"), ("s2", "c")))
+  }
+
+  test("durable buffered sink: crash between add and flush loses nothing") {
+    val dir = newDir()
+    val sink = new HamStream.BufferedDeltaSink(dir, NumBuckets,
+      compactThreshold = 0, flushEvery = 4) // durable default
+    sink.add(Seq(Update("s1", "f", GunValue.string("a"), 1000)).toDS(), 0L)
+    sink.add(Seq(Update("s2", "g", GunValue.string("b"), 2000)).toDS(), 1L)
+    assert(sink.pending == 2)
+    // nothing in the store yet — the batches are committed upstream
+    // (foreachBatch returned, source WAL pruned) but only journaled here
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+    // "crash": discard the sink (its in-memory state is gone) WITHOUT a
+    // flush — the exact window ADVICE_r7 flagged for the in-memory buffer.
+    // The next appendIntoStore start replays the journal:
+    assert(HamStream.recoverBufferJournal(spark, dir, NumBuckets, 0) == 2)
+    val merged = HamStream.readStore(spark, dir)
+      .select("soul", "value.str").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(merged == Set(("s1", "a"), ("s2", "b")))
+    // journal drained: a second recovery is a no-op
+    assert(HamStream.recoverBufferJournal(spark, dir, NumBuckets, 0) == 0)
+  }
+
+  test("durable buffered sink: flush drains the journal; partial journal dirs are discarded") {
+    val dir = newDir()
+    val sink = new HamStream.BufferedDeltaSink(dir, NumBuckets,
+      compactThreshold = 0, flushEvery = 2)
+    sink.add(Seq(Update("s1", "f", GunValue.string("a"), 1000)).toDS(), 0L)
+    sink.add(Seq(Update("s1", "f", GunValue.string("b"), 2000)).toDS(), 1L)
+    assert(sink.pending == 0) // crossed flushEvery: journal folded + deleted
+    assert(!new java.io.File(dir, ".buffer-journal").exists() ||
+      new java.io.File(dir, ".buffer-journal").listFiles().isEmpty)
+    val r = HamStream.fetchFromStore(spark, dir, "s1", "f", NumBuckets)
+    assert(r.value.contains(GunValue.string("b")))
+    // a journal dir WITHOUT _SUCCESS is a write interrupted before its
+    // batch committed — the source will replay that batch, so recovery
+    // must drop it rather than double-apply a partial file set
+    val partial = new java.io.File(dir, ".buffer-journal/batch-7")
+    assert(partial.mkdirs())
+    java.nio.file.Files.writeString(
+      partial.toPath.resolve("part-garbage.parquet"), "not parquet")
+    assert(HamStream.recoverBufferJournal(spark, dir, NumBuckets, 0) == 0)
+    assert(!partial.exists())
   }
 
   test("delta point read still prunes to one bucket partition") {
