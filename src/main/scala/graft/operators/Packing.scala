@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   * cumulative token count `cum` and budget `B`,
   * `chunk_first = (cum - w) DIV B`, `chunk_last = (cum - 1) DIV B` —
   * exact at any offset a 100 TB corpus can reach (offsets fit a Long to
-  * 9.2e18 tokens). A zero-weight row yields `n_chunks = 0`
-  * (`chunk_last < chunk_first`) — it occupies no token span.
+  * 9.2e18 tokens). A zero-weight row occupies no token span, so it is
+  * special-cased to the explicit empty interval
+  * `chunk_last = chunk_first - 1`, `n_chunks = 0` — the general formula
+  * alone only yields that when `cum` happens to land on a budget
+  * boundary (mid-bucket it degenerates to a spurious 1-chunk span).
   */
 object Packing {
 
@@ -73,7 +76,9 @@ object Packing {
       .withColumn("_cum", sum(col(weightCol)).over(w) + col("_base"))
       .withColumn("start_off", col("_cum") - col(weightCol))
       .withColumn("chunk_first", expr(s"start_off DIV ${budget}L"))
-      .withColumn("chunk_last", expr(s"(_cum - 1) DIV ${budget}L"))
+      .withColumn("chunk_last",
+        when(col(weightCol) === 0L, col("chunk_first") - 1L)
+          .otherwise(expr(s"(_cum - 1) DIV ${budget}L")))
       .withColumn("n_chunks",
         greatest(col("chunk_last") - col("chunk_first") + 1L, lit(0L)))
       .drop("_pid", "_cum", "_base")

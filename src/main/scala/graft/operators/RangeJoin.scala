@@ -49,9 +49,16 @@ object RangeJoin {
                           intervals: DataFrame, startCol: String,
                           endCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val binned = intervals.withColumn("_bin",
-      explode(sequence(floorDiv(col(startCol), binWidth),
-        floorDiv(col(endCol) - 1, binWidth))))
+    // Guard BEFORE the explode: sequence(a, b) with a > b yields a
+    // DESCENDING sequence, so an inverted interval (end <= start — empty
+    // under the half-open contract) would still explode to bins, and an
+    // end far below start to a huge per-row array (memory blowup). The
+    // exact containment re-filter would discard the matches anyway;
+    // dropping the rows here produces zero bins at zero cost.
+    val binned = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_bin",
+        explode(sequence(floorDiv(col(startCol), binWidth),
+          floorDiv(col(endCol) - 1, binWidth))))
     points.withColumn("_bin", floorDiv(col(pointTs), binWidth))
       .join(binned, "_bin")
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))

@@ -870,9 +870,12 @@ object TextQueries {
           SELECT doc_id, n_tokens,
                  CAST(cum - n_tokens AS BIGINT) AS start_off,
                  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS chunk_first,
-                 CAST((cum - 1) // $PackBudget AS BIGINT) AS chunk_last,
-                 CAST(GREATEST((cum - 1) // $PackBudget
-                   - (cum - n_tokens) // $PackBudget + 1, 0) AS BIGINT)
+                 CAST(CASE WHEN n_tokens = 0
+                   THEN (cum - n_tokens) // $PackBudget - 1
+                   ELSE (cum - 1) // $PackBudget END AS BIGINT) AS chunk_last,
+                 CAST(CASE WHEN n_tokens = 0 THEN 0
+                   ELSE GREATEST((cum - 1) // $PackBudget
+                     - (cum - n_tokens) // $PackBudget + 1, 0) END AS BIGINT)
                    AS n_chunks
           FROM c""",
     "doc_sample_stratified" ->

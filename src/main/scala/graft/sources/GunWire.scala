@@ -207,7 +207,14 @@ object GunWire {
       updates: org.apache.spark.sql.Dataset[graft.streaming.HamStream.Update],
       conn: PeerConn,
       maxFrameMessages: Int = MaxFrameMessages): org.apache.spark.sql.streaming.StreamingQuery =
-    publishStream(updates, Seq(conn), maxFrameMessages, (_, _) => ())
+    // Single-peer publish is FAIL-FAST (ADVICE_r7 medium): with one peer a
+    // swallowed send error would leave the query running forever,
+    // publishing every frame to an empty live set while reporting success.
+    // Rethrowing fails the batch so the error surfaces via
+    // query.exception and the WAL replays the batch on restart — the
+    // pre-multi-peer behavior. (The multi-peer overload additionally
+    // fails the batch when the live set drains to empty.)
+    publishStream(updates, Seq(conn), maxFrameMessages, (_, e) => throw e)
 
   /** Multi-peer [[publishStream]] — the reference's all-peers fan-out
     * (gun/gun.go:206-234): every frame goes to EVERY live peer, sends run
@@ -263,6 +270,15 @@ object GunWire {
                     onPeerError(peer, if (e.getCause != null) e.getCause else e)
                 }
               }
+              // An empty live set means every remaining frame would be
+              // dropped on the floor while the query reports progress —
+              // fail the batch instead; the WAL replays it when peers are
+              // back (callers wanting best-effort keep ≥1 reconnecting
+              // peer, which only errors once its retries are exhausted).
+              if (live.isEmpty)
+                throw new java.io.IOException(
+                  "publishStream: all peers failed and were dropped; " +
+                    "failing the batch rather than publishing to nobody")
               buf.clear()
             }
           while (it.hasNext) {

@@ -45,9 +45,13 @@ final class SubscriptionHub(updates: Dataset[Update]) {
       val soul: String,
       val field: String,
       callback: Update => Unit) extends AutoCloseable {
-    // per-listener dedupe state: last delivered (value, state)
+    // per-listener dedupe state: last delivered (value, state).
+    // deliver is synchronized: the snapshot seed (subscribeWithSnapshot,
+    // caller thread) and live routing (streaming batch thread) both
+    // mutate `last`, and an unsynchronized interleave could double-fire
+    // or miss the dedupe.
     private var last: Option[(graft.core.GunValue, Double)] = None
-    private[SubscriptionHub] def deliver(u: Update): Unit = {
+    private[SubscriptionHub] def deliver(u: Update): Unit = synchronized {
       val key = (u.value, u.state)
       if (!last.contains(key)) {
         last = Some(key)
@@ -67,8 +71,18 @@ final class SubscriptionHub(updates: Dataset[Update]) {
   /** Register a listener for (soul, field) transitions. */
   def subscribe(soul: String, field: String)(callback: Update => Unit): Subscription = {
     val sub = new Subscription(soul, field, callback)
-    listeners.computeIfAbsent((soul, field),
-      _ => new java.util.concurrent.CopyOnWriteArrayList[Subscription]()).add(sub)
+    // compute, not computeIfAbsent-then-add: per-key atomic against
+    // unregister's remove-if-empty, so the list this insert lands in can
+    // never be one that remove already detached from the map (which
+    // would silently drop the new subscription)
+    listeners.compute((soul, field), (_, cur) => {
+      val list =
+        if (cur == null)
+          new java.util.concurrent.CopyOnWriteArrayList[Subscription]()
+        else cur
+      list.add(sub)
+      list
+    })
     synchronized { registeredSouls += soul }
     sub
   }
@@ -95,12 +109,16 @@ final class SubscriptionHub(updates: Dataset[Update]) {
   }
 
   private def unregister(sub: Subscription): Unit = {
-    val key = (sub.soul, sub.field)
-    val list = listeners.get(key)
-    if (list != null) {
-      list.remove(sub)
-      if (list.isEmpty) listeners.remove(key)
-    }
+    // remove-if-empty inside compute: atomic with subscribe's insert on
+    // the same key (the old isEmpty-then-remove raced a concurrent
+    // subscribe that had just fetched the list)
+    listeners.compute((sub.soul, sub.field), (_, cur) => {
+      if (cur == null) null
+      else {
+        cur.remove(sub)
+        if (cur.isEmpty) null else cur
+      }
+    })
     synchronized {
       import scala.jdk.CollectionConverters._
       registeredSouls = listeners.keySet.asScala.map(_._1).toSet

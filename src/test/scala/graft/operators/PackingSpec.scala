@@ -39,10 +39,18 @@ class PackingSpec extends SparkSuite {
   }
 
   test("zero-weight row occupies no span: n_chunks = 0") {
+    // on a budget boundary (cum = 10 = B)...
     val res = pack(Seq((1L, 10L), (2L, 0L), (3L, 5L)), 10L)
     assert(res(1) === ((2L, 0L, 10L, 1L, 0L, 0L)))
     // and the following row is unaffected
     assert(res(2) === ((3L, 5L, 10L, 1L, 1L, 1L)))
+    // ...AND mid-bucket (cum = 5): the general chunk_last formula would
+    // report a spurious 1-chunk span here — the weight=0 special case
+    // pins the empty interval (chunk_last = chunk_first - 1) regardless
+    // of where the running total sits (ADVICE_r7 low)
+    val mid = pack(Seq((1L, 5L), (2L, 0L), (3L, 5L)), 10L)
+    assert(mid(1) === ((2L, 0L, 5L, 0L, -1L, 0L)))
+    assert(mid(2) === ((3L, 5L, 5L, 0L, 0L, 1L)))
   }
 
   test("a document larger than the budget spans ceil(w/B) chunks") {

@@ -41,6 +41,19 @@ class RangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(res.toSeq == Seq((-3L, 1L)))
   }
 
+  test("inverted intervals (end <= start) produce zero bins, not a descending explode") {
+    // sequence(a, b) with a > b is DESCENDING in Spark: without the
+    // pre-explode guard an interval with end far below start would
+    // explode to a huge per-row bin array (memory blowup) whose matches
+    // the exact re-filter then discards. The guard drops such rows first.
+    val res = joined(Seq(5L, 500L),
+      Seq((1L, 10L, 10L),            // empty under half-open
+        (2L, 1000L, -1000000000L),   // grossly inverted: would be ~1.4e8 bins
+        (3L, 0L, 8L)), bin = 7L)
+      .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.toSeq == Seq((5L, 3L)))
+  }
+
   test("the physical plan is an equi-join, not a nested loop") {
     val plan = joined(Seq(1L, 2L), Seq((1L, 0L, 10L)), bin = 7L)
       .queryExecution.executedPlan
