@@ -548,6 +548,60 @@ object TextQueries {
       graft.operators.Caching.materializeAndRelease(res, test)
     }),
 
+    // Histogram quantile sketch — the QUANTILE member of the sketch
+    // family (MinHash resemblance / SimHash similarity / CMS frequency /
+    // HLL cardinality / Bloom membership / histogram quantiles): the
+    // standard length-cutoff tool at 100 TB, where an exact global sort
+    // per percentile is off the table. The corpus is scanned ONCE into a
+    // per-length count (bounded by the longest document — a data
+    // property, not corpus size); every later step operates on that
+    // bounded table: the fixed-width binned histogram (the sketch — its
+    // size is bin-count-bounded regardless of the length distribution),
+    // cumulative counts via a window over the handful of sketch rows,
+    // and min-bin-over-threshold per requested permille. est_hi is the
+    // bin's upper bound, so est_hi >= exact_n always with error < the
+    // bin width — the sketch tradeoff visible next to the exact order
+    // statistic, which rides along for the bias check (CMS/HLL/Bloom
+    // convention). Integer lattice throughout: permille thresholds via
+    // ceil-division (q*N + 999) DIV 1000, no fp interpolation crossing
+    // the engine boundary (percentile_cont at q=0.99 would).
+    "doc_length_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val uh = tbl(s, dir, "documents")
+        .select(size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = uh.agg(sum(col("cnt"))).head.getLong(0)
+      val ranks = QuantPermilles.map(q => q -> ((q * total + 999L) / 1000L))
+      // global windows over the BOUNDED histograms only (single-partition
+      // is fine at <= max-length rows — the sketch IS the shuffle payload)
+      val cumU = uh.withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cumB = uh.select(expr(s"n DIV $QuantBinW").as("bin"), col("cnt"))
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val estRow = cumB.agg(
+        ranks.head match { case (q, r) =>
+          min(when(col("cum") >= r, col("bin"))).as(s"b_$q") },
+        ranks.tail.map { case (q, r) =>
+          min(when(col("cum") >= r, col("bin"))).as(s"b_$q") }: _*)
+      val exactRow = cumU.agg(
+        ranks.head match { case (q, r) =>
+          min(when(col("cum") >= r, col("n"))).as(s"e_$q") },
+        ranks.tail.map { case (q, r) =>
+          min(when(col("cum") >= r, col("n"))).as(s"e_$q") }: _*)
+      val res = estRow.crossJoin(exactRow) // 1 row x 1 row
+        .select(expr(s"stack(${QuantPermilles.length}, " +
+          QuantPermilles.map(q =>
+            s"${q}L, b_$q * $QuantBinW + ${QuantBinW - 1}, e_$q")
+            .mkString(", ") +
+          ") as (q_permille, est_hi, exact_n)"))
+      graft.operators.Caching.materializeAndRelease(res, uh)
+    }),
+
     // Sequence packing (concat-and-chunk) — the final assignment step of
     // an LLM training pipeline: documents laid end-to-end in doc_id
     // order, sliced into fixed 512-token context windows. The global
@@ -669,6 +723,11 @@ object TextQueries {
     */
   private val BloomBits = 16384
   private val BloomHashes = 4
+  /** Histogram-quantile sketch: bin width in tokens, and the requested
+    * percentiles as integer permilles (integer-lattice thresholds).
+    */
+  private val QuantBinW = 16L
+  private val QuantPermilles = Seq(250L, 500L, 750L, 900L, 990L)
 
   /** Packing context-window budget (tokens): small enough that the
     * sf0.01 corpus (27k tokens) spans ~53 chunks and many docs straddle
@@ -736,6 +795,30 @@ object TextQueries {
                  CAST(length(c) AS BIGINT) AS clean_len,
                  md5(c) AS clean_hash
           FROM clean""",
+    // Same bounded-histogram construction: one per-length count, the
+    // 16-wide binned sketch + cumulative windows over it, ceil-division
+    // permille thresholds, min-over-threshold per quantile. est_hi is
+    // the matched bin's inclusive upper bound.
+    "doc_length_quantiles" ->
+      s"""WITH lens AS (SELECT CAST(len($tokensSql) AS BIGINT) AS n
+            FROM documents),
+          uh   AS (SELECT n, COUNT(*) AS cnt FROM lens GROUP BY n),
+          cumu AS (SELECT n, SUM(cnt) OVER (ORDER BY n) AS cum FROM uh),
+          hist AS (SELECT n // $QuantBinW AS bin, SUM(cnt) AS cnt
+                   FROM uh GROUP BY 1),
+          cumb AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum
+                   FROM hist),
+          tot  AS (SELECT SUM(cnt) AS t FROM uh),
+          q    AS (SELECT CAST(unnest([${QuantPermilles.mkString(", ")}])
+                     AS BIGINT) AS q_permille)
+          SELECT q.q_permille,
+                 CAST((SELECT MIN(bin) FROM cumb
+                       WHERE cum >= (q.q_permille * tot.t + 999) // 1000)
+                   * $QuantBinW + ${QuantBinW - 1} AS BIGINT) AS est_hi,
+                 CAST((SELECT MIN(n) FROM cumu
+                       WHERE cum >= (q.q_permille * tot.t + 999) // 1000)
+                   AS BIGINT) AS exact_n
+          FROM q, tot""",
     "doc_countmin_heavy" -> {
       val probeValues = CmProbes.map(p => s"('$p')").mkString(", ")
       val probeIn = CmProbes.map(p => s"'$p'").mkString(", ")
