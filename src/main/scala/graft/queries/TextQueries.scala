@@ -47,6 +47,41 @@ object TextQueries {
         size(array_distinct(pieces)).cast("long").as("n_uniq_bpe"))
     }),
 
+    // REAL BPE encode — not just pretokenizer counting: the fixed merges
+    // table in functions/Bpe.scala applied with the true greedy semantics
+    // (lowest-rank adjacent pair first, leftmost occurrence, iterate to
+    // exhaustion) produces actual token ids, the thing a training
+    // pipeline feeds the model. The encode kernel runs MAP-SIDE
+    // (mapPartitions with a per-partition word→ids memo — the
+    // HF-tokenizers cache shape; the merges table ships in the jar, no
+    // broadcast), so the corpus never shuffles for tokenization; the
+    // only shuffle is the per-doc aggregation, with map-side combine.
+    // The oracle replays the identical greedy loop as a DuckDB recursive
+    // CTE over the distinct words, with the rank/id tables emitted from
+    // the same Bpe.Merges.
+    "doc_tokenize_bpe" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+"), lit(0))).as("w"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val memo = scala.collection.mutable.HashMap
+            .empty[String, (Long, Long, Long)]
+          it.map { case (docId, w) =>
+            val st = memo.getOrElseUpdate(w, {
+              val ids = graft.functions.Bpe.encode(w)
+              (ids.length.toLong, ids.sum, ids.max)
+            })
+            (docId, st._1, st._2, st._3)
+          }
+        }.toDF("doc_id", "n", "s", "mx")
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_ids"), sum(col("s")).as("sum_ids"),
+          max(col("mx")).as("max_id"), count(lit(1)).as("n_words"))
+    }),
+
     // Winnowing document fingerprints (the rolling-hash scheme used for
     // near-dup detection robust to small edits): hash every 8-char gram
     // of the whitespace-normalized text, take the min hash of each
@@ -768,6 +803,54 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent replay of the greedy BPE loop: per distinct word, a
+    // recursive CTE holds the symbol list, finds the lowest-rank
+    // adjacent pair (leftmost via list_position's first-match), merges
+    // it, and recurses until no pair is in the table; the rank/id CASE
+    // tables are generated from the same Bpe.Merges the engine compiles
+    // in. Terminal states are the rows where no merge applies.
+    "doc_tokenize_bpe" -> {
+      val rankLambda =
+        s"list_transform(range(1, len(syms)), i -> ${
+          graft.functions.Bpe.rankCaseSql("syms[i]", "syms[i + 1]")})"
+      s"""WITH RECURSIVE
+          wtok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents),
+          words AS (SELECT DISTINCT w FROM wtok),
+          enc AS (
+            SELECT w, string_split(w, '') AS syms FROM words
+            UNION ALL
+            SELECT w,
+                   syms[1:besti - 1]
+                     || [syms[besti] || syms[besti + 1]]
+                     || syms[besti + 2:] AS syms
+            FROM (
+              SELECT w, syms, list_min(pr) AS minr,
+                     list_position(pr, list_min(pr)) AS besti
+              FROM (SELECT w, syms, $rankLambda AS pr FROM enc))
+            WHERE minr < ${graft.functions.Bpe.NoRank}),
+          fin AS (
+            SELECT w, syms FROM (
+              SELECT w, syms, list_min($rankLambda) AS minr FROM enc)
+            WHERE minr IS NULL OR minr >= ${graft.functions.Bpe.NoRank}),
+          wst AS (
+            SELECT w,
+                   CAST(len(ids) AS BIGINT) AS n,
+                   CAST(list_aggregate(ids, 'sum') AS BIGINT) AS s,
+                   CAST(list_aggregate(ids, 'max') AS BIGINT) AS mx
+            FROM (SELECT w, list_transform(syms,
+                    y -> ${graft.functions.Bpe.idCaseSql("y")}) AS ids
+                  FROM fin))
+          SELECT t.doc_id,
+                 CAST(SUM(ws.n) AS BIGINT) AS n_ids,
+                 CAST(SUM(ws.s) AS BIGINT) AS sum_ids,
+                 CAST(MAX(ws.mx) AS BIGINT) AS max_id,
+                 COUNT(*) AS n_words
+          FROM wtok t JOIN wst ws USING (w)
+          GROUP BY t.doc_id"""
+    },
     "doc_pii_scrub" ->
       s"""WITH body AS (
             SELECT doc_id,
