@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Graph-family headroom probe (round-8 scale evidence): times the
+  * GraphX legs — lattice pagerank (forest), lattice pagerank on the
+  * general order→part graph, and connected components — at whatever
+  * SPARK_GRAFT_SF_DIR points to, and verifies the lattice's Long
+  * headroom CLAIM against the measured numerators: the structural
+  * degree cap keeps (20·L)^5 ≤ 240^5, so max(rank_q) · headroom_factor
+  * must stay far from Long.MaxValue at ANY sf. Reports wall seconds,
+  * |V|/|E|, out-degree max + lcm, max numerator, the measured headroom
+  * factor (Long.MaxValue / max rank_q), and JVM peak heap — the GraphX
+  * memory behavior the sf3+ run is after.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf3 runMain graft.GraphProbe
+  * (SPARK_GRAFT_GRAPH_FILE overrides the GRAPH_PROBE.json output path).
+  */
+object GraphProbe {
+
+  private def peakHeapMb: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum / (1024 * 1024)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_GRAPH_FILE", "GRAPH_PROBE.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // the same edge constructions the declared queries use
+    val forestEdges = queries.GunQueries.relationCells(spark, sfDir)
+      .select(col("soul").as("src"), col("field"), col("dst"))
+    val generalEdges = {
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(
+          concat(lit("order:"), col("l_orderkey").cast("string")).as("src"),
+          concat(lit("part:"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))))
+        .filter(col("rn") <= 4)
+        .select(col("src"), lit("has_part").as("field"), col("dst"))
+    }
+
+    def leg(name: String, edges: org.apache.spark.sql.DataFrame,
+            pagerank: Boolean): String = {
+      val nE = edges.count()
+      val degStats = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .agg(max(col("d")).as("dmax"), countDistinct(col("src")).as("nsrc"))
+        .first()
+      val dmax = degStats.getLong(0)
+      val (res, sec) = timed {
+        val df =
+          if (pagerank) graph.Analytics.pageRankLattice(spark, edges, iters = 5)
+          else graph.Analytics.connectedComponents(spark, edges)
+        if (pagerank)
+          df.agg(count(lit(1)), max(col("rank_q"))).first()
+        else df.agg(count(lit(1)), lit(0L)).first()
+      }
+      val nV = res.getLong(0)
+      val maxQ = res.getLong(1)
+      val headroom = if (maxQ > 0) Long.MaxValue / maxQ else 0L
+      println(f"[graph-probe] $name: edges=$nE vertices=$nV dmax=$dmax " +
+        f"sec=$sec%.1f max_rank_q=$maxQ headroom=${headroom}x peak_heap=${peakHeapMb}MB")
+      s""""$name":{"edges":$nE,"vertices_out":$nV,"out_degree_max":$dmax,""" +
+        s""""sec":${f"$sec%.1f"},"max_rank_q":$maxQ,"long_headroom_x":$headroom}"""
+    }
+
+    val parts = Seq(
+      leg("pagerank_forest", forestEdges, pagerank = true),
+      leg("pagerank_general", generalEdges, pagerank = true),
+      leg("components", forestEdges, pagerank = false))
+    val json = s"""{"sf_dir":"$sfDir","cpus":$cpus,""" +
+      parts.mkString(",") + s""","peak_heap_mb":$peakHeapMb}"""
+    println(json)
+    try Files.writeString(Paths.get(outFile), json)
+    catch { case e: Exception => System.err.println(s"[graph-probe] write failed: $e") }
+    spark.stop()
+  }
+}

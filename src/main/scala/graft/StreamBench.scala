@@ -255,6 +255,66 @@ object StreamBench {
     ReadAmpStats(batches, maxFiles, probes.result())
   }
 
+  final case class NearDupStats(
+      batches: Int,
+      docs: Long,
+      matches: Long,
+      firstThirdMsP50: Long,
+      lastThirdMsP50: Long,
+      rowsScannedFirst: Long,
+      rowsScannedLast: Long)
+
+  /** Streaming near-dup A/B: drive [[graft.streaming.StreamingNearDup]]
+    * micro-batch by micro-batch over a growing corpus, bucket-PRUNED
+    * probe vs the naive full-index probe. Every 10th batch re-sends an
+    * old doc lightly edited, so the match path is exercised against
+    * history. The scale signal is `rows_scanned` growth: the pruned
+    * probe reads only the batch's own band buckets (a fixed fraction of
+    * the bucket space for a fixed batch size), the naive probe re-reads
+    * the whole index every batch — the "rescan the corpus" shape that
+    * cannot survive an unbounded stream. Driver state is O(batch) in
+    * both modes; all history lives in the on-disk index.
+    */
+  def runNearDup(
+      spark: SparkSession,
+      batches: Int,
+      docsPerBatch: Int,
+      numBuckets: Int,
+      probeAll: Boolean): NearDupStats = {
+    import graft.streaming.StreamingNearDup
+    val root = Files.createTempDirectory("sb-neardup").toString
+    val statsBuf = IndexedSeq.newBuilder[StreamingNearDup.ProbeStats]
+    def docText(id: Long, edited: Boolean): String = {
+      val toks = (0 until 30).map(j => s"d${id}t$j")
+      (if (edited) toks.dropRight(1) :+ "edited" else toks).mkString(" ")
+    }
+    var next = 0L
+    for (b <- 0 until batches) {
+      val fresh = (0 until docsPerBatch).map { _ =>
+        val id = next; next += 1; id -> docText(id, edited = false)
+      }
+      // every 10th batch, one near-duplicate of a doc from ~5 batches ago
+      val dups =
+        if (b % 10 == 9 && b >= 5)
+          Seq((1000000L + b) -> docText((b - 5).toLong * docsPerBatch, edited = true))
+        else Seq.empty
+      import spark.implicits._
+      val batch = (fresh ++ dups).toDF("doc_id", "text")
+      statsBuf += StreamingNearDup.processBatch(batch, b.toLong,
+        s"$root/index", s"$root/matches", numBuckets, minEq = 8,
+        compactThreshold = 8, probeAllBuckets = probeAll)
+    }
+    val all = statsBuf.result()
+    val third = all.length / 3 max 1
+    def p50(s: Seq[Long]): Long =
+      if (s.isEmpty) 0L else s.sorted.apply(s.length / 2)
+    NearDupStats(batches, all.map(_.batchDocs).sum, all.map(_.matches).sum,
+      p50(all.take(third).map(_.processMs)),
+      p50(all.takeRight(third).map(_.processMs)),
+      all.take(third).map(_.indexRowsScanned).max,
+      all.takeRight(third).map(_.indexRowsScanned).max)
+  }
+
   /** Publish path at capacity: updates fan out over one peer conn as
     * bounded wire frames; a consumer thread drains the socket side (an
     * unread LinkedBlockingQueue would otherwise just buffer — draining
@@ -332,6 +392,13 @@ object StreamBench {
       s""""read_ms_last_quartile":${f"${r.lastQuartileMs}%.1f"},"probes":[$pts]}"""
   }
 
+  private def ndJs(key: String, r: NearDupStats): String =
+    s""""$key":{"batches":${r.batches},"docs":${r.docs},"matches":${r.matches},""" +
+      s""""batch_ms_p50_first_third":${r.firstThirdMsP50},""" +
+      s""""batch_ms_p50_last_third":${r.lastThirdMsP50},""" +
+      s""""rows_scanned_first_third_max":${r.rowsScannedFirst},""" +
+      s""""rows_scanned_last_third_max":${r.rowsScannedLast}}"""
+
   private def js(r: RunStats): String =
     s"""{"cells":${r.cells},"elapsed_sec":${f"${r.elapsedSec}%.3f"},""" +
       s""""cells_per_sec":${f"${r.rate}%.1f"},"batches":${r.batches},""" +
@@ -395,6 +462,21 @@ object StreamBench {
       finally spark.stop()
     }
 
+    // streaming near-dup A/B: bucket-pruned probe vs naive full-index
+    // probe over the same growing corpus
+    val ndBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_ND_BATCHES", "40").toInt
+    val ndDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_ND_DOCS", "10").toInt
+    val ndPruned = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = false)
+      finally spark.stop()
+    }
+    val ndFull = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = true)
+      finally spark.stop()
+    }
+
     val walOverheadPct =
       if (ingestNoWal.rate > 0)
         (ingestNoWal.rate - ingest.rate) / ingestNoWal.rate * 100.0
@@ -413,7 +495,9 @@ object StreamBench {
         s""""publish":${js(publish)},""" +
         s""""publish_p4":${js(publishP4)},""" +
         raJs("readamp_trigger_on", raOn) + "," +
-        raJs("readamp_trigger_off", raOff) + "}"
+        raJs("readamp_trigger_off", raOff) + "," +
+        ndJs("neardup_pruned", ndPruned) + "," +
+        ndJs("neardup_full_probe", ndFull) + "}"
     println(json)
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[stream-bench] write failed: $e") }

@@ -74,6 +74,70 @@ object SubBench {
     }
   }
 
+  /** Delivery counter for the executor-sink leg: a JVM-static LongAdder
+    * (driver and executors share the JVM at local[*]; on a cluster the
+    * sink would push to an external system instead).
+    */
+  object ExecCounter {
+    val n = new java.util.concurrent.atomic.LongAdder
+  }
+  private final class CountingSink extends SubscriptionHub.ExecutorSink {
+    override def deliver(u: HamStream.Update): Unit = ExecCounter.n.increment()
+  }
+
+  /** Fat-payload, high-match hub leg at elevated volume: every soul has a
+    * listener, every update carries `payloadBytes` of value — the
+    * workload where funneling matched payloads through one driver
+    * collect loop stops being free. `executor = true` routes delivery
+    * through [[SubscriptionHub.ExecutorSink]] (foreachPartition on the
+    * executors, payloads never cross to the driver); `false` is the
+    * standard driver-collect path over the identical workload.
+    */
+  def runHubDelivery(
+      spark: SparkSession,
+      souls: Int,
+      waves: Int,
+      payloadBytes: Int,
+      executor: Boolean): LegStats = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[GunCell]
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0)
+    ExecCounter.n.reset()
+    val t0 = System.nanoTime()
+    val hub = new SubscriptionHub(
+      HamStream.updates(in.toDS(), timers = false),
+      executorSink = if (executor) Some(new CountingSink) else None)
+    val subs = (0 until souls).map { s =>
+      hub.subscribe(f"s$s%05d", "f0")(_ => delivered.incrementAndGet())
+    }
+    val setup = (System.nanoTime() - t0) / 1e9
+    try {
+      val base = System.currentTimeMillis() - 60000L
+      val pad = "x" * payloadBytes
+      val expected = souls.toLong * waves
+      val t1 = System.nanoTime()
+      for (w <- 0 until waves) {
+        in.addData((0 until souls).map(s =>
+          GunCell(f"s$s%05d", "f0", GunValue.string(s"v$w-$pad"),
+            (base + w).toDouble)))
+        hub.query.processAllAvailable()
+      }
+      def seen: Long = if (executor) ExecCounter.n.sum else delivered.get
+      val deadline = System.currentTimeMillis() + 120000L
+      while (seen < expected && System.currentTimeMillis() < deadline)
+        Thread.sleep(5)
+      val deliver = (System.nanoTime() - t1) / 1e9
+      require(seen == expected,
+        s"delivery(executor=$executor) saw $seen/$expected")
+      LegStats(souls, setup, deliver)
+    } finally {
+      subs.foreach(_.close())
+      hub.query.stop()
+    }
+  }
+
   /** Per-query leg: `n` independent [[HamStream.subscribe]] queries over
     * one shared update stream.
     */
@@ -133,6 +197,15 @@ object SubBench {
 
     val hub = hubNs.map(n => fresh(runHub(_, n, souls, waves)))
     val perQuery = pqNs.map(n => fresh(runPerQuery(_, n, souls, waves)))
+    // driver vs executor delivery at 10× update volume + 2 KiB payloads,
+    // all-match (one listener per soul)
+    val fatSouls = sys.env.getOrElse("SPARK_GRAFT_SUB_FAT_SOULS",
+      (souls * 10).toString).toInt
+    val fatPayload = sys.env.getOrElse("SPARK_GRAFT_SUB_FAT_PAYLOAD", "2048").toInt
+    val fatDriver = fresh(runHubDelivery(_, fatSouls, waves, fatPayload,
+      executor = false))
+    val fatExecutor = fresh(runHubDelivery(_, fatSouls, waves, fatPayload,
+      executor = true))
 
     val json =
       s"""{"metric":"sub_hub_marginal_sec_per_sub","value":${
@@ -144,7 +217,10 @@ object SubBench {
         }%.4f"
       },"unit":"sec/subscription","souls":$souls,"waves":$waves,""" +
         s""""hub":[${hub.map(legJs).mkString(",")}],""" +
-        s""""per_query":[${perQuery.map(legJs).mkString(",")}]}"""
+        s""""per_query":[${perQuery.map(legJs).mkString(",")}],""" +
+        s""""fat_payload_bytes":$fatPayload,""" +
+        s""""hub_driver_10x":${legJs(fatDriver)},""" +
+        s""""hub_executor_10x":${legJs(fatExecutor)}}"""
     println(json)
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[sub-bench] write failed: $e") }

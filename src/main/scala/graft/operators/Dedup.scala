@@ -96,14 +96,31 @@ object Dedup {
     * keeping the family connected for downstream clustering.
     * `maxBucket = 0` disables the guard (exact, quadratic on a viral key).
     */
-  def minhashCandidates(signatures: DataFrame,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val allBands = signatures
+  /** Per-doc LSH band keys from [[minhashSignatures]] rows: one row per
+    * (doc_id, band) with the band's signature slice joined into a string
+    * key. Shared by the batch candidate join below and the streaming
+    * signature index ([[graft.streaming.StreamingNearDup]]).
+    */
+  def bandKeys(signatures: DataFrame): DataFrame =
+    signatures
       .withColumn("band", col("i") / lit(BandRows) cast "long")
       .groupBy("doc_id", "band")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("i"), col("sig")))),
         s => s.getField("sig").cast("string")), ",").as("band_key"))
+
+  /** One row per doc with the full signature as a NumHashes-element
+    * array (index order) — the compare payload for signature-agreement
+    * similarity estimates.
+    */
+  def sigArray(signatures: DataFrame): DataFrame =
+    signatures.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+        s => s.getField("sig")).as("sig"))
+
+  def minhashCandidates(signatures: DataFrame,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val allBands = bandKeys(signatures)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (maxBucket <= 0) {
       val a = allBands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))

@@ -37,8 +37,22 @@ import org.apache.spark.sql.Dataset
   * thread (the reference runs listeners on the message loop the same
   * way); a slow callback backpressures the batch, so heavy consumers
   * should hand off to their own executor.
+  *
+  * EXECUTOR delivery (`executorSink = Some(...)`): for fat-payload /
+  * high-match workloads even the working set is too much to funnel
+  * through one driver thread. With a serializable sink the matched
+  * updates are delivered from `foreachPartition` ON THE EXECUTORS —
+  * payloads never cross to the driver, and delivery parallelism is the
+  * partition count instead of one collect loop. The trade: the sink
+  * must be idempotent (at-least-once on micro-batch replay, like every
+  * executor-side Spark sink) and the per-listener cross-batch dedupe
+  * does not apply — registrations define the matched (soul, field) set;
+  * the per-subscription `callback` is NOT invoked in this mode.
+  * SUB_BENCH's driver-vs-executor legs price the two shapes.
   */
-final class SubscriptionHub(updates: Dataset[Update]) {
+final class SubscriptionHub(
+    updates: Dataset[Update],
+    executorSink: Option[SubscriptionHub.ExecutorSink] = None) {
 
   /** Listener handle; [[close]] unregisters. */
   final class Subscription private[SubscriptionHub] (
@@ -138,20 +152,45 @@ final class SubscriptionHub(updates: Dataset[Update]) {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Update], _: Long) =>
         val souls = registeredSouls // snapshot: one routing set per batch
-        if (souls.nonEmpty) {
-          // column-predicate prefilter: only the registered working set
-          // crosses to the driver, not the batch
-          val hits = batch.filter(col("soul").isInCollection(souls)).collect()
-          hits.foreach { u =>
-            val list = listeners.get((u.soul, u.field))
-            if (list != null) {
-              val it = list.iterator()
-              while (it.hasNext) it.next().deliver(u)
+        if (souls.nonEmpty) executorSink match {
+          case Some(sink) =>
+            // executor-side delivery: the key set (bounded by the
+            // registered working set) ships in the task closure; matched
+            // payloads stay on the executors
+            val keys = {
+              import scala.jdk.CollectionConverters._
+              listeners.keySet.asScala.toSet
             }
-          }
+            batch.filter(col("soul").isInCollection(souls))
+              .foreachPartition { (it: Iterator[Update]) =>
+                it.foreach(u =>
+                  if (keys.contains((u.soul, u.field))) sink.deliver(u))
+              }
+          case None =>
+            // column-predicate prefilter: only the registered working set
+            // crosses to the driver, not the batch
+            val hits = batch.filter(col("soul").isInCollection(souls)).collect()
+            hits.foreach { u =>
+              val list = listeners.get((u.soul, u.field))
+              if (list != null) {
+                val it = list.iterator()
+                while (it.hasNext) it.next().deliver(u)
+              }
+            }
         } else batch.count() // full pass: every state partition must commit
         ()
       }
       .start()
+  }
+}
+
+object SubscriptionHub {
+  /** Executor-side delivery target — runs on executors, so it must be
+    * serializable and idempotent (at-least-once under micro-batch
+    * replay). On a cluster this is where a webhook/queue/socket push
+    * belongs; the driver never sees the payload.
+    */
+  trait ExecutorSink extends Serializable {
+    def deliver(u: Update): Unit
   }
 }

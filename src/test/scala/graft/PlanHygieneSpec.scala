@@ -34,14 +34,18 @@ class PlanHygieneSpec extends SparkSuite {
     *     broadcast side is the eval suite, a bounded benchmark (the bulk
     *     pre-pass is the LSH-blocked emb_decontaminate);
     *   - doc_bm25_topk: broadcast side is the 1-row (N, total-tokens)
-    *     global aggregate the scoring constants divide by.
+    *     global aggregate the scoring constants divide by;
+    *   - doc_length_quantiles: the crossJoin of the two 1-row aggregate
+    *     rows (binned estimates × exact order statistics) — 1×1 by
+    *     construction, the sketch is bin-count-bounded regardless of
+    *     corpus size.
     * Anything NOT in this list with a BNLJ — or ANY CartesianProduct —
     * fails: both all-pairs shapes scale with |left|·|right| and cannot
     * survive a 100 TB corpus.
     */
   private val BoundedBroadcastNlj =
     Set("gun_ttl_purge", "emb_knn", "emb_decontaminate_exact",
-      "doc_bm25_topk")
+      "doc_bm25_topk", "doc_length_quantiles")
 
   test("no declared query plans a cartesian or unbounded nested-loop join") {
     val prev = spark.conf.getOption(operators.Caching.EagerReleaseKey)

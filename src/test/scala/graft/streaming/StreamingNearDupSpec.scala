@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Incremental MinHash-LSH near-dup detection (StreamingNearDup): a
+  * late-arriving near-duplicate of a long-ingested document is caught by
+  * probing ONLY the band buckets the new doc hashes into — never a
+  * corpus rescan — with all cross-batch state on disk (driver state is
+  * O(batch)).
+  */
+class StreamingNearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val baseText = ("spark stream batch window merge join filter " +
+    "scan table column vector hash key value group sort order part line " +
+    "data query fast slow small big agg row customer the dup").trim
+  private def fillerText(i: Int): String =
+    (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+
+  private def runBatches(batches: Seq[Seq[(Long, String)]],
+                         numBuckets: Int = 16,
+                         minEq: Int = 8,
+                         compactThreshold: Int = 3)
+      : (Seq[StreamingNearDup.ProbeStats], String, String) = {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("snd-idx").toString
+    val out = java.nio.file.Files.createTempDirectory("snd-out").toString
+    val statsBuf = new java.util.concurrent.ConcurrentLinkedQueue[StreamingNearDup.ProbeStats]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.start(
+      in.toDS().toDF("doc_id", "text"), idx, out,
+      numBuckets = numBuckets, minEq = minEq,
+      compactThreshold = compactThreshold, onStats = statsBuf.add)
+    try {
+      batches.foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    (statsBuf.asScala.toSeq.sortBy(_.batchId), idx, out)
+  }
+
+  private def allMatches(out: String): Set[(Long, Long, Long)] = {
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-"))
+    dirs.flatMap { d =>
+      spark.read.parquet(d.toString).collect()
+        .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("old_doc"),
+          r.getAs[Number]("n_eq").longValue()))
+    }.toSet
+  }
+
+  test("late near-duplicate of an old doc matches without corpus rescan") {
+    val editedBase = baseText.split(" ").dropRight(1).mkString(" ") + " changed"
+    val (stats, _, out) = runBatches(Seq(
+      Seq(1L -> baseText) ++ (100 until 120).map(i => i.toLong -> fillerText(i)),
+      (200 until 220).map(i => i.toLong -> fillerText(i)),
+      Seq(999L -> editedBase)))
+    val m = allMatches(out)
+    assert(m.exists { case (n, o, eq) => n == 999L && o == 1L && eq >= 8 },
+      s"expected (999, 1) near-dup match, got $m")
+    // the probe touched only the new doc's own band buckets (≤ 4 bands),
+    // a strict subset of the occupied index...
+    val s3 = stats.find(_.batchId == 2L).get
+    assert(s3.bucketsProbed <= 4 && s3.bucketsProbed < s3.bucketsOccupied,
+      s"probe not bucket-pruned: $s3")
+    // ...and scanned a fraction of the indexed rows (41 docs × 4 bands)
+    assert(s3.indexRowsScanned < 41L * 4,
+      s"probe rescanned the corpus: $s3")
+  }
+
+  test("exact duplicate across batches matches at full signature agreement") {
+    val (_, _, out) = runBatches(Seq(
+      Seq(1L -> baseText, 2L -> fillerText(2)),
+      Seq(50L -> baseText)))
+    val m = allMatches(out)
+    assert(m.contains((50L, 1L, Dedup.NumHashes.toLong)), s"got $m")
+  }
+
+  test("within-batch duplicate pair is emitted once") {
+    val (_, _, out) = runBatches(Seq(
+      Seq(7L -> baseText, 8L -> baseText)))
+    val m = allMatches(out)
+    assert(m.count { case (n, o, _) => Set(n, o) == Set(7L, 8L) } == 1, s"got $m")
+    assert(m.contains((8L, 7L, Dedup.NumHashes.toLong)), s"got $m")
+  }
+
+  test("unrelated docs never match") {
+    val (_, _, out) = runBatches(Seq(
+      (0 until 10).map(i => i.toLong -> fillerText(i)),
+      (10 until 20).map(i => i.toLong -> fillerText(i))))
+    assert(allMatches(out).isEmpty)
+  }
+
+  test("delta files compact once a bucket crosses the threshold") {
+    // 6 batches all touching the same band keys (same doc text) with
+    // compactThreshold=2: without compaction each bucket would
+    // accumulate 6 delta files
+    val (_, idx, out) = runBatches(
+      (0 until 6).map(b => Seq((1000L + b) -> baseText)),
+      compactThreshold = 2)
+    val bucketDirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    val maxFiles = bucketDirs.map(
+      _.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles <= 2, s"compaction never fired: $maxFiles files in a bucket")
+    assert(bucketDirs.exists(
+      _.listFiles().exists(_.getName.startsWith("compact-"))))
+    // the index survives compaction: every later copy still matched doc 1000
+    val m = allMatches(out)
+    assert((1 until 6).forall(b => m.exists {
+      case (n, o, eq) => n == 1000L + b && eq == Dedup.NumHashes.toLong && o < n
+    }), s"got $m")
+  }
+}

@@ -96,4 +96,45 @@ class SubscriptionHubSpec extends SparkSuite {
       sub.close()
     } finally hub.query.stop()
   }
+
+  test("executor-sink delivery: matched payloads delivered on executors, " +
+    "unregistered keys filtered, driver callbacks not invoked") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[GunCell]
+    SubscriptionHubSpec.execSeen.clear()
+    val driverCalls = new java.util.concurrent.atomic.AtomicLong(0)
+    val hub = new SubscriptionHub(
+      HamStream.updates(in.toDS(), timers = false),
+      executorSink = Some(new SubscriptionHubSpec.RecordingSink))
+    try {
+      val subs = Seq(
+        hub.subscribe("soulA", "f0")(_ => driverCalls.incrementAndGet()),
+        hub.subscribe("soulB", "f1")(_ => driverCalls.incrementAndGet()))
+      val base = 1.7e12
+      in.addData(Seq(
+        GunCell("soulA", "f0", GunValue.string("va"), base),
+        GunCell("soulA", "f9", GunValue.string("wrong-field"), base),
+        GunCell("soulB", "f1", GunValue.string("vb"), base),
+        GunCell("unwatched", "f0", GunValue.string("noise"), base)))
+      hub.query.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = SubscriptionHubSpec.execSeen.asScala.toSet
+      assert(got == Set("soulA/f0=va", "soulB/f1=vb"), s"got $got")
+      assert(driverCalls.get == 0, "executor mode must not run driver callbacks")
+      subs.foreach(_.close())
+    } finally hub.query.stop()
+  }
+}
+
+object SubscriptionHubSpec {
+  /** JVM-static capture for the executor-sink test (local[*]: executors
+    * share the JVM).
+    */
+  val execSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  final class RecordingSink extends SubscriptionHub.ExecutorSink {
+    override def deliver(u: Update): Unit =
+      execSeen.add(s"${u.soul}/${u.field}=${u.value.str.get}")
+  }
 }
