@@ -125,11 +125,24 @@ object StreamingNearDup {
         if (probeAllBuckets) occupied.toSeq // the naive A/B leg: full-index probe
         else occupied.filter(touched.contains).toSeq
       val probePaths = probeIds.map(b => s"$indexPath/bucket=$b")
+      // the batch's band keys (≤ batch × NumBands strings — metadata,
+      // like `touched`): pushed as an IN filter on the bucket scan, so
+      // compaction-sorted files row-group-prune to point lookups instead
+      // of full bucket scans (PushedFilters: In(band_key, ...)). The
+      // naive A/B leg skips it — it exists to price the rescan shape.
       val idx =
         if (probePaths.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
-        else spark.read.schema(indexSchema).parquet(probePaths: _*)
+        else {
+          val scan = spark.read.schema(indexSchema).parquet(probePaths: _*)
+          if (probeAllBuckets) scan
+          else {
+            val batchKeys = rows.select("band_key").distinct().collect()
+              .map(_.getString(0)).toSeq
+            scan.filter(col("band_key").isInCollection(batchKeys))
+          }
+        }
       val old = idx.select(col("band"), col("band_key"),
         col("doc_id").as("old_doc"), col("sig").as("old_sig"))
       val newBands = rows.select(col("doc_id").as("new_doc"),
@@ -222,12 +235,17 @@ object StreamingNearDup {
       val live = new org.apache.hadoop.fs.Path(storeDir, name)
       val before = fs.listStatus(live)
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      // sorted by band_key: the compacted file's parquet row-group stats
+      // become selective for the probe's band_key join, so a point probe
+      // inside a big bucket skips row groups instead of scanning them
       val compacted = spark.read.schema(indexSchema)
         .parquet(before.map(_.toString): _*)
         .dropDuplicates("band", "band_key", "doc_id")
+        .coalesce(1)
+        .sortWithinPartitions("band_key", "band", "doc_id")
       val cStaging = new org.apache.hadoop.fs.Path(
         indexPath, s".compact-staging-$name-b$batchId")
-      compacted.coalesce(1).write.mode("overwrite").parquet(cStaging.toString)
+      compacted.write.mode("overwrite").parquet(cStaging.toString)
       val cFiles = fs.listStatus(cStaging)
         .filter(_.getPath.getName.endsWith(".parquet"))
       cFiles.zipWithIndex.foreach { case (f, i) =>
