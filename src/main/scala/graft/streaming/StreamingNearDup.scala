@@ -116,6 +116,7 @@ object StreamingNearDup {
         .map(_.getInt(0)).toSet
       val storeDir = new org.apache.hadoop.fs.Path(indexPath)
       val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      checkIndexLayout(fs, storeDir, numBuckets)
       val occupied =
         if (!fs.exists(storeDir)) Array.empty[Int]
         else fs.listStatus(storeDir)
@@ -174,6 +175,35 @@ object StreamingNearDup {
         probeIds.size, occupied.length, idxRows, nMatches,
         (System.nanoTime() - t0) / 1000000L)
     } finally rows.unpersist()
+  }
+
+  /** Bucket-count layout guard: `bucketOf` routing is only consistent if
+    * every writer AND prober of an index uses the same `numBuckets` — a
+    * restart with a different value would silently probe the wrong
+    * buckets (missed duplicates, no error). First touch stamps a marker;
+    * later touches must match it (HamStream.checkLayout's contract).
+    */
+  private def checkIndexLayout(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: org.apache.hadoop.fs.Path,
+      numBuckets: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(storeDir, "_nd_layout")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      require(recorded == numBuckets,
+        s"near-dup index at $storeDir was built with numBuckets=$recorded, " +
+          s"probed with $numBuckets — band-bucket routing would be wrong")
+    } else {
+      fs.mkdirs(storeDir)
+      val out = fs.create(marker, true)
+      try out.write(numBuckets.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Append the batch's index rows as ONE delta file per touched bucket —

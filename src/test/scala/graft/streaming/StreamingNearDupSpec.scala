@@ -94,6 +94,20 @@ class StreamingNearDupSpec extends SparkSuite {
     assert(allMatches(out).isEmpty)
   }
 
+  test("bucket-count layout guard rejects a mismatched reopen") {
+    val idx = java.nio.file.Files.createTempDirectory("snd-layout").toString
+    val out = java.nio.file.Files.createTempDirectory("snd-layout-out").toString
+    import spark.implicits._
+    val b = Seq(1L -> baseText).toDF("doc_id", "text")
+    StreamingNearDup.processBatch(b, 0L, idx, out,
+      numBuckets = 16, minEq = 8, compactThreshold = 8)
+    val e = intercept[IllegalArgumentException] {
+      StreamingNearDup.processBatch(b, 1L, idx, out,
+        numBuckets = 32, minEq = 8, compactThreshold = 8)
+    }
+    assert(e.getMessage.contains("numBuckets=16"))
+  }
+
   test("delta files compact once a bucket crosses the threshold") {
     // 6 batches all touching the same band keys (same doc text) with
     // compactThreshold=2: without compaction each bucket would
