@@ -280,7 +280,8 @@ object StreamBench {
       batches: Int,
       docsPerBatch: Int,
       numBuckets: Int,
-      probeAll: Boolean): NearDupStats = {
+      probeAll: Boolean,
+      compactThreshold: Int = 8): NearDupStats = {
     import graft.streaming.StreamingNearDup
     val root = Files.createTempDirectory("sb-neardup").toString
     val statsBuf = IndexedSeq.newBuilder[StreamingNearDup.ProbeStats]
@@ -302,7 +303,7 @@ object StreamBench {
       val batch = (fresh ++ dups).toDF("doc_id", "text")
       statsBuf += StreamingNearDup.processBatch(batch, b.toLong,
         s"$root/index", s"$root/matches", numBuckets, minEq = 8,
-        compactThreshold = 8, probeAllBuckets = probeAll)
+        compactThreshold = compactThreshold, probeAllBuckets = probeAll)
     }
     val all = statsBuf.result()
     val third = all.length / 3 max 1
