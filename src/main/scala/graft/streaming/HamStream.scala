@@ -463,7 +463,15 @@ object HamStream {
       numBuckets: Int = 64,
       compactThreshold: Int = DefaultCompactThreshold,
       bufferBatches: Int = 1,
-      bufferDurable: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+      bufferDurable: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    // A crashed durable-buffered run may have left committed-but-unflushed
+    // batches in `.buffer-journal/` — the journal is their ONLY copy (the
+    // source WAL was pruned when foreachBatch returned). Replay them
+    // regardless of THIS run's buffering config: recovering only on the
+    // bufferBatches > 1 branch (the r8 shape) deferred the at-most-once
+    // loss to a mere config change (ADVICE_r8 medium).
+    recoverBufferJournal(updates.sparkSession, storePath, numBuckets,
+      compactThreshold)
     if (bufferBatches <= 1)
       updates.writeStream
         .outputMode("append")
@@ -488,9 +496,8 @@ object HamStream {
       // ([[recoverBufferJournal]]) — at-least-once, HAM-idempotent.
       // `bufferDurable = false` keeps the journal-free fast path and
       // accepts the documented at-most-once window. A graceful stop
-      // flushes the remainder via the termination listener.
-      recoverBufferJournal(updates.sparkSession, storePath, numBuckets,
-        compactThreshold)
+      // flushes the remainder via the termination listener. (Journal
+      // recovery ran above, before the branch.)
       val sink = new BufferedDeltaSink(storePath, numBuckets, compactThreshold,
         bufferBatches, durable = bufferDurable)
       val spark = updates.sparkSession
@@ -515,6 +522,7 @@ object HamStream {
       spark.streams.addListener(listener)
       q
     }
+  }
 
   /** The buffered delta sink of [[appendIntoStore]]`(bufferBatches > 1)`:
     * accumulates micro-batches and flushes them as ONE
@@ -741,11 +749,17 @@ object HamStream {
     */
   def readStore(
       spark: org.apache.spark.sql.SparkSession,
-      storePath: String): org.apache.spark.sql.DataFrame = {
+      storePath: String,
+      numBuckets: Int = 64): org.apache.spark.sql.DataFrame = {
     val storeDir = new org.apache.hadoop.fs.Path(storePath)
     val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     checkLayout(fs, storeDir, stamp = false)
     recoverStore(fs, storeDir)
+    // heal a crashed buffered run's leftovers too: the journal holds
+    // committed batches no other copy has, and a reader must see them
+    // (no-op when `.buffer-journal` is absent — i.e. always, outside a
+    // crashed bufferDurable run; numBuckets routes the replayed cells)
+    recoverBufferJournal(spark, storePath, numBuckets)
     graft.operators.HamMerge.mergeSnapshot(
       spark.read.parquet(storePath).drop("bucket"))
   }
@@ -839,6 +853,7 @@ object HamStream {
     val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     checkLayout(fs, storeDir, stamp = false) // a pre-v2 store must error, not miss
     recoverStore(fs, storeDir) // one listStatus; heals a crash-interrupted swap before reading
+    recoverBufferJournal(spark, storePath, numBuckets) // one fs.exists when no journal; a reader must see journaled-only cells
     val bucket = spark.range(1)
       .select(bucketOf(lit(soul), lit(field), numBuckets))
       .head().getLong(0)

@@ -284,9 +284,14 @@ object StreamingNearDup {
           throw new java.io.IOException(s"compaction promote failed: $dest")
       }
       // crash between promote and these deletes leaves old deltas next to
-      // the compacted copy — duplicate ROWS, not lost rows; the probe is
-      // set-semantic and the next compaction folds them
-      before.foreach(fs.delete(_, false))
+      // the compacted copy — duplicate ROWS the set-semantic probe absorbs
+      // and the next compaction folds. On a same-batchId REPLAY of that
+      // crash, `before` includes the prior attempt's compact-b<batchId>-*
+      // dest (the rename above then skips as dest-exists): that dest may
+      // by then be the bucket's ONLY copy, so it must never be on the
+      // delete list — deleting it would silently empty the bucket.
+      before.filterNot(_.getName.startsWith(s"compact-b$batchId-"))
+        .foreach(fs.delete(_, false))
       fs.delete(cStaging, true)
     }
   }

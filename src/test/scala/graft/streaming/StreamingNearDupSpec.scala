@@ -108,6 +108,47 @@ class StreamingNearDupSpec extends SparkSuite {
     assert(e.getMessage.contains("numBuckets=16"))
   }
 
+  test("same-batchId replay of a crashed compaction never empties the bucket") {
+    // Crash model: compaction promoted compact-b<id>-0 but crashed before
+    // deleting the old deltas; the micro-batch replays under the SAME
+    // batchId. The replay's rename skips (dest exists), so the promoted
+    // compact file may be the bucket's only full copy — the delete pass
+    // must not touch it.
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("snd-crash").toString
+    val out = java.nio.file.Files.createTempDirectory("snd-crash-out").toString
+    def oneDoc(id: Long) = Seq(id -> baseText).toDF("doc_id", "text")
+    // three un-compacted deltas per touched bucket
+    (0 until 3).foreach(i => StreamingNearDup.processBatch(
+      oneDoc(100L + i), i.toLong, idx, out, 16, 8, compactThreshold = 0))
+    def bucketDirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val snapshot = bucketDirs.flatMap(_.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.toPath -> java.nio.file.Files.readAllBytes(f.toPath)))
+    // batch 3 fires compaction (4 files >= threshold 2): deltas deleted,
+    // compact-b3-0 promoted...
+    StreamingNearDup.processBatch(
+      oneDoc(103L), 3L, idx, out, 16, 8, compactThreshold = 2)
+    assert(bucketDirs.forall(_.listFiles()
+      .exists(_.getName.startsWith("compact-b3-"))))
+    // ...now restore the old deltas next to it = the crashed state
+    snapshot.foreach { case (p, bytes) => java.nio.file.Files.write(p, bytes) }
+    // replay batch 3 under the same batchId
+    StreamingNearDup.processBatch(
+      oneDoc(103L), 3L, idx, out, 16, 8, compactThreshold = 2)
+    assert(bucketDirs.nonEmpty)
+    assert(bucketDirs.forall(_.listFiles().exists(_.getName.endsWith(".parquet"))),
+      "replayed compaction emptied a bucket")
+    // the index still answers: a later near-dup probe matches the old docs
+    StreamingNearDup.processBatch(
+      oneDoc(999L), 4L, idx, out, 16, 8, compactThreshold = 8)
+    val m = allMatches(out)
+    assert((100L to 103L).forall(o => m.exists {
+      case (n, o2, eq) => n == 999L && o2 == o && eq == Dedup.NumHashes.toLong
+    }), s"index lost rows after crash replay: $m")
+  }
+
   test("delta files compact once a bucket crosses the threshold") {
     // 6 batches all touching the same band keys (same doc text) with
     // compactThreshold=2: without compaction each bucket would
