@@ -109,8 +109,12 @@ object Bench {
     // Stop Spark BEFORE the stdout emit so no shutdown chatter can follow it:
     // the driver parses the process's LAST stdout line as JSON (sbt's
     // "[success]" trailer is separately suppressed via showSuccess in
-    // build.sbt).
+    // build.sbt). That last line must also FIT the driver's ~2.2 KB stdout
+    // tail window — the full 81-query map is ~4.8 KB and truncates mid-line
+    // (BENCH_r08 "parsed": null), so stdout gets a COMPACT summary and the
+    // full per-query record lives in `outFile` (committed as bench_out.json).
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"repeat":$repeat,"isolation":"$mode","sf":"$sfDir","detail":"$outFile"}"""
     spark.stop()
-    println(json)
+    println(compact)
   }
 }
