@@ -40,18 +40,24 @@ object Bpe {
     pairs.toMap
   }
 
-  /** Greedy BPE encode of a lowercase `[a-z]+` word into token ids. */
-  def encode(w: String): Array[Long] = {
+  /** Greedy BPE segmentation of `w` against an arbitrary ranked merges
+    * table (lower rank merges first; leftmost occurrence on a repeated
+    * pair; iterate to exhaustion). The learned-table entry point: a
+    * table produced by [[graft.operators.BpeTrain]] drops in here, and
+    * for any word of the training corpus the result reproduces the
+    * final training segmentation (asserted in BpeTrainSpec).
+    */
+  def encodeWith(w: String, table: Map[(String, String), Int]): Seq[String] = {
     val syms = scala.collection.mutable.ArrayBuffer.tabulate(w.length)(
       i => w.substring(i, i + 1))
     var merging = syms.length > 1
     while (merging) {
-      var bestRank = NoRank
+      var bestRank = Int.MaxValue
       var bestI = -1
       var i = 0
       while (i < syms.length - 1) {
         // strict < keeps the LEFTMOST occurrence of the lowest rank
-        val r = ranks.getOrElse((syms(i), syms(i + 1)), NoRank)
+        val r = table.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
         if (r < bestRank) { bestRank = r; bestI = i }
         i += 1
       }
@@ -61,11 +67,15 @@ object Bpe {
         syms.remove(bestI + 1)
       }
     }
-    syms.iterator.map { sym =>
+    syms.toSeq
+  }
+
+  /** Greedy BPE encode of a lowercase `[a-z]+` word into token ids. */
+  def encode(w: String): Array[Long] =
+    encodeWith(w, ranks).iterator.map { sym =>
       if (sym.length == 1) (sym.charAt(0) - 'a' + 1).toLong
       else mergedIds(sym)
     }.toArray
-  }
 
   /** DuckDB CASE yielding the rank of the pair (`l`, `r`), else NoRank. */
   def rankCaseSql(l: String, r: String): String =

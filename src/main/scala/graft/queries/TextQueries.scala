@@ -82,6 +82,18 @@ object TextQueries {
           max(col("mx")).as("max_id"), count(lit(1)).as("n_words"))
     }),
 
+    // Distributed BPE merges TRAINING (the other half of the tokenizer
+    // story next to doc_tokenize_bpe's encode): learn the top-K merge
+    // rules from the corpus by iterative weighted pair counting with a
+    // deterministic argmax tiebreak — see operators/BpeTrain.scala for
+    // the scale shape (loop state is the distinct-word table, one
+    // corpus shuffle up front, one pair hash-agg + single-row collect
+    // per iteration). The oracle replays the identical loop in DuckDB
+    // as K unrolled (pairs → argmax → recursive-fold) steps.
+    "doc_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrain.trainOnDocuments(
+        s, tbl(s, dir, "documents"), BpeTrainK)),
+
     // Winnowing document fingerprints (the rolling-hash scheme used for
     // near-dup detection robust to small edits): hash every 8-char gram
     // of the whitespace-normalized text, take the min hash of each
@@ -832,7 +844,11 @@ object TextQueries {
     "(" + terms.mkString(" + ") + ")"
   }
 
+  /** Merges learned by `doc_bpe_train` (bounds the unrolled oracle). */
+  private val BpeTrainK = 12
+
   val oracles: Map[String, String] = Map(
+    "doc_bpe_train" -> graft.operators.BpeTrain.oracleSql(BpeTrainK),
     // Independent replay of the greedy BPE loop: per distinct word, a
     // recursive CTE holds the symbol list, finds the lowest-rank
     // adjacent pair (leftmost via list_position's first-match), merges
