@@ -281,7 +281,9 @@ object StreamBench {
       docsPerBatch: Int,
       numBuckets: Int,
       probeAll: Boolean,
-      compactThreshold: Int = 8): NearDupStats = {
+      compactThreshold: Int = 8,
+      hotCopies: Int = 0,
+      maxKeyRows: Int = graft.streaming.StreamingNearDup.MaxKeyRows): NearDupStats = {
     import graft.streaming.StreamingNearDup
     val root = Files.createTempDirectory("sb-neardup").toString
     val statsBuf = IndexedSeq.newBuilder[StreamingNearDup.ProbeStats]
@@ -289,10 +291,17 @@ object StreamBench {
       val toks = (0 until 30).map(j => s"d${id}t$j")
       (if (edited) toks.dropRight(1) :+ "edited" else toks).mkString(" ")
     }
+    // one viral family: every batch re-sends `hotCopies` of this text, so
+    // its band keys' index occupancy grows by hotCopies per batch — the
+    // boilerplate shape the per-key cap exists for
+    val hotText = (0 until 30).map(j => s"hotboiler$j").mkString(" ")
     var next = 0L
     for (b <- 0 until batches) {
       val fresh = (0 until docsPerBatch).map { _ =>
         val id = next; next += 1; id -> docText(id, edited = false)
+      }
+      val hot = (0 until hotCopies).map { _ =>
+        val id = next; next += 1; id -> hotText
       }
       // every 10th batch, one near-duplicate of a doc from ~5 batches ago
       val dups =
@@ -300,10 +309,11 @@ object StreamBench {
           Seq((1000000L + b) -> docText((b - 5).toLong * docsPerBatch, edited = true))
         else Seq.empty
       import spark.implicits._
-      val batch = (fresh ++ dups).toDF("doc_id", "text")
+      val batch = (fresh ++ hot ++ dups).toDF("doc_id", "text")
       statsBuf += StreamingNearDup.processBatch(batch, b.toLong,
         s"$root/index", s"$root/matches", numBuckets, minEq = 8,
-        compactThreshold = compactThreshold, probeAllBuckets = probeAll)
+        compactThreshold = compactThreshold, probeAllBuckets = probeAll,
+        maxKeyRows = maxKeyRows)
     }
     val all = statsBuf.result()
     val third = all.length / 3 max 1
@@ -477,6 +487,22 @@ object StreamBench {
       try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = true)
       finally spark.stop()
     }
+    // hammered band key A/B: every batch re-sends 10 copies of one
+    // boilerplate text. Uncapped, the probe's per-key fan-out (and
+    // rows_scanned) grows with the family; with the per-key cap the old
+    // side is clamped to the family representatives
+    val ndHotCapped = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256,
+        probeAll = false, hotCopies = 10, maxKeyRows = 32)
+      finally spark.stop()
+    }
+    val ndHotUncapped = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256,
+        probeAll = false, hotCopies = 10, maxKeyRows = 0)
+      finally spark.stop()
+    }
 
     val walOverheadPct =
       if (ingestNoWal.rate > 0)
@@ -498,7 +524,9 @@ object StreamBench {
         raJs("readamp_trigger_on", raOn) + "," +
         raJs("readamp_trigger_off", raOff) + "," +
         ndJs("neardup_pruned", ndPruned) + "," +
-        ndJs("neardup_full_probe", ndFull) + "}"
+        ndJs("neardup_full_probe", ndFull) + "," +
+        ndJs("neardup_hot_capped", ndHotCapped) + "," +
+        ndJs("neardup_hot_uncapped", ndHotUncapped) + "}"
     println(json)
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[stream-bench] write failed: $e") }

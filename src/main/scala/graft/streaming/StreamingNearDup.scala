@@ -52,7 +52,10 @@ import org.apache.spark.sql.types._
 object StreamingNearDup {
 
   /** Per-batch probe telemetry (driver-side metadata only — counts and
-    * bucket ids, never row data).
+    * bucket ids, never row data). `inListKeys` is the number of band
+    * keys pushed down as a parquet IN filter, or -1 when the batch was
+    * over [[MaxPushdownKeys]] and the probe fell back to the broadcast
+    * semi-join (bounded driver memory, no filter literal).
     */
   final case class ProbeStats(
       batchId: Long,
@@ -61,7 +64,33 @@ object StreamingNearDup {
       bucketsOccupied: Int,
       indexRowsScanned: Long,
       matches: Long,
-      processMs: Long)
+      processMs: Long,
+      inListKeys: Int = 0)
+
+  /** Band-key-count ceiling for the collected IN-list probe pushdown.
+    * Under it, the batch's distinct band keys are pushed as a parquet
+    * In() filter — compaction sorts the index by band_key, so the scan
+    * row-group-prunes to point lookups. Over it (a catch-up batch of
+    * millions of docs), the collected literal would put O(batch×bands)
+    * strings in driver memory AND in the plan; the probe switches to a
+    * broadcast LEFT SEMI join of the bucket scan against the batch's
+    * band keys — same candidate set, no driver round-trip. The
+    * threshold probe costs one `limit(N+1)` collect, so driver memory
+    * is bounded by N either way.
+    */
+  val MaxPushdownKeys = 4096
+
+  /** Per-band_key cap on the OLD side of the candidate joins — the
+    * streaming mirror of [[Dedup.DefaultMaxBucket]]: one viral band key
+    * (boilerplate shared by a large fraction of the corpus) would
+    * otherwise make the probe join fan-out, and the per-key index read,
+    * grow without bound. Keys over the cap keep their `MaxKeyRows`
+    * SMALLEST doc_ids (the stable family representatives — a new copy
+    * still matches the family through them, same contract as the batch
+    * operator's representative linking); only intra-family pair
+    * enumeration beyond the cap is sacrificed.
+    */
+  val MaxKeyRows = 1024
 
   private val indexSchema = StructType(Seq(
     StructField("band", LongType),
@@ -100,7 +129,9 @@ object StreamingNearDup {
       numBuckets: Int,
       minEq: Int,
       compactThreshold: Int,
-      probeAllBuckets: Boolean = false): ProbeStats = {
+      probeAllBuckets: Boolean = false,
+      maxPushdownKeys: Int = MaxPushdownKeys,
+      maxKeyRows: Int = MaxKeyRows): ProbeStats = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     val sigs = Dedup.minhashSignatures(batch.toDF(), "doc_id", "text")
@@ -126,11 +157,15 @@ object StreamingNearDup {
         if (probeAllBuckets) occupied.toSeq // the naive A/B leg: full-index probe
         else occupied.filter(touched.contains).toSeq
       val probePaths = probeIds.map(b => s"$indexPath/bucket=$b")
-      // the batch's band keys (≤ batch × NumBands strings — metadata,
-      // like `touched`): pushed as an IN filter on the bucket scan, so
-      // compaction-sorted files row-group-prune to point lookups instead
-      // of full bucket scans (PushedFilters: In(band_key, ...)). The
-      // naive A/B leg skips it — it exists to price the rescan shape.
+      // the batch's band keys, pushed into the bucket scan so
+      // compaction-sorted files row-group-prune to point lookups
+      // (PushedFilters: In(band_key, ...)) — but BOUNDED: the collect is
+      // limit(MaxPushdownKeys + 1), and past the threshold the probe
+      // switches to a broadcast semi-join instead of a driver literal
+      // (ADVICE_r8: an unbounded batch×NumBands IN-list is a driver-
+      // memory and plan-size blowup on a catch-up batch). The naive A/B
+      // leg skips it — it exists to price the rescan shape.
+      var inListKeys = 0
       val idx =
         if (probePaths.isEmpty)
           spark.createDataFrame(
@@ -139,21 +174,39 @@ object StreamingNearDup {
           val scan = spark.read.schema(indexSchema).parquet(probePaths: _*)
           if (probeAllBuckets) scan
           else {
-            val batchKeys = rows.select("band_key").distinct().collect()
-              .map(_.getString(0)).toSeq
-            scan.filter(col("band_key").isInCollection(batchKeys))
+            val distinctKeys = rows.select("band_key").distinct()
+            val sample = distinctKeys.limit(maxPushdownKeys + 1).collect()
+            if (sample.length <= maxPushdownKeys) {
+              inListKeys = sample.length
+              scan.filter(col("band_key").isInCollection(
+                sample.map(_.getString(0)).toSeq))
+            } else {
+              inListKeys = -1
+              scan.join(broadcast(distinctKeys), Seq("band_key"), "left_semi")
+            }
           }
         }
-      val old = idx.select(col("band"), col("band_key"),
-        col("doc_id").as("old_doc"), col("sig").as("old_sig"))
+      // hot-key guard: cap the OLD side of both candidate joins to the
+      // MaxKeyRows smallest doc_ids per (band, band_key) — runs on the
+      // already-pruned probe subset, so the window is O(probe), and a
+      // viral key degrades to representative matching instead of an
+      // unbounded fan-out
+      def capPerKey(df: DataFrame): DataFrame =
+        if (maxKeyRows <= 0) df
+        else df.withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("band", "band_key").orderBy("old_doc")))
+          .filter(col("_rn") <= maxKeyRows).drop("_rn")
+      val old = capPerKey(idx.select(col("band"), col("band_key"),
+        col("doc_id").as("old_doc"), col("sig").as("old_sig")))
       val newBands = rows.select(col("doc_id").as("new_doc"),
         col("band"), col("band_key"), col("sig"))
       val vsHistory = newBands.join(old, Seq("band", "band_key"))
         .filter(col("old_doc") =!= col("new_doc"))
       // within-batch: both sides new, ordered to emit each pair once
       val inBatch = newBands.join(
-        rows.select(col("doc_id").as("old_doc"), col("band"),
-          col("band_key"), col("sig").as("old_sig")),
+        capPerKey(rows.select(col("doc_id").as("old_doc"), col("band"),
+          col("band_key"), col("sig").as("old_sig"))),
         Seq("band", "band_key"))
         .filter(col("old_doc") < col("new_doc"))
       val nEq = aggregate(
@@ -173,7 +226,7 @@ object StreamingNearDup {
       appendIndexDelta(rows, batchId, indexPath, numBuckets, compactThreshold, fs, storeDir)
       ProbeStats(batchId, rows.select("doc_id").distinct().count(),
         probeIds.size, occupied.length, idxRows, nMatches,
-        (System.nanoTime() - t0) / 1000000L)
+        (System.nanoTime() - t0) / 1000000L, inListKeys)
     } finally rows.unpersist()
   }
 

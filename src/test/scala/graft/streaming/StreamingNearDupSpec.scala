@@ -108,6 +108,56 @@ class StreamingNearDupSpec extends SparkSuite {
     assert(e.getMessage.contains("numBuckets=16"))
   }
 
+  test("over-threshold batch falls back to the broadcast semi-join probe (same matches, no driver literal)") {
+    import spark.implicits._
+    def run(maxKeys: Int): Set[(Long, Long, Long)] = {
+      val idx = java.nio.file.Files.createTempDirectory("snd-push").toString
+      val out = java.nio.file.Files.createTempDirectory("snd-push-out").toString
+      val b0 = (Seq(1L -> baseText) ++
+        (100 until 110).map(i => i.toLong -> fillerText(i))).toDF("doc_id", "text")
+      val b1 = (Seq(999L -> baseText) ++
+        (200 until 210).map(i => i.toLong -> fillerText(i))).toDF("doc_id", "text")
+      val s0 = StreamingNearDup.processBatch(b0, 0L, idx, out, 16, 8, 8,
+        maxPushdownKeys = maxKeys)
+      val s1 = StreamingNearDup.processBatch(b1, 1L, idx, out, 16, 8, 8,
+        maxPushdownKeys = maxKeys)
+      // batch 0 probes an EMPTY index (no pushdown at all); batch 1 is
+      // the real probe: IN-list leg reports its key count, fallback -1
+      assert(s0.inListKeys == 0, s"$s0")
+      if (maxKeys > 1000) assert(s1.inListKeys > 0, s"$s1")
+      else assert(s1.inListKeys == -1, s"$s1")
+      allMatches(out)
+    }
+    val viaInList = run(maxKeys = 4096)
+    val viaSemiJoin = run(maxKeys = 1) // 11 docs × 4 bands >> 1: forced fallback
+    assert(viaInList == viaSemiJoin, s"$viaInList vs $viaSemiJoin")
+    assert(viaSemiJoin.exists { case (n, o, _) => n == 999L && o == 1L })
+  }
+
+  test("hot band key degrades to representative matching, not unbounded fan-out") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("snd-hot").toString
+    val out = java.nio.file.Files.createTempDirectory("snd-hot-out").toString
+    val cap = 8
+    // 3 batches × 10 copies of the same text hammer one band-key family
+    (0 until 3).foreach { b =>
+      StreamingNearDup.processBatch(
+        (0 until 10).map(i => (b * 100L + i) -> baseText).toDF("doc_id", "text"),
+        b.toLong, idx, out, 16, 8, 0, maxKeyRows = cap)
+    }
+    val probe = StreamingNearDup.processBatch(
+      Seq(9999L -> baseText).toDF("doc_id", "text"),
+      3L, idx, out, 16, 8, 0, maxKeyRows = cap)
+    // 30 indexed family members, but the capped old side keeps only the
+    // `cap` smallest doc_ids — the probe matches exactly the family
+    // representatives (the batch contract: connectivity, not enumeration)
+    val newMatches = spark.read.parquet(s"$out/batch-3")
+      .select("old_doc").collect().map(_.getLong(0)).toSet
+    assert(newMatches == (0 until cap).map(_.toLong).toSet,
+      s"expected the $cap smallest representatives, got $newMatches")
+    assert(probe.matches == cap.toLong, s"$probe")
+  }
+
   test("same-batchId replay of a crashed compaction never empties the bucket") {
     // Crash model: compaction promoted compact-b<id>-0 but crashed before
     // deleting the old deltas; the micro-batch replays under the SAME
