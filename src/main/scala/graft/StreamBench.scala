@@ -326,6 +326,59 @@ object StreamBench {
       all.takeRight(third).map(_.indexRowsScanned).max)
   }
 
+  /** Streaming EMBEDDING near-dup A/B ([[graft.streaming.StreamingEmbNearDup]]):
+    * same drive shape as [[runNearDup]] — growing vector corpus, every
+    * 10th batch re-sends an old vector lightly perturbed — pruned
+    * tkey-probe vs naive full-index probe. Scale signal identical:
+    * pruned rows_scanned stays O(batch × tables), full probe re-reads
+    * the whole index.
+    */
+  def runEmbNearDup(
+      spark: SparkSession,
+      batches: Int,
+      vecsPerBatch: Int,
+      numBuckets: Int,
+      probeAll: Boolean,
+      compactThreshold: Int = 8): NearDupStats = {
+    import graft.streaming.StreamingEmbNearDup
+    val root = Files.createTempDirectory("sb-embnd").toString
+    val statsBuf = IndexedSeq.newBuilder[StreamingEmbNearDup.ProbeStats]
+    val dims = 32
+    def vecOf(id: Long, edited: Boolean): Array[Float] =
+      Array.tabulate(dims) { d =>
+        val h = scala.util.hashing.MurmurHash3.finalizeHash(
+          scala.util.hashing.MurmurHash3.mix(
+            (id % Int.MaxValue).toInt * 0x9E3779B9, d * 0x85EBCA6B), 2)
+        val v = (h.toDouble / Int.MaxValue).toFloat
+        if (edited) v * (if (d % 2 == 0) 1.001f else 0.999f) else v
+      }
+    var next = 0L
+    for (b <- 0 until batches) {
+      val fresh = (0 until vecsPerBatch).map { _ =>
+        val id = next; next += 1; id -> vecOf(id, edited = false)
+      }
+      val dups =
+        if (b % 10 == 9 && b >= 5)
+          Seq((1000000L + b) -> vecOf((b - 5).toLong * vecsPerBatch, edited = true))
+        else Seq.empty
+      import spark.implicits._
+      val batch = (fresh ++ dups).toDF("vec_id", "embedding")
+      statsBuf += StreamingEmbNearDup.processBatch(batch, b.toLong,
+        s"$root/index", s"$root/matches", tables = 4, bits = 8,
+        numBuckets = numBuckets, minCos = 0.95,
+        compactThreshold = compactThreshold, probeAllBuckets = probeAll)
+    }
+    val all = statsBuf.result()
+    val third = all.length / 3 max 1
+    def p50(s: Seq[Long]): Long =
+      if (s.isEmpty) 0L else s.sorted.apply(s.length / 2)
+    NearDupStats(batches, all.map(_.batchVecs).sum, all.map(_.matches).sum,
+      p50(all.take(third).map(_.processMs)),
+      p50(all.takeRight(third).map(_.processMs)),
+      all.take(third).map(_.indexRowsScanned).max,
+      all.takeRight(third).map(_.indexRowsScanned).max)
+  }
+
   /** Publish path at capacity: updates fan out over one peer conn as
     * bounded wire frames; a consumer thread drains the socket side (an
     * unread LinkedBlockingQueue would otherwise just buffer — draining
@@ -503,6 +556,18 @@ object StreamBench {
         probeAll = false, hotCopies = 10, maxKeyRows = 0)
       finally spark.stop()
     }
+    // embedding-side near-dup A/B: same growing-corpus drive over the
+    // LSH-table index, pruned vs full probe
+    val endPruned = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runEmbNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = false)
+      finally spark.stop()
+    }
+    val endFull = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runEmbNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = true)
+      finally spark.stop()
+    }
 
     val walOverheadPct =
       if (ingestNoWal.rate > 0)
@@ -526,7 +591,9 @@ object StreamBench {
         ndJs("neardup_pruned", ndPruned) + "," +
         ndJs("neardup_full_probe", ndFull) + "," +
         ndJs("neardup_hot_capped", ndHotCapped) + "," +
-        ndJs("neardup_hot_uncapped", ndHotUncapped) + "}"
+        ndJs("neardup_hot_uncapped", ndHotUncapped) + "," +
+        ndJs("emb_neardup_pruned", endPruned) + "," +
+        ndJs("emb_neardup_full_probe", endFull) + "}"
     println(json)
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[stream-bench] write failed: $e") }

@@ -230,41 +230,26 @@ object StreamingNearDup {
     } finally rows.unpersist()
   }
 
-  /** Bucket-count layout guard: `bucketOf` routing is only consistent if
-    * every writer AND prober of an index uses the same `numBuckets` — a
-    * restart with a different value would silently probe the wrong
-    * buckets (missed duplicates, no error). First touch stamps a marker;
-    * later touches must match it (HamStream.checkLayout's contract).
+  /** Bucket-count layout guard ([[BucketIndex.checkLayout]]): a restart
+    * with a different `numBuckets` would silently probe the wrong
+    * buckets (missed duplicates, no error).
     */
   private def checkIndexLayout(
       fs: org.apache.hadoop.fs.FileSystem,
       storeDir: org.apache.hadoop.fs.Path,
-      numBuckets: Int): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(storeDir, "_nd_layout")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val recorded =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-        finally in.close()
-      require(recorded == numBuckets,
-        s"near-dup index at $storeDir was built with numBuckets=$recorded, " +
+      numBuckets: Int): Unit =
+    try BucketIndex.checkLayout(fs, storeDir, "_nd_layout", numBuckets.toString)
+    catch { case e: IllegalArgumentException =>
+      // keep the pre-refactor message shape (numBuckets=N) for callers
+      throw new IllegalArgumentException(
+        s"near-dup index at $storeDir was built with numBuckets=" +
+          s"${e.getMessage.replaceAll("(?s).*layout '([^']*)'.*", "$1")}, " +
           s"probed with $numBuckets — band-bucket routing would be wrong")
-    } else {
-      fs.mkdirs(storeDir)
-      val out = fs.create(marker, true)
-      try out.write(numBuckets.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
     }
-  }
 
-  /** Append the batch's index rows as ONE delta file per touched bucket —
-    * the [[HamStream.appendBatchIntoStore]] discipline: staged
-    * bucket-partitioned write, idempotent parallel rename promotion
-    * (dest-exists = same-batch replay, benign), then fold any bucket
-    * whose delta-file count crossed `compactThreshold` into a single
-    * deduped file.
+  /** Append the batch's index rows as ONE delta file per touched bucket
+    * ([[BucketIndex.appendDelta]]); compaction sorts by band_key so the
+    * probe's pushdown filter row-group-prunes.
     */
   private def appendIndexDelta(
       rows: DataFrame,
@@ -273,79 +258,12 @@ object StreamingNearDup {
       numBuckets: Int,
       compactThreshold: Int,
       fs: org.apache.hadoop.fs.FileSystem,
-      storeDir: org.apache.hadoop.fs.Path): Unit = {
-    val spark = rows.sparkSession
-    val staging = new org.apache.hadoop.fs.Path(indexPath, s".staging-delta-$batchId")
-    rows.select("band", "band_key", "doc_id", "sig", "bucket")
-      .repartition(numBuckets min
-        spark.sessionState.conf.numShufflePartitions, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-    val bucketDirs = fs.listStatus(staging)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-    val overThreshold =
-      if (bucketDirs.isEmpty) Array.empty[String]
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          bucketDirs.length min 16)
-        try {
-          val futures = bucketDirs.map { bdir =>
-            pool.submit(new java.util.concurrent.Callable[(String, Int)] {
-              override def call(): (String, Int) = {
-                val name = bdir.getPath.getName
-                val live = new org.apache.hadoop.fs.Path(storeDir, name)
-                if (!fs.exists(live)) fs.mkdirs(live)
-                fs.listStatus(bdir.getPath)
-                  .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
-                  .foreach { case (f, i) =>
-                    val dest = new org.apache.hadoop.fs.Path(
-                      live, s"delta-b$batchId-$i.parquet")
-                    if (!fs.rename(f.getPath, dest) && !fs.exists(dest))
-                      throw new java.io.IOException(
-                        s"index delta promotion failed: ${f.getPath} -> $dest")
-                  }
-                name -> fs.listStatus(live)
-                  .count(_.getPath.getName.endsWith(".parquet"))
-              }
-            })
-          }
-          futures.map(_.get()).collect {
-            case (name, n) if compactThreshold > 0 && n >= compactThreshold => name
-          }
-        } finally pool.shutdown()
-      }
-    fs.delete(staging, true)
-    overThreshold.foreach { name =>
-      val live = new org.apache.hadoop.fs.Path(storeDir, name)
-      val before = fs.listStatus(live)
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
-      // sorted by band_key: the compacted file's parquet row-group stats
-      // become selective for the probe's band_key join, so a point probe
-      // inside a big bucket skips row groups instead of scanning them
-      val compacted = spark.read.schema(indexSchema)
-        .parquet(before.map(_.toString): _*)
-        .dropDuplicates("band", "band_key", "doc_id")
-        .coalesce(1)
-        .sortWithinPartitions("band_key", "band", "doc_id")
-      val cStaging = new org.apache.hadoop.fs.Path(
-        indexPath, s".compact-staging-$name-b$batchId")
-      compacted.write.mode("overwrite").parquet(cStaging.toString)
-      val cFiles = fs.listStatus(cStaging)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-      cFiles.zipWithIndex.foreach { case (f, i) =>
-        val dest = new org.apache.hadoop.fs.Path(live, s"compact-b$batchId-$i.parquet")
-        if (!fs.rename(f.getPath, dest) && !fs.exists(dest))
-          throw new java.io.IOException(s"compaction promote failed: $dest")
-      }
-      // crash between promote and these deletes leaves old deltas next to
-      // the compacted copy — duplicate ROWS the set-semantic probe absorbs
-      // and the next compaction folds. On a same-batchId REPLAY of that
-      // crash, `before` includes the prior attempt's compact-b<batchId>-*
-      // dest (the rename above then skips as dest-exists): that dest may
-      // by then be the bucket's ONLY copy, so it must never be on the
-      // delete list — deleting it would silently empty the bucket.
-      before.filterNot(_.getName.startsWith(s"compact-b$batchId-"))
-        .foreach(fs.delete(_, false))
-      fs.delete(cStaging, true)
-    }
-  }
+      storeDir: org.apache.hadoop.fs.Path): Unit =
+    BucketIndex.appendDelta(rows,
+      dataCols = Seq("band", "band_key", "doc_id", "sig"),
+      batchId, indexPath, numBuckets, compactThreshold,
+      schema = indexSchema,
+      dedupCols = Seq("band", "band_key", "doc_id"),
+      sortCols = Seq("band_key", "band", "doc_id"),
+      fs, storeDir)
 }
