@@ -24,6 +24,227 @@ object TextQueries {
   private def tokens(c: org.apache.spark.sql.Column) =
     split(lower(trim(c)), "\\s+")
 
+  /** Count-min heavy hitters; `estOnly` drops the exact ride-along (its
+    * truth leg is a SECOND corpus scan + probe-filtered aggregation —
+    * bias-check instrumentation, not production cost).
+    */
+  private def countminQuery(s: SparkSession, dir: String, estOnly: Boolean): DataFrame = {
+    import s.implicits._
+    val h = (r: Int, c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(concat(lit(s"cm:$r:"), c)), 1, 15), 16, 10)
+        .cast("long") % CmWidth
+    val buckets = (c: org.apache.spark.sql.Column) =>
+      array((0 until CmDepth).map(r => h(r, c)): _*)
+    val toks = tbl(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sketch = toks
+      .select(posexplode(buckets(col("tok"))))
+      .toDF("r", "bucket")
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val probes = CmProbes.toDF("term")
+      .select(col("term"), posexplode(buckets(col("term"))))
+      .toDF("term", "r", "bucket")
+    val est = probes.join(sketch, Seq("r", "bucket"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+    if (estOnly) est.select(col("term"), col("est_count"))
+    else {
+      val truth = toks.filter(col("tok").isInCollection(CmProbes))
+        .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+        .withColumnRenamed("tok", "term")
+      est.join(truth, Seq("term"), "left")
+        .select(col("term"), col("est_count"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"))
+    }
+  }
+
+  /** HyperLogLog distinct; `estOnly` drops the exact `countDistinct`
+    * ride-along — the full-distinct shuffle the sketch exists to avoid —
+    * and with it the persist (the shingle stream is then read once).
+    */
+  private def hllQuery(s: SparkSession, dir: String, estOnly: Boolean): DataFrame = {
+    import s.implicits._
+    val h = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val ex0 = tbl(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 7),
+        i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("gram"))
+      .select(h(col("gram")).as("g"))
+    val ex =
+      if (estOnly) ex0
+      else ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val regs = ex
+      .select((col("g") % 64).as("j"), shiftright(col("g"), 6).as("w"))
+      .withColumn("tz",
+        length(bin(col("w"))) - length(rtrim(bin(col("w")), "0")))
+      .withColumn("rank",
+        when(col("w") === 0, lit(31L))
+          .otherwise(least(lit(31L), lit(1L) + col("tz"))))
+      .groupBy("j").agg(max(col("rank")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = (0L until 64L).map(j => regs.getOrElse(j, 0L))
+    val mMax = m.max
+    val sScaled = m.map(mj => 1L << (mMax - mj)).sum
+    val estQ = (709L * 64 * 64 * (1L << mMax)) / sScaled
+    val vZero = m.count(_ == 0L).toLong
+    val estFinal =
+      if (vZero > 0 && estQ < 2500L * 64) HllLinTable(vZero.toInt) else estQ
+    if (estOnly)
+      Seq((mMax, sScaled, estQ, vZero, estFinal))
+        .toDF("m_max", "s_scaled", "est_q", "v_zero", "est_final_q")
+    else {
+      val nTrue = ex.agg(countDistinct(col("g"))).head.getLong(0)
+      ex.unpersist(blocking = false)
+      Seq((mMax, sScaled, estQ, vZero, estFinal, nTrue))
+        .toDF("m_max", "s_scaled", "est_q", "v_zero", "est_final_q",
+          "true_distinct")
+    }
+  }
+
+  /** Bloom membership probe; `estOnly` drops the exact semi-join
+    * ride-along column (bias-check only).
+    */
+  private def bloomQuery(s: SparkSession, dir: String, estOnly: Boolean): DataFrame = {
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      // probe positions by Kirsch-Mitzenmacher double hashing over the
+      // shingle's one md5-derived 60-bit hash — pos_i = (h1 + i·h2)
+      // mod m with h1 = low 30 bits, h2 = high 30 bits (independent
+      // halves of the same md5) — not 4 more string md5s per shingle:
+      // the md5s were ~5× the probe's per-row cost (2.9 s → the
+      // CMS-class constant VERDICT_r7 #2 asked for). KM gives the fp of
+      // independent hashes (measured 0.4% at 23% load, vs 1.5% for
+      // naively-correlated affine mixes of one residue). All values
+      // < 2^32 after the splits, so every product stays in Long range
+      // on both engines (DuckDB errors on BIGINT overflow).
+      // shiftright, NOT `/`: Column `/` is DOUBLE division and g exceeds
+      // 2^53, so the high half would lose bits; g ≥ 0 makes >> exact
+      val hb = (i: Int, g: org.apache.spark.sql.Column) =>
+        ((g % lit(BloomHalf)) + lit(i.toLong) * shiftright(g, 30)
+          ) % lit(BloomBits.toLong)
+      // hash at TOP LEVEL, never inside the transform lambda: a
+      // higher-order function's lambda body runs interpreted (outside
+      // whole-stage codegen), and the per-shingle md5 was the probe's
+      // dominant cost there (2.2 s → 0.6 s at sf0.1 from this hoist
+      // alone). The lambda only builds the gram strings; dedupe happens
+      // on the strings per doc (same set as deduped hashes), then the
+      // exploded column is hashed codegen'd.
+      def shingles(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            transform(sequence(lit(1), size(col("toks")) - 7),
+              i => concat_ws(" ", slice(col("toks"), i, lit(8)))))).as("gs"))
+        .select(col("doc_id"), h(col("gs")).as("g"))
+      // The TEST side is the small corpus by construction (the
+      // decontamination shape: eval set vs training corpus), so both its
+      // Bloom bits AND its exact shingle-hash set are bounded driver-side
+      // literals — bits by the filter width (16384), the exact set by the
+      // test corpus size. That turns the WHOLE query into scan → map →
+      // per-doc aggregate: no persist, no join, nothing shuffles but the
+      // per-doc counts. (The r7 shape persisted the full corpus's shingle
+      // arrays and joined probe rows to a test-set DataFrame — both
+      // avoidable; VERDICT_r7 "what's wrong" #2.)
+      // ONE collect for the whole test side: the distinct test-shingle
+      // hashes are the only thing that must cross to the driver — the
+      // filter bits are pure arithmetic over them (the same KM formula
+      // the probe uses), computed driver-side. (The r8a shape persisted
+      // the test shingles and ran a second collect for the bit
+      // positions — a full extra job on every run for derivable data.)
+      val testG = shingles(tbl(s, dir, "documents").filter(col("doc_id") < 20))
+        .select(col("g")).distinct().collect().map(_.getLong(0))
+      // O(1) bit test, not O(set bits): pack the 16384 bits into 256
+      // longs and probe word>>offset&1 via two element_at lookups — the
+      // same membership decisions as array_contains over the ~thousands
+      // of set-bit positions at a flat constant. All values < 2^14, so
+      // the fp division in (b / 64) is exact.
+      val words = {
+        val w = new Array[Long](BloomBits / 64)
+        for (g <- testG; i <- 0 until BloomHashes) {
+          val b = ((g % BloomHalf) + i * (g >> 30)) % BloomBits
+          w((b >> 6).toInt) |= 1L << (b & 63).toInt
+        }
+        w
+      }
+      val pow2 = Array.tabulate(64)(i => 1L << i)
+      val bitSet = (b: org.apache.spark.sql.Column) =>
+        element_at(lit(words), (b / 64).cast("int") + 1)
+          .bitwiseAND(element_at(lit(pow2), (b % 64).cast("int") + 1)) =!= lit(0L)
+      val probed = shingles(tbl(s, dir, "documents").filter(col("doc_id") >= 20))
+        .withColumn("maybe",
+          (0 until BloomHashes)
+            .map(i => bitSet(hb(i, col("g"))))
+            .reduce(_ && _).cast("long"))
+      // exact membership via InSet on the bounded test-set literal (the
+      // same O(1) hash-set lookup class as the Bloom words) — bias-check
+      // only, dropped in the est-only plan
+      val res =
+        if (estOnly)
+          probed.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_shingles"),
+              sum(col("maybe")).as("n_maybe"))
+        else
+          probed
+            .withColumn("hit", col("g").isInCollection(testG).cast("long"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_shingles"),
+              sum(col("maybe")).as("n_maybe"),
+              sum(col("hit")).as("n_true"))
+      graft.operators.Caching.materializeAndRelease(res)
+  }
+
+  /** Histogram quantile sketch; `estOnly` drops the exact
+    * order-statistic ride-along (and with it the 1x1 crossJoin).
+    */
+  private def quantileQuery(s: SparkSession, dir: String, estOnly: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val uh = tbl(s, dir, "documents")
+        .select(size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = uh.agg(sum(col("cnt"))).head.getLong(0)
+      val ranks = QuantPermilles.map(q => q -> ((q * total + 999L) / 1000L))
+      // global windows over the BOUNDED histograms only (single-partition
+      // is fine at <= max-length rows — the sketch IS the shuffle payload)
+      val cumU = uh.withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cumB = uh.select(expr(s"n DIV $QuantBinW").as("bin"), col("cnt"))
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val estRow = cumB.agg(
+        ranks.head match { case (q, r) =>
+          min(when(col("cum") >= r, col("bin"))).as(s"b_$q") },
+        ranks.tail.map { case (q, r) =>
+          min(when(col("cum") >= r, col("bin"))).as(s"b_$q") }: _*)
+      val res =
+        if (estOnly)
+          estRow.select(expr(s"stack(${QuantPermilles.length}, " +
+            QuantPermilles.map(q =>
+              s"${q}L, b_$q * $QuantBinW + ${QuantBinW - 1}")
+              .mkString(", ") +
+            ") as (q_permille, est_hi)"))
+        else {
+          val exactRow = cumU.agg(
+            ranks.head match { case (q, r) =>
+              min(when(col("cum") >= r, col("n"))).as(s"e_$q") },
+            ranks.tail.map { case (q, r) =>
+              min(when(col("cum") >= r, col("n"))).as(s"e_$q") }: _*)
+          estRow.crossJoin(exactRow) // 1 row x 1 row
+            .select(expr(s"stack(${QuantPermilles.length}, " +
+              QuantPermilles.map(q =>
+                s"${q}L, b_$q * $QuantBinW + ${QuantBinW - 1}, e_$q")
+                .mkString(", ") +
+              ") as (q_permille, est_hi, exact_n)"))
+        }
+      graft.operators.Caching.materializeAndRelease(res, uh)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + distinct tokens + chars.
     "doc_tokens" -> ((s, dir) => {
@@ -444,33 +665,13 @@ object TextQueries {
     // probed bucket (classic CMS upper bound); the true count (a
     // filtered, probe-only aggregation — small by construction) rides
     // along so the overestimate bias is visible in the output.
-    "doc_countmin_heavy" -> ((s, dir) => {
-      import s.implicits._
-      val h = (r: Int, c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(concat(lit(s"cm:$r:"), c)), 1, 15), 16, 10)
-          .cast("long") % CmWidth
-      val buckets = (c: org.apache.spark.sql.Column) =>
-        array((0 until CmDepth).map(r => h(r, c)): _*)
-      val toks = tbl(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("tok"))
-      val sketch = toks
-        .select(posexplode(buckets(col("tok"))))
-        .toDF("r", "bucket")
-        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
-      val probes = CmProbes.toDF("term")
-        .select(col("term"), posexplode(buckets(col("term"))))
-        .toDF("term", "r", "bucket")
-      val est = probes.join(sketch, Seq("r", "bucket"), "left")
-        .groupBy("term")
-        .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
-      val truth = toks.filter(col("tok").isInCollection(CmProbes))
-        .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
-        .withColumnRenamed("tok", "term")
-      est.join(truth, Seq("term"), "left")
-        .select(col("term"), col("est_count"),
-          coalesce(col("true_count"), lit(0L)).as("true_count"))
-    })
-    ,
+    "doc_countmin_heavy" -> (countminQuery(_, _, estOnly = false)),
+    // PRODUCTION est-only variant: the plan the 100 TB user copies — the
+    // sketch pass alone, no second corpus scan for the exact ride-along
+    // (which exists in the declared query for bias checking only).
+    // Applies to the whole family: *_est plans are asserted exact-free
+    // in PlanHygieneSpec.
+    "doc_countmin_heavy_est" -> (countminQuery(_, _, estOnly = true)),
 
     // HyperLogLog distinct-count — the CARDINALITY member of the sketch
     // family (MinHash resemblance / SimHash similarity / CMS frequency /
@@ -491,39 +692,11 @@ object TextQueries {
     // shape: one map-side hash pass + a 64-group max — the sketch IS
     // the shuffle payload; true distinct (a full shuffle) rides along
     // for the bias check only.
-    "doc_hll_distinct" -> ((s, dir) => {
-      import s.implicits._
-      val h = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val ex = tbl(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 8)
-        .select(explode(transform(sequence(lit(1), size(col("toks")) - 7),
-          i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("gram"))
-        .select(h(col("gram")).as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val regs = ex
-        .select((col("g") % 64).as("j"), shiftright(col("g"), 6).as("w"))
-        .withColumn("tz",
-          length(bin(col("w"))) - length(rtrim(bin(col("w")), "0")))
-        .withColumn("rank",
-          when(col("w") === 0, lit(31L))
-            .otherwise(least(lit(31L), lit(1L) + col("tz"))))
-        .groupBy("j").agg(max(col("rank")).as("m"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val m = (0L until 64L).map(j => regs.getOrElse(j, 0L))
-      val mMax = m.max
-      val sScaled = m.map(mj => 1L << (mMax - mj)).sum
-      val estQ = (709L * 64 * 64 * (1L << mMax)) / sScaled
-      val vZero = m.count(_ == 0L).toLong
-      val estFinal =
-        if (vZero > 0 && estQ < 2500L * 64) HllLinTable(vZero.toInt) else estQ
-      val nTrue = ex.agg(countDistinct(col("g"))).head.getLong(0)
-      ex.unpersist(blocking = false)
-      Seq((mMax, sScaled, estQ, vZero, estFinal, nTrue))
-        .toDF("m_max", "s_scaled", "est_q", "v_zero", "est_final_q",
-          "true_distinct")
-    }),
+    "doc_hll_distinct" -> (hllQuery(_, _, estOnly = false)),
+    // est-only HLL: no countDistinct — the full-distinct shuffle is the
+    // exact cost the sketch exists to avoid at 100 TB (and the single
+    // use of the shingle stream also drops the persist)
+    "doc_hll_distinct_est" -> (hllQuery(_, _, estOnly = true)),
 
     // Bloom-filter membership probe — the shape of shuffle-free
     // decontamination at 100 TB: the test set's 8-token shingles are
@@ -536,87 +709,8 @@ object TextQueries {
     // semi-join count rides along, so the output exposes the filter's
     // false-positive overcount per doc (n_maybe ≥ n_true always; the
     // fp rate is the Bloom tradeoff being demonstrated).
-    "doc_bloom_probe" -> ((s, dir) => {
-      val h = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      // probe positions by Kirsch-Mitzenmacher double hashing over the
-      // shingle's one md5-derived 60-bit hash — pos_i = (h1 + i·h2)
-      // mod m with h1 = low 30 bits, h2 = high 30 bits (independent
-      // halves of the same md5) — not 4 more string md5s per shingle:
-      // the md5s were ~5× the probe's per-row cost (2.9 s → the
-      // CMS-class constant VERDICT_r7 #2 asked for). KM gives the fp of
-      // independent hashes (measured 0.4% at 23% load, vs 1.5% for
-      // naively-correlated affine mixes of one residue). All values
-      // < 2^32 after the splits, so every product stays in Long range
-      // on both engines (DuckDB errors on BIGINT overflow).
-      // shiftright, NOT `/`: Column `/` is DOUBLE division and g exceeds
-      // 2^53, so the high half would lose bits; g ≥ 0 makes >> exact
-      val hb = (i: Int, g: org.apache.spark.sql.Column) =>
-        ((g % lit(BloomHalf)) + lit(i.toLong) * shiftright(g, 30)
-          ) % lit(BloomBits.toLong)
-      // hash at TOP LEVEL, never inside the transform lambda: a
-      // higher-order function's lambda body runs interpreted (outside
-      // whole-stage codegen), and the per-shingle md5 was the probe's
-      // dominant cost there (2.2 s → 0.6 s at sf0.1 from this hoist
-      // alone). The lambda only builds the gram strings; dedupe happens
-      // on the strings per doc (same set as deduped hashes), then the
-      // exploded column is hashed codegen'd.
-      def shingles(d: org.apache.spark.sql.DataFrame) = d
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 8)
-        .select(col("doc_id"),
-          explode(array_distinct(
-            transform(sequence(lit(1), size(col("toks")) - 7),
-              i => concat_ws(" ", slice(col("toks"), i, lit(8)))))).as("gs"))
-        .select(col("doc_id"), h(col("gs")).as("g"))
-      // The TEST side is the small corpus by construction (the
-      // decontamination shape: eval set vs training corpus), so both its
-      // Bloom bits AND its exact shingle-hash set are bounded driver-side
-      // literals — bits by the filter width (16384), the exact set by the
-      // test corpus size. That turns the WHOLE query into scan → map →
-      // per-doc aggregate: no persist, no join, nothing shuffles but the
-      // per-doc counts. (The r7 shape persisted the full corpus's shingle
-      // arrays and joined probe rows to a test-set DataFrame — both
-      // avoidable; VERDICT_r7 "what's wrong" #2.)
-      // ONE collect for the whole test side: the distinct test-shingle
-      // hashes are the only thing that must cross to the driver — the
-      // filter bits are pure arithmetic over them (the same KM formula
-      // the probe uses), computed driver-side. (The r8a shape persisted
-      // the test shingles and ran a second collect for the bit
-      // positions — a full extra job on every run for derivable data.)
-      val testG = shingles(tbl(s, dir, "documents").filter(col("doc_id") < 20))
-        .select(col("g")).distinct().collect().map(_.getLong(0))
-      // O(1) bit test, not O(set bits): pack the 16384 bits into 256
-      // longs and probe word>>offset&1 via two element_at lookups — the
-      // same membership decisions as array_contains over the ~thousands
-      // of set-bit positions at a flat constant. All values < 2^14, so
-      // the fp division in (b / 64) is exact.
-      val words = {
-        val w = new Array[Long](BloomBits / 64)
-        for (g <- testG; i <- 0 until BloomHashes) {
-          val b = ((g % BloomHalf) + i * (g >> 30)) % BloomBits
-          w((b >> 6).toInt) |= 1L << (b & 63).toInt
-        }
-        w
-      }
-      val pow2 = Array.tabulate(64)(i => 1L << i)
-      val bitSet = (b: org.apache.spark.sql.Column) =>
-        element_at(lit(words), (b / 64).cast("int") + 1)
-          .bitwiseAND(element_at(lit(pow2), (b % 64).cast("int") + 1)) =!= lit(0L)
-      val res = shingles(tbl(s, dir, "documents").filter(col("doc_id") >= 20))
-        .withColumn("maybe",
-          (0 until BloomHashes)
-            .map(i => bitSet(hb(i, col("g"))))
-            .reduce(_ && _).cast("long"))
-        // exact membership via InSet on the bounded test-set literal —
-        // the same O(1) hash-set lookup class as the Bloom words
-        .withColumn("hit", col("g").isInCollection(testG).cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(col("maybe")).as("n_maybe"),
-          sum(col("hit")).as("n_true"))
-      graft.operators.Caching.materializeAndRelease(res)
-    }),
+    "doc_bloom_probe" -> (bloomQuery(_, _, estOnly = false)),
+    "doc_bloom_probe_est" -> (bloomQuery(_, _, estOnly = true)),
 
     // Histogram quantile sketch — the QUANTILE member of the sketch
     // family (MinHash resemblance / SimHash similarity / CMS frequency /
@@ -635,42 +729,8 @@ object TextQueries {
     // convention). Integer lattice throughout: permille thresholds via
     // ceil-division (q*N + 999) DIV 1000, no fp interpolation crossing
     // the engine boundary (percentile_cont at q=0.99 would).
-    "doc_length_quantiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val uh = tbl(s, dir, "documents")
-        .select(size(tokens(col("text"))).cast("long").as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val total = uh.agg(sum(col("cnt"))).head.getLong(0)
-      val ranks = QuantPermilles.map(q => q -> ((q * total + 999L) / 1000L))
-      // global windows over the BOUNDED histograms only (single-partition
-      // is fine at <= max-length rows — the sketch IS the shuffle payload)
-      val cumU = uh.withColumn("cum", sum(col("cnt")).over(
-        Window.orderBy(col("n"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val cumB = uh.select(expr(s"n DIV $QuantBinW").as("bin"), col("cnt"))
-        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.orderBy(col("bin"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val estRow = cumB.agg(
-        ranks.head match { case (q, r) =>
-          min(when(col("cum") >= r, col("bin"))).as(s"b_$q") },
-        ranks.tail.map { case (q, r) =>
-          min(when(col("cum") >= r, col("bin"))).as(s"b_$q") }: _*)
-      val exactRow = cumU.agg(
-        ranks.head match { case (q, r) =>
-          min(when(col("cum") >= r, col("n"))).as(s"e_$q") },
-        ranks.tail.map { case (q, r) =>
-          min(when(col("cum") >= r, col("n"))).as(s"e_$q") }: _*)
-      val res = estRow.crossJoin(exactRow) // 1 row x 1 row
-        .select(expr(s"stack(${QuantPermilles.length}, " +
-          QuantPermilles.map(q =>
-            s"${q}L, b_$q * $QuantBinW + ${QuantBinW - 1}, e_$q")
-            .mkString(", ") +
-          ") as (q_permille, est_hi, exact_n)"))
-      graft.operators.Caching.materializeAndRelease(res, uh)
-    }),
+    "doc_length_quantiles" -> (quantileQuery(_, _, estOnly = false)),
+    "doc_length_quantiles_est" -> (quantileQuery(_, _, estOnly = true)),
 
     // Sequence packing (concat-and-chunk) — the final assignment step of
     // an LLM training pipeline: documents laid end-to-end in doc_id
@@ -847,7 +907,7 @@ object TextQueries {
   /** Merges learned by `doc_bpe_train` (bounds the unrolled oracle). */
   private val BpeTrainK = 12
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "doc_bpe_train" -> graft.operators.BpeTrain.oracleSql(BpeTrainK),
     // Independent replay of the greedy BPE loop: per distinct word, a
     // recursive CTE holds the symbol list, finds the lowest-rank
@@ -1267,4 +1327,20 @@ object TextQueries {
           JOIN counts cb ON cb.doc_id = doc_b
           WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.2"""
   )
+
+  /** The est-only variants share the full queries' oracles, projected to
+    * the est columns — the ORACLE may run the exact passes (its cost is
+    * a test-time concern only); what matters is that the SPARK plans of
+    * the `_est` queries contain none (PlanHygieneSpec).
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "doc_countmin_heavy_est" ->
+      s"SELECT term, est_count FROM (${oraclesBase("doc_countmin_heavy")})",
+    "doc_hll_distinct_est" ->
+      ("SELECT m_max, s_scaled, est_q, v_zero, est_final_q FROM (" +
+        oraclesBase("doc_hll_distinct") + ")"),
+    "doc_bloom_probe_est" ->
+      s"SELECT doc_id, n_shingles, n_maybe FROM (${oraclesBase("doc_bloom_probe")})",
+    "doc_length_quantiles_est" ->
+      s"SELECT q_permille, est_hi FROM (${oraclesBase("doc_length_quantiles")})")
 }

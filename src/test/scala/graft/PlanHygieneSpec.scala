@@ -47,6 +47,51 @@ class PlanHygieneSpec extends SparkSuite {
     Set("gun_ttl_purge", "emb_knn", "emb_decontaminate_exact",
       "doc_bm25_topk", "doc_length_quantiles")
 
+  test("est-only sketch variants execute NO exact pass") {
+    // The declared sketch queries carry exact ride-along columns for bias
+    // checking (full countDistinct shuffle, second corpus scan, semi-join
+    // column); the *_est variants are the production plans a 100 TB user
+    // copies, and must run none of that. The sketch operators do part of
+    // their work in driver-side collects during query BUILD, so the
+    // returned DataFrame's plan alone is not the whole story — capture
+    // EVERY execution via a QueryExecutionListener and scan them all.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.explainString(ExplainMode.fromString("formatted")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      for (name <- Seq("doc_countmin_heavy_est", "doc_hll_distinct_est",
+          "doc_bloom_probe_est", "doc_length_quantiles_est")) {
+        SparkEntry.queries(name)(spark, sfDir).collect()
+        spark.catalog.clearCache()
+      }
+      // listener delivery is async — wait until the capture stabilizes
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val n = captured.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      import scala.jdk.CollectionConverters._
+      assert(captured.size >= 4, s"captured only ${captured.size} executions")
+      // exact-pass fingerprints: the ride-along aliases + a distinct agg
+      val exactMarkers =
+        Seq("true_count", "true_distinct", "n_true", "exact_n", "(distinct ")
+      val offenders = captured.asScala.toSeq.flatMap(p =>
+        exactMarkers.filter(p.contains))
+      assert(offenders.isEmpty,
+        s"est-only plans ran exact passes: ${offenders.distinct.mkString(", ")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("no declared query plans a cartesian or unbounded nested-loop join") {
     val prev = spark.conf.getOption(operators.Caching.EagerReleaseKey)
     spark.conf.set(operators.Caching.EagerReleaseKey, "false")
