@@ -151,33 +151,51 @@ object Analytics {
     // the degrees — folded directly (no distinct shuffle: lcm(a, a) = a,
     // so duplicates are free), never a driver collect of the degree table.
     val degRdd = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), Math.addExact)
+      .cache() // read twice: the lcm fold and the initial-attr join
     val lcmAll = degRdd.map(_._2).fold(1L)(lcmExact)
     var pow = 1L // S_k = (20·L)^k
+    val send = (ctx: org.apache.spark.graphx.EdgeContext[(Long, Long), String, Long]) =>
+      ctx.sendToDst(Math.multiplyExact(ctx.srcAttr._2, lcmAll / ctx.srcAttr._1))
     // vertex attr: (out-degree, numerator)
     var ranks: Graph[(Long, Long), String] =
-      g.outerJoinVertices(degRdd)((_, _, d) => (d.getOrElse(0L), 1L))
-    var prev: Graph[(Long, Long), String] = null
-    for (_ <- 0 until iters) {
-      val msgs = ranks.aggregateMessages[Long](
-        ctx => ctx.sendToDst(
-          Math.multiplyExact(ctx.srcAttr._2, lcmAll / ctx.srcAttr._1)),
-        Math.addExact)
+      g.outerJoinVertices(degRdd)((_, _, d) => (d.getOrElse(0L), 1L)).cache()
+    // The release discipline is GraphX Pregel's, and the ORDER is the
+    // point (SCALE_r9: the r8 shape cost the sf10 forest leg 13× for
+    // 3.3× the edges): materializing only `next.vertices` before
+    // unpersisting the previous graph leaves next's replicated EDGE VIEW
+    // unbuilt — the eviction then forces every later aggregateMessages
+    // to recompute the view chain back through the evicted predecessors.
+    // Instead, compute and materialize the NEXT step's messages (which
+    // forces next's edge view) BEFORE releasing the previous graph and
+    // message RDD.
+    var msgs = ranks.aggregateMessages[Long](send, Math.addExact).cache()
+    msgs.count()
+    for (k <- 0 until iters) {
       val base = Math.multiplyExact(Math.multiplyExact(3L, lcmAll), pow)
       val next = ranks.outerJoinVertices(msgs) { case (_, (d, _), m) =>
         (d, Math.addExact(base, Math.multiplyExact(17L, m.getOrElse(0L))))
       }.cache()
-      next.vertices.count() // materialize before releasing the previous step
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = ranks
+      val nextMsgs =
+        if (k < iters - 1) {
+          val m = next.aggregateMessages[Long](send, Math.addExact).cache()
+          m.count() // materializes next's vertices AND its edge view
+          m
+        } else {
+          next.vertices.count() // last step: only the vertices are read
+          null
+        }
+      msgs.unpersist(blocking = false)
+      ranks.unpersistVertices(blocking = false)
+      ranks.edges.unpersist(blocking = false)
       ranks = next
+      msgs = nextMsgs
       pow = Math.multiplyExact(pow, Math.multiplyExact(20L, lcmAll))
     }
+    degRdd.unpersist(blocking = false)
     val res = ranks.vertices.join(g.vertices.map(identity))
       .map { case (_, ((_, n), soul)) => (soul, n) }
       .toDF("soul", "rank_q")
-    val out = materializeAndRelease(res, e, owns, g, ranks)
-    if (prev != null) prev.unpersist(blocking = false)
-    out
+    materializeAndRelease(res, e, owns, g, ranks)
   }
 
   /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
