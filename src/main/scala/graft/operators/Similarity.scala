@@ -386,12 +386,28 @@ object Similarity {
     * index parameter, like a broadcast dimension); assignment is pure
     * map-side work over the corpus — one pass, no shuffle.
     */
-  def ivfLists(vectors: DataFrame, nLists: Int): DataFrame = {
+  def ivfLists(vectors: DataFrame, nLists: Int): DataFrame =
+    assignToCentroids(vectors, collectCentroids(vectors, nLists))
+
+  /** The deterministic IVF centroid table: quantized first `nLists`
+    * vectors by id — a driver-side index parameter ([[IndexStore]]
+    * persists it so later appends/probes reuse the same geometry).
+    */
+  private[operators] def collectCentroids(
+      vectors: DataFrame, nLists: Int): Array[(Long, Array[Long])] = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Array[Long])] = quantized(
-      vectors.filter(col("vec_id") < nLists))
+    quantized(vectors.filter(col("vec_id") < nLists))
       .as[(Long, Array[Long])].collect().sortBy(_._1)
+  }
+
+  /** Map-side IVF assignment against a FIXED centroid table (argmax of
+    * the exact integer inner product, ties to lowest centroid id).
+    */
+  private[operators] def assignToCentroids(
+      vectors: DataFrame, cents: Array[(Long, Array[Long])]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     vectors.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -416,25 +432,14 @@ object Similarity {
       .toDF("vec_id", "list_id")
   }
 
-  /** IVF ANN top-k: each query probes its `nprobe` best lists (same
-    * integer inner-product ordering, ties to lowest centroid id), scans
-    * only those lists, and ranks candidates by exact cosine. The list
-    * join is an equi-join on list_id — per-query work is corpus/nLists ×
-    * nprobe, the standard IVF trade-off.
+  /** Probe-side IVF assignment: each vector's `nprobe` BEST lists by the
+    * same integer inner-product ordering (ties to lowest centroid id).
     */
-  def ivfKnn(
-      vectors: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      nLists: Int,
-      nprobe: Int): DataFrame = {
+  private[operators] def probeAssign(vectors: DataFrame,
+      cents: Array[(Long, Array[Long])], nprobe: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Array[Long])] = quantized(
-      vectors.filter(col("vec_id") < nLists))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
-    val probes = vectors.join(queries.select("vec_id"), "vec_id")
-      .select(col("vec_id").cast("long"), col("embedding"))
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, emb) =>
@@ -454,7 +459,25 @@ object Similarity {
         }
       }
       .toDF("query_id", "list_id")
-    val lists = ivfLists(vectors, nLists)
+  }
+
+  /** IVF ANN top-k: each query probes its `nprobe` best lists (same
+    * integer inner-product ordering, ties to lowest centroid id), scans
+    * only those lists, and ranks candidates by exact cosine. The list
+    * join is an equi-join on list_id — per-query work is corpus/nLists ×
+    * nprobe, the standard IVF trade-off.
+    */
+  def ivfKnn(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nLists: Int,
+      nprobe: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val cents = collectCentroids(vectors, nLists)
+    val probes = probeAssign(
+      vectors.join(queries.select("vec_id"), "vec_id"), cents, nprobe)
+    val lists = assignToCentroids(vectors, cents)
       .select(col("vec_id").as("neighbor_id"), col("list_id"))
     val unit = unitVectors(vectors)
     val w = Window.partitionBy(col("query_id"))
@@ -571,7 +594,30 @@ object Similarity {
     * (VERDICT_r7 "what's wrong" #3; at 100 TB that is m passes vs one).
     * Map-side only — no shuffle, the `ivfLists` pattern.
     */
-  private def assignAllSub(quant: DataFrame,
+  /** Lloyd on the driver-side codebooks: init = the first k ids (ONE
+    * collect, sliced into the m subspaces), one update. Assignment and
+    * update each touch the corpus once for ALL subspaces — the r7 shape
+    * paid a scan per subspace per phase plus an m-way join to reassemble
+    * the code tuple. Exposed within the package so [[IndexStore]] can
+    * train once and persist the codebooks.
+    */
+  private[operators] def pqTrainBooks(quant: DataFrame, m: Int, k: Int,
+      sub: Int): Array[Array[(Long, Array[Long])]] = {
+    val spark = quant.sparkSession
+    import spark.implicits._
+    val firstK = quant.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"), col("q"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val books0 = Array.tabulate(m) { s =>
+      firstK.map { case (id, q) =>
+        (id, q.slice(s * sub, math.min(q.length, (s + 1) * sub)))
+      }
+    }
+    val a0 = assignAllSub(quant, books0, sub)
+    centUpdateAllSub(quant, a0, m, sub)
+  }
+
+  private[operators] def assignAllSub(quant: DataFrame,
       books: Array[Array[(Long, Array[Long])]], sub: Int): DataFrame = {
     val spark = quant.sparkSession
     import spark.implicits._
@@ -665,27 +711,13 @@ object Similarity {
              probes: Int, topK: Int): DataFrame = {
     val spark = vectors.sparkSession
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
     val dims = quant.select(size(col("q"))).head.getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
 
-    // Lloyd on the driver-side codebooks: init = the first k ids (ONE
-    // collect, sliced into the m subspaces), one update. Assignment and
-    // update each touch the corpus once for ALL subspaces — the r7 shape
-    // paid a scan per subspace per phase plus an m-way join to reassemble
-    // the code tuple.
-    import spark.implicits._
-    val firstK = quant.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long"), col("q"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
-    val books0 = Array.tabulate(m) { s =>
-      firstK.map { case (id, q) =>
-        (id, q.slice(s * sub, math.min(q.length, (s + 1) * sub)))
-      }
-    }
-    val a0 = assignAllSub(quant, books0, sub)
-    val books1 = centUpdateAllSub(quant, a0, m, sub)
+    val books1 = pqTrainBooks(quant, m, k, sub)
 
     // the PQ-compressed corpus: one scan computes every vector's m codes
     val wide = assignAllSub(quant, books1, sub)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, IndexStore, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -269,6 +269,30 @@ object MlQueries {
       Similarity.pqTopK(tbl(s, dir, "embeddings"),
         m = 4, k = 8, probes = 5, topK = 10)),
 
+    // Stored-index variants: the SAME ANN answers served from the
+    // persistent append-only [[IndexStore]] — build freezes the
+    // centroids / codebooks on disk, then the probe runs purely against
+    // the stored index (partition-pruned list directories / stored PQ
+    // codes; no access to the raw corpus on the probe side beyond the
+    // query vectors). Oracles are the direct variants' SQL verbatim, so
+    // any drift in the persisted geometry or the pruned probe path
+    // breaks the hash.
+    "emb_ivf_ann_stored" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path =
+        java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/idx"
+      IndexStore.buildIvf(emb, nLists = 16, path)
+      IndexStore.ivfKnnStored(emb.filter(col("vec_id") < 10),
+        k = 5, nprobe = 2, path)
+    }),
+    "emb_pq_ann_stored" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path =
+        java.nio.file.Files.createTempDirectory("pq-idx").toString + "/idx"
+      IndexStore.buildPq(emb, m = 4, k = 8, path)
+      IndexStore.pqTopKStored(s, path, probes = 5, topK = 10)
+    }),
+
     // SemDeDup (cluster-blocked semantic dedup): k-means is the blocking,
     // near-dup cosine scored only within a cluster, keep the lowest id.
     // One flag per vector; the oracle reruns the identical integer-exact
@@ -511,7 +535,7 @@ object MlQueries {
     s"(${strHashSql(s"'pw:' || CAST(($pg) AS VARCHAR) || ':' || CAST(d AS VARCHAR)")}" +
       " % 2147483648 - 1073741824)"
 
-  val oracles: Map[String, String] = Map(
+  private val directOracles: Map[String, String] = Map(
     "minhash_sig" -> sigSql,
     "minhash_lsh_pairs" ->
       s"""WITH sig AS ($sigSql),
@@ -847,4 +871,11 @@ object MlQueries {
                 CAST(NULL AS DOUBLE) AS mean_lum
          FROM documents WHERE doc_id % 2 = 1"""
   )
+
+  /** The stored-index probes must answer EXACTLY like the direct
+    * operators on the same corpus, so they share one oracle.
+    */
+  val oracles: Map[String, String] = directOracles ++ Map(
+    "emb_ivf_ann_stored" -> directOracles("emb_ivf_ann"),
+    "emb_pq_ann_stored" -> directOracles("emb_pq_ann"))
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.StructType
   * copy, so it is excluded from the delete list (ADVICE_r8 high — the
   * delete would otherwise silently empty the bucket).
   */
-private[streaming] object BucketIndex {
+private[graft] object BucketIndex {
 
   /** Layout guard: bucket routing (and any sketch geometry recorded in
     * `layout`) must match between every writer and prober of an index —
