@@ -198,6 +198,45 @@ object Analytics {
     materializeAndRelease(res, e, owns, g, ranks)
   }
 
+  /** Synchronous label propagation (community detection): labels start as
+    * each vertex's own soul; each step every vertex adopts the most
+    * frequent label among its UNDIRECTED neighbors, ties broken by the
+    * lexicographically smallest label — fully deterministic, so the fixed
+    * k-step result is oracle-checkable by unrolling the same recurrence
+    * in SQL. Implemented on DataFrames rather than GraphX: the per-step
+    * mode is two hash aggregations (count per (v, label), then max-count
+    * join + min-label per v) — partial-agg friendly and free of
+    * per-vertex windows, so a hub vertex (the 30%-hot-customer fixture)
+    * never funnels its whole neighborhood through one window task.
+    * Lineage is cut with an eager localCheckpoint per step (the
+    * iterative-DF plan-blowup class pageRankLattice guards against on
+    * the GraphX side).
+    */
+  def labelPropagation(spark: SparkSession, edges: DataFrame, iters: Int = 4): DataFrame = {
+    val und = edges.select(col("src").as("v"), col("dst").as("u"))
+      .unionByName(edges.select(col("dst").as("v"), col("src").as("u")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = und.select(col("v").as("soul")).distinct()
+    var labels = verts.select(col("soul"), col("soul").as("lab"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      // counts is read twice (cmax + the filter join) — persist for the
+      // step, release once the eager checkpoint has materialized `labels`
+      val counts = und.join(labels.withColumnRenamed("soul", "u"), "u")
+        .groupBy("v", "lab").agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cmax = counts.groupBy("v").agg(max(col("c")).as("cmax"))
+      labels = counts.join(cmax, "v")
+        .filter(col("c") === col("cmax"))
+        .groupBy(col("v").as("soul")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(eager = true)
+      counts.unpersist(blocking = false)
+    }
+    und.unpersist(blocking = false)
+    labels
+  }
+
   /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
     * `run` canonicalizes: self-edges dropped, one edge per unordered
     * pair). Returns only vertices in ≥1 triangle (soul, n_triangles).

@@ -72,6 +72,17 @@ object GraphQueries {
         .filter(col("rn") <= 4)
         .select(col("src"), lit("has_part").as("field"), col("dst"))
       Analytics.pageRankLattice(s, e, iters = 5)
+    }),
+
+    // Label-propagation communities over the undirected relation graph:
+    // 4 synchronous steps, mode label with smallest-label tie-break
+    // (fully deterministic — oracle unrolls the identical recurrence).
+    // Output is the community histogram (label, n_members).
+    "graph_label_prop" -> ((s, dir) => {
+      Analytics.labelPropagation(
+          s, edges(s, dir).select(col("src"), col("dst")), iters = 4)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"))
     })
   )
 
@@ -102,6 +113,20 @@ object GraphQueries {
           SELECT e.dst AS soul, CAST(SUM(p.n * e.w) AS BIGINT) AS s
           FROM we e JOIN $prev p ON p.soul = e.src
           GROUP BY e.dst) m USING (soul)"""
+
+  /** One synchronous label-propagation step in SQL: for each vertex, the
+    * most frequent neighbor label, smallest label on ties (the ORDER BY
+    * is total, so ROW_NUMBER is deterministic). MATERIALIZED per step —
+    * each step is read by the next; default inlining would re-evaluate
+    * the whole chain per reference.
+    */
+  private def lpStep(prev: String): String =
+    s"""SELECT soul, lab FROM (
+          SELECT n.v AS soul, p.lab,
+                 ROW_NUMBER() OVER (PARTITION BY n.v
+                   ORDER BY COUNT(*) DESC, p.lab) AS rn
+          FROM und n JOIN $prev p ON p.soul = n.u
+          GROUP BY n.v, p.lab) WHERE rn = 1"""
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank_general" ->
@@ -190,6 +215,25 @@ object GraphQueries {
          SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 3
          FROM orders JOIN customer ON o_custkey = c_custkey
                      JOIN nation ON c_nationkey = n_nationkey
-         WHERE n_regionkey = 2"""
+         WHERE n_regionkey = 2""",
+    "graph_label_prop" ->
+      s"""WITH dedges AS (
+            SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS src,
+                   'cust:' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+            UNION ALL
+            SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                   'nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+            UNION ALL
+            SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+                   'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+          und AS (SELECT src AS v, dst AS u FROM dedges
+                  UNION SELECT dst, src FROM dedges),
+          verts AS (SELECT DISTINCT v AS soul FROM und),
+          l0 AS (SELECT soul, soul AS lab FROM verts),
+          l1 AS MATERIALIZED (${lpStep("l0")}),
+          l2 AS MATERIALIZED (${lpStep("l1")}),
+          l3 AS MATERIALIZED (${lpStep("l2")}),
+          l4 AS MATERIALIZED (${lpStep("l3")})
+          SELECT lab AS community, COUNT(*) AS n_members FROM l4 GROUP BY lab"""
   )
 }

@@ -299,6 +299,46 @@ object RelationalQueries {
             || lag(col("state_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
         .groupBy("user_id")
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // Cohort retention: users grouped by first-active day, activity counted
+    // per whole-day offset. Pure integer day arithmetic on state_us — exact
+    // on both engines. Scale: the (user, day) distinct and the cohort min
+    // are each one shuffle on user_id; the final rollup is a tiny
+    // (cohort, offset) hash agg with map-side combine.
+    "q_events_retention" -> ((s, dir) => {
+      val days = events(s, dir)
+        .select(col("user_id"), expr("state_us div 86400000000").as("day"))
+        .distinct()
+      val cohort = days.groupBy("user_id").agg(min(col("day")).as("c0"))
+      days.join(cohort, "user_id")
+        .groupBy(col("c0").as("cohort_day"), (col("day") - col("c0")).as("offset_days"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
+    // Correlation/covariance on the exact-integer lattice: x = quantity,
+    // y = discount cents. All six moment sums are exact BIGINTs (one
+    // map-side-combined hash agg, no second pass); corr/covar are then
+    // derived from those integers by the identical closed formula on both
+    // engines, so the doubles are bit-equal. Long headroom: n·Sxx at
+    // x ≤ 50, y ≤ 10 stays under 2^63 through ~10^13 rows (~PB-scale
+    // lineitem) before the sums must widen to DECIMAL.
+    "q_corr_stats" -> ((s, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = cents(col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sum_x"), sum(y).as("sum_y"),
+          sum(x * x).as("sum_xx"), sum(y * y).as("sum_yy"),
+          sum(x * y).as("sum_xy"))
+        .select(col("l_returnflag"), col("n"),
+          col("sum_x"), col("sum_y"), col("sum_xx"), col("sum_yy"), col("sum_xy"),
+          ((col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double") /
+            (sqrt((col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).cast("double")) *
+             sqrt((col("n") * col("sum_yy") - col("sum_y") * col("sum_y")).cast("double"))))
+            .as("corr_qd"))
     })
   )
 
@@ -486,6 +526,29 @@ object RelationalQueries {
                          (PARTITION BY user_id ORDER BY state_us, event_id) IS NULL
                        THEN 1 ELSE 0 END AS new_sess
            FROM (SELECT user_id, epoch_us(ts) AS state_us, event_id FROM events))
-         GROUP BY user_id"""
+         GROUP BY user_id""",
+    "q_events_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         cohort AS (SELECT user_id, MIN(day) AS c0 FROM days GROUP BY user_id)
+         SELECT c.c0 AS cohort_day, d.day - c.c0 AS offset_days,
+                COUNT(*) AS n_active
+         FROM days d JOIN cohort c USING (user_id)
+         GROUP BY 1, 2""",
+    "q_corr_stats" ->
+      """WITH s AS (
+           SELECT l_returnflag,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+                  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_y,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_xx,
+                  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)*CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_yy,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_xy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+                CAST(n*sum_xy - sum_x*sum_y AS DOUBLE)
+                  / (sqrt(CAST(n*sum_xx - sum_x*sum_x AS DOUBLE))
+                     * sqrt(CAST(n*sum_yy - sum_y*sum_y AS DOUBLE))) AS corr_qd
+         FROM s"""
   )
 }

@@ -831,6 +831,59 @@ object TextQueries {
         .filter(col("rank") <= 5)
         .select("term", "rank", "doc_id", "tf", "dl", "idf_q", "score_q")
       graft.operators.Caching.materializeAndRelease(res, docs)
+    }),
+
+    // EXACT substring-run dedup (the suffix-array dedup's hash-join form):
+    // any two docs sharing an exact normalized run of ≥ 2k-1 chars are
+    // guaranteed caught — the run inside the higher-id doc fully contains
+    // one of that doc's k-aligned tiles, and the lower-id doc contributes
+    // a k-gram at EVERY position, so the tile string must collide. The
+    // join key is the gram STRING itself (not a hash): zero false
+    // positives, no post-verify needed. Scale: the every-position side is
+    // the O(corpus·k) cost inherent to exact substring dedup; both sides
+    // are per-doc-distinct before the single equi-join shuffle on the
+    // gram, and `n_shared` counts matched tiles per pair. A boilerplate
+    // gram that floods a key degrades the join the same way any hot
+    // dedup key does — the blocked/capped family (doc_winnow,
+    // minhash_lsh_pairs) is the approximate fallback past that point.
+    "doc_substring_dup" -> ((s, dir) => {
+      val k = 24
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val docs = tbl(s, dir, "documents")
+        .filter(length(norm) >= k)
+        .select(col("doc_id"), norm.as("t"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val allG = docs.select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), length(col("t")) - (k - 1)),
+            i => col("t").substr(i, lit(k))))).as("g"))
+      val tiles = docs.select(col("doc_id").as("doc_b"),
+        explode(array_distinct(
+          transform(sequence(lit(1), (length(col("t")) / k).cast("int")),
+            j => col("t").substr((j - lit(1)) * k + 1, lit(k))))).as("g"))
+      allG.join(tiles, "g")
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // Source-mixing weights for a training run: per-source token counts →
+    // temperature-flattened sampling weight ∝ √tokens (the standard
+    // α = 0.5 rebalance), held on the integer lattice: isqrt via
+    // floor∘sqrt (exact for counts < 2^52 — IEEE sqrt is correctly
+    // rounded, and the nearest integer boundary is > ½ulp away), permille
+    // by integer division. One hash agg over the corpus + a broadcast of
+    // the per-source totals (#sources rows).
+    "doc_mix_weights" -> ((s, dir) => {
+      val src = tbl(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("isq", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val tot = src.agg(sum(col("isq")).as("tot"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("1000 * isq div tot").as("weight_permille"))
     })
   )
 
@@ -1342,5 +1395,30 @@ object TextQueries {
     "doc_bloom_probe_est" ->
       s"SELECT doc_id, n_shingles, n_maybe FROM (${oraclesBase("doc_bloom_probe")})",
     "doc_length_quantiles_est" ->
-      s"SELECT q_permille, est_hi FROM (${oraclesBase("doc_length_quantiles")})")
+      s"SELECT q_permille, est_hi FROM (${oraclesBase("doc_length_quantiles")})",
+    "doc_substring_dup" ->
+      s"""WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents WHERE length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) >= 24),
+          allg AS (
+            SELECT DISTINCT doc_id, substr(t, i, 24) AS g
+            FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t) - 23)) AS i)),
+          tiles AS (
+            SELECT DISTINCT doc_id AS doc_b, substr(t, (j-1)*24 + 1, 24) AS g
+            FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t) // 24)) AS j))
+          SELECT a.doc_id AS doc_a, b.doc_b, COUNT(*) AS n_shared
+          FROM allg a JOIN tiles b USING (g)
+          WHERE a.doc_id < b.doc_b
+          GROUP BY 1, 2""",
+    "doc_mix_weights" ->
+      s"""WITH src AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+          w AS (SELECT source, n_docs, n_tokens,
+                       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+                FROM src)
+          SELECT source, n_docs, n_tokens,
+                 CAST(1000 * isq // (SELECT SUM(isq) FROM w) AS BIGINT) AS weight_permille
+          FROM w""")
 }

@@ -38,14 +38,16 @@ class PlanHygieneSpec extends SparkSuite {
     *   - doc_length_quantiles: the crossJoin of the two 1-row aggregate
     *     rows (binned estimates × exact order statistics) — 1×1 by
     *     construction, the sketch is bin-count-bounded regardless of
-    *     corpus size.
+    *     corpus size;
+    *   - doc_mix_weights: broadcast side is the 1-row Σ√tokens global
+    *     aggregate the permille weights divide by.
     * Anything NOT in this list with a BNLJ — or ANY CartesianProduct —
     * fails: both all-pairs shapes scale with |left|·|right| and cannot
     * survive a 100 TB corpus.
     */
   private val BoundedBroadcastNlj =
     Set("gun_ttl_purge", "emb_knn", "emb_decontaminate_exact",
-      "doc_bm25_topk", "doc_length_quantiles")
+      "doc_bm25_topk", "doc_length_quantiles", "doc_mix_weights")
 
   test("est-only sketch variants execute NO exact pass") {
     // The declared sketch queries carry exact ride-along columns for bias

@@ -61,4 +61,23 @@ class AnalyticsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(counts == Set(("a", 1L), ("b", 1L), ("c", 1L)))
   }
+
+  test("label propagation: sync mode label with min-label tie-break") {
+    import spark.implicits._
+    // triangle a-b-c plus pendant a-d (undirected). By hand:
+    // l0 = identity.
+    // step1: a sees {b,c,d} all ×1 → min b; b sees {a,c} tie → a;
+    //        c sees {a,b} tie → a; d sees {a} → a.
+    // step2: a sees labels {a,a,a} → a; b sees {b(from a), a(from c)}
+    //        tie → a; c sees {b(from a), a(from b)} tie → a;
+    //        d sees {b(from a)} → b.
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+      .toDF("src", "dst")
+    val l1 = Analytics.labelPropagation(spark, g, iters = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(l1 == Set(("a", "b"), ("b", "a"), ("c", "a"), ("d", "a")))
+    val l2 = Analytics.labelPropagation(spark, g, iters = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(l2 == Set(("a", "a"), ("b", "a"), ("c", "a"), ("d", "b")))
+  }
 }
