@@ -29,6 +29,15 @@ def norm(rows):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # PARITY_THREADS bounds DuckDB's parallelism (default: all cores) so a
+    # long sf1 oracle pass can share the box with Spark runs; PARITY_ONLY
+    # (comma-sep names) restricts to a subset, PARITY_SKIP skips names —
+    # both let a resumed pass avoid redoing queries already recorded.
+    import os
+    if os.environ.get("PARITY_THREADS"):
+        con.execute(f"SET threads = {int(os.environ['PARITY_THREADS'])}")
+    only = set(filter(None, os.environ.get("PARITY_ONLY", "").split(",")))
+    skip = set(filter(None, os.environ.get("PARITY_SKIP", "").split(",")))
     for t in TABLES:
         # partial sf dirs (e.g. /tmp/sf1 carries only documents+embeddings)
         # register what exists; queries over absent tables just error out
@@ -39,6 +48,8 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if (only and name not in only) or name in skip:
+            continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"MISSING spark output: {name}")
