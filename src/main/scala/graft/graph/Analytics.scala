@@ -151,51 +151,42 @@ object Analytics {
     // the degrees — folded directly (no distinct shuffle: lcm(a, a) = a,
     // so duplicates are free), never a driver collect of the degree table.
     val degRdd = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), Math.addExact)
-      .cache() // read twice: the lcm fold and the initial-attr join
     val lcmAll = degRdd.map(_._2).fold(1L)(lcmExact)
     var pow = 1L // S_k = (20·L)^k
-    val send = (ctx: org.apache.spark.graphx.EdgeContext[(Long, Long), String, Long]) =>
-      ctx.sendToDst(Math.multiplyExact(ctx.srcAttr._2, lcmAll / ctx.srcAttr._1))
     // vertex attr: (out-degree, numerator)
     var ranks: Graph[(Long, Long), String] =
-      g.outerJoinVertices(degRdd)((_, _, d) => (d.getOrElse(0L), 1L)).cache()
-    // The release discipline is GraphX Pregel's, and the ORDER is the
-    // point (SCALE_r9: the r8 shape cost the sf10 forest leg 13× for
-    // 3.3× the edges): materializing only `next.vertices` before
-    // unpersisting the previous graph leaves next's replicated EDGE VIEW
-    // unbuilt — the eviction then forces every later aggregateMessages
-    // to recompute the view chain back through the evicted predecessors.
-    // Instead, compute and materialize the NEXT step's messages (which
-    // forces next's edge view) BEFORE releasing the previous graph and
-    // message RDD.
-    var msgs = ranks.aggregateMessages[Long](send, Math.addExact).cache()
-    msgs.count()
-    for (k <- 0 until iters) {
+      g.outerJoinVertices(degRdd)((_, _, d) => (d.getOrElse(0L), 1L))
+    // Release discipline (MEASURED, SCALE_r9 §2): materialize next's
+    // vertices, keep the PREVIOUS graph cached one extra step, release
+    // at a one-iteration delay. An "eager edge view + immediate release"
+    // variant (compute next's messages before unpersisting the previous
+    // graph — nominally Pregel's order) ran 6–16× SLOWER at sf3 with
+    // run-to-run swings of 2×+: the immediate eviction races the async
+    // block cleanup, and aggregateMessages recompute storms through
+    // evicted view chains dominate wall time. The one-step-delayed
+    // release never exposes a live dependency to eviction.
+    var prev: Graph[(Long, Long), String] = null
+    for (_ <- 0 until iters) {
+      val msgs = ranks.aggregateMessages[Long](
+        ctx => ctx.sendToDst(
+          Math.multiplyExact(ctx.srcAttr._2, lcmAll / ctx.srcAttr._1)),
+        Math.addExact)
       val base = Math.multiplyExact(Math.multiplyExact(3L, lcmAll), pow)
       val next = ranks.outerJoinVertices(msgs) { case (_, (d, _), m) =>
         (d, Math.addExact(base, Math.multiplyExact(17L, m.getOrElse(0L))))
       }.cache()
-      val nextMsgs =
-        if (k < iters - 1) {
-          val m = next.aggregateMessages[Long](send, Math.addExact).cache()
-          m.count() // materializes next's vertices AND its edge view
-          m
-        } else {
-          next.vertices.count() // last step: only the vertices are read
-          null
-        }
-      msgs.unpersist(blocking = false)
-      ranks.unpersistVertices(blocking = false)
-      ranks.edges.unpersist(blocking = false)
+      next.vertices.count() // materialize before releasing the previous step
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = ranks
       ranks = next
-      msgs = nextMsgs
       pow = Math.multiplyExact(pow, Math.multiplyExact(20L, lcmAll))
     }
-    degRdd.unpersist(blocking = false)
     val res = ranks.vertices.join(g.vertices.map(identity))
       .map { case (_, ((_, n), soul)) => (soul, n) }
       .toDF("soul", "rank_q")
-    materializeAndRelease(res, e, owns, g, ranks)
+    val out = materializeAndRelease(res, e, owns, g, ranks)
+    if (prev != null) prev.unpersist(blocking = false)
+    out
   }
 
   /** Synchronous label propagation (community detection): labels start as
