@@ -150,7 +150,11 @@ object Analytics {
     // out-degree per vertex (one aggregateMessages pass), then L = lcm of
     // the degrees — folded directly (no distinct shuffle: lcm(a, a) = a,
     // so duplicates are free), never a driver collect of the degree table.
-    val degRdd = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), Math.addExact)
+    // read twice (the lcm fold and the initial outerJoinVertices below) —
+    // cache so the out-degree aggregateMessages pass over the full edge
+    // set runs once; released after the first iteration materializes the
+    // ranks graph (which carries the degree in its vertex attr from then on)
+    val degRdd = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), Math.addExact).cache()
     val lcmAll = degRdd.map(_._2).fold(1L)(lcmExact)
     var pow = 1L // S_k = (20·L)^k
     // vertex attr: (out-degree, numerator)
@@ -166,6 +170,7 @@ object Analytics {
     // evicted view chains dominate wall time. The one-step-delayed
     // release never exposes a live dependency to eviction.
     var prev: Graph[(Long, Long), String] = null
+    var degReleased = false
     for (_ <- 0 until iters) {
       val msgs = ranks.aggregateMessages[Long](
         ctx => ctx.sendToDst(
@@ -176,6 +181,7 @@ object Analytics {
         (d, Math.addExact(base, Math.multiplyExact(17L, m.getOrElse(0L))))
       }.cache()
       next.vertices.count() // materialize before releasing the previous step
+      if (!degReleased) { degRdd.unpersist(blocking = false); degReleased = true }
       if (prev != null) prev.unpersist(blocking = false)
       prev = ranks
       ranks = next
@@ -185,6 +191,7 @@ object Analytics {
       .map { case (_, ((_, n), soul)) => (soul, n) }
       .toDF("soul", "rank_q")
     val out = materializeAndRelease(res, e, owns, g, ranks)
+    if (!degReleased) degRdd.unpersist(blocking = false)
     if (prev != null) prev.unpersist(blocking = false)
     out
   }

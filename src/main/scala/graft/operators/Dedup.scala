@@ -287,4 +287,78 @@ object Dedup {
       .distinct()
     Caching.materializeAndRelease(pairs, (if (ownsFp) Seq(fp) else Nil): _*)
   }
+
+  /** EXACT substring-run dedup (the suffix-array dedup's hash-join form)
+    * with the [[DefaultMaxBucket]] hot-gram guard: any two docs sharing an
+    * exact normalized run of ≥ 2k−1 chars are guaranteed caught — the run
+    * inside the higher-id doc fully contains one of that doc's k-aligned
+    * tiles, and the lower-id doc contributes a k-gram at EVERY position,
+    * so the tile string must collide. The join key is the gram STRING
+    * itself (not a hash): zero false positives, no post-verify needed.
+    *
+    * Hot-gram guard (same discipline as [[minhashCandidates]]): a
+    * boilerplate k-gram shared by > maxBucket docs would flood its join
+    * key (na·nb matched rows, quadratic on a viral gram). Because every
+    * aligned tile is also an every-position gram of the same doc, the
+    * tiles-side doc set for a gram is a SUBSET of the every-position
+    * side's — so bucket size (na) and the min-doc representative are
+    * computed on the every-position side alone. Grams with na ≤ maxBucket
+    * join exactly; hotter grams that appear as at least one doc's tile
+    * switch to representative linking (every containing doc pairs with
+    * the gram's min doc_id — O(na) rows, family stays connected for
+    * downstream clustering); hot grams that are NO doc's tile produce no
+    * pairs, exactly as in the uncapped join. Returns
+    * (doc_a, doc_b, n_shared) where n_shared counts matched tiles for
+    * exact grams plus one per hot-gram representative link — the same
+    * count-the-links contract as `n_shared_bands`. The cap and the
+    * representative rule are mirrored exactly in the DuckDB oracle;
+    * `maxBucket = 0` disables the guard.
+    */
+  def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 24,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val base = docs
+      .filter(length(norm) >= k)
+      .select(col(idCol).as("doc_id"), norm.as("t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val allG = base.select(col("doc_id"),
+      explode(array_distinct(
+        transform(sequence(lit(1), length(col("t")) - (k - 1)),
+          i => col("t").substr(i, lit(k))))).as("g"))
+    val tiles = base.select(col("doc_id").as("doc_b"),
+      explode(array_distinct(
+        transform(sequence(lit(1), (length(col("t")) / k).cast("int")),
+          j => col("t").substr((j - lit(1)) * k + 1, lit(k))))).as("g"))
+    if (maxBucket <= 0) {
+      allG.join(tiles, "g")
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    } else {
+      // the every-position side feeds three consumers (sizes, the exact
+      // join, the hot-gram links) and tiles feeds two — persist both
+      val allGp = allG.persist(mem)
+      val tilesP = tiles.persist(mem)
+      val sizes = allGp.groupBy("g")
+        .agg(count(lit(1)).as("na"), min(col("doc_id")).as("rep"))
+        .persist(mem)
+      val small = allGp.join(
+        sizes.filter(col("na") <= maxBucket).select("g"), Seq("g"), "left_semi")
+      val smallPairs = small.join(tilesP, "g")
+        .filter(col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"))
+      // rep = bucket min over the superset side ⇒ doc_a < doc_b holds
+      val hotPairs = allGp
+        .join(sizes.filter(col("na") > maxBucket).select("g", "rep"), Seq("g"))
+        .join(tilesP.select("g").distinct(), Seq("g"), "left_semi")
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      val pairs = smallPairs.unionByName(hotPairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+      Caching.materializeAndRelease(pairs, allGp, tilesP, sizes)
+    }
+  }
 }

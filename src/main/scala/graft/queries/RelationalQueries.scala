@@ -317,15 +317,21 @@ object RelationalQueries {
     }),
 
     // Correlation/covariance on the exact-integer lattice: x = quantity,
-    // y = discount cents. All six moment sums are exact BIGINTs (one
-    // map-side-combined hash agg, no second pass); corr/covar are then
-    // derived from those integers by the identical closed formula on both
-    // engines, so the doubles are bit-equal. Long headroom: n·Sxx at
-    // x ≤ 50, y ≤ 10 stays under 2^63 through ~10^13 rows (~PB-scale
-    // lineitem) before the sums must widen to DECIMAL.
+    // y = discount cents. All six moment SUMS are exact BIGINTs (one
+    // map-side-combined hash agg, no second pass); with x ≤ 50, y ≤ 10
+    // the sums stay under 2^63 through ~10^13 rows. The DERIVED products
+    // (n·Sxy, Sx·Sy, …) grow as ~500·n² and would overflow Long at
+    // roughly n ≈ 1.4e8 rows per group (~sf100), so they are formed in
+    // DOUBLE — cast each operand first, then multiply/subtract — by the
+    // identical closed formula on both engines, keeping the final double
+    // bit-equal while never tripping ANSI overflow at scale.
     "q_corr_stats" -> ((s, dir) => {
       val x = col("l_quantity").cast("long")
       val y = cents(col("l_discount"))
+      val nD = col("n").cast("double")
+      val sxD = col("sum_x").cast("double"); val syD = col("sum_y").cast("double")
+      val sxxD = col("sum_xx").cast("double"); val syyD = col("sum_yy").cast("double")
+      val sxyD = col("sum_xy").cast("double")
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
@@ -335,9 +341,8 @@ object RelationalQueries {
           sum(x * y).as("sum_xy"))
         .select(col("l_returnflag"), col("n"),
           col("sum_x"), col("sum_y"), col("sum_xx"), col("sum_yy"), col("sum_xy"),
-          ((col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double") /
-            (sqrt((col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).cast("double")) *
-             sqrt((col("n") * col("sum_yy") - col("sum_y") * col("sum_y")).cast("double"))))
+          ((nD * sxyD - sxD * syD) /
+            (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)))
             .as("corr_qd"))
     })
   )
@@ -546,9 +551,12 @@ object RelationalQueries {
                   CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_xy
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
-                CAST(n*sum_xy - sum_x*sum_y AS DOUBLE)
-                  / (sqrt(CAST(n*sum_xx - sum_x*sum_x AS DOUBLE))
-                     * sqrt(CAST(n*sum_yy - sum_y*sum_y AS DOUBLE))) AS corr_qd
+                (CAST(n AS DOUBLE)*CAST(sum_xy AS DOUBLE)
+                   - CAST(sum_x AS DOUBLE)*CAST(sum_y AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE)*CAST(sum_xx AS DOUBLE)
+                            - CAST(sum_x AS DOUBLE)*CAST(sum_x AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE)*CAST(sum_yy AS DOUBLE)
+                              - CAST(sum_y AS DOUBLE)*CAST(sum_y AS DOUBLE))) AS corr_qd
          FROM s"""
   )
 }

@@ -833,39 +833,14 @@ object TextQueries {
       graft.operators.Caching.materializeAndRelease(res, docs)
     }),
 
-    // EXACT substring-run dedup (the suffix-array dedup's hash-join form):
-    // any two docs sharing an exact normalized run of ≥ 2k-1 chars are
-    // guaranteed caught — the run inside the higher-id doc fully contains
-    // one of that doc's k-aligned tiles, and the lower-id doc contributes
-    // a k-gram at EVERY position, so the tile string must collide. The
-    // join key is the gram STRING itself (not a hash): zero false
-    // positives, no post-verify needed. Scale: the every-position side is
-    // the O(corpus·k) cost inherent to exact substring dedup; both sides
-    // are per-doc-distinct before the single equi-join shuffle on the
-    // gram, and `n_shared` counts matched tiles per pair. A boilerplate
-    // gram that floods a key degrades the join the same way any hot
-    // dedup key does — the blocked/capped family (doc_winnow,
-    // minhash_lsh_pairs) is the approximate fallback past that point.
-    "doc_substring_dup" -> ((s, dir) => {
-      val k = 24
-      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-      val docs = tbl(s, dir, "documents")
-        .filter(length(norm) >= k)
-        .select(col("doc_id"), norm.as("t"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val allG = docs.select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(1), length(col("t")) - (k - 1)),
-            i => col("t").substr(i, lit(k))))).as("g"))
-      val tiles = docs.select(col("doc_id").as("doc_b"),
-        explode(array_distinct(
-          transform(sequence(lit(1), (length(col("t")) / k).cast("int")),
-            j => col("t").substr((j - lit(1)) * k + 1, lit(k))))).as("g"))
-      allG.join(tiles, "g")
-        .filter(col("doc_id") < col("doc_b"))
-        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-    }),
+    // EXACT substring-run dedup with the Dedup.DefaultMaxBucket hot-gram
+    // guard — semantics, scale shape, and the representative-linking rule
+    // documented on [[graft.operators.Dedup.substringDupPairs]]; the cap
+    // is mirrored verbatim in the oracle below and exercised with a
+    // flooded-gram fixture in DedupSkewSpec.
+    "doc_substring_dup" -> ((s, dir) =>
+      graft.operators.Dedup.substringDupPairs(
+        tbl(s, dir, "documents"), "doc_id", "text")),
 
     // Source-mixing weights for a training run: per-source token counts →
     // temperature-flattened sampling weight ∝ √tokens (the standard
@@ -1405,11 +1380,22 @@ object TextQueries {
             FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t) - 23)) AS i)),
           tiles AS (
             SELECT DISTINCT doc_id AS doc_b, substr(t, (j-1)*24 + 1, 24) AS g
-            FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t) // 24)) AS j))
-          SELECT a.doc_id AS doc_a, b.doc_b, COUNT(*) AS n_shared
-          FROM allg a JOIN tiles b USING (g)
-          WHERE a.doc_id < b.doc_b
-          GROUP BY 1, 2""",
+            FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t) // 24)) AS j)),
+          sizes AS (
+            SELECT g, COUNT(*) AS na, MIN(doc_id) AS rep FROM allg GROUP BY g),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_b
+            FROM allg a JOIN tiles b USING (g) JOIN sizes s USING (g)
+            WHERE s.na <= ${graft.operators.Dedup.DefaultMaxBucket}
+              AND a.doc_id < b.doc_b
+            UNION ALL
+            SELECT s.rep AS doc_a, a.doc_id AS doc_b
+            FROM allg a JOIN sizes s USING (g)
+            WHERE s.na > ${graft.operators.Dedup.DefaultMaxBucket}
+              AND a.doc_id <> s.rep
+              AND g IN (SELECT g FROM tiles))
+          SELECT doc_a, doc_b, COUNT(*) AS n_shared
+          FROM pairs GROUP BY 1, 2""",
     "doc_mix_weights" ->
       s"""WITH src AS (
             SELECT source, COUNT(*) AS n_docs,

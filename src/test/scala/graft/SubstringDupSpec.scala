@@ -26,4 +26,52 @@ class SubstringDupSpec extends SparkSuite {
     assert(res.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(res.head._3 >= 1L) // at least one matched tile
   }
+
+  test("flooded gram switches to representative linking under the cap") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // one 24-char run shared by all five docs, sitting at position 1 so it
+    // is every doc's first TILE; each doc then diverges at the very next
+    // char (no separator), so the hot run's gram is the ONLY cross-doc gram
+    val hot = "aaaa bbbb cccc dddd eee0"
+    assert(hot.length == 24)
+    val docs = (1 to 5).map(i => (i.toLong, hot + (i.toString * 30)))
+      .toDF("doc_id", "text")
+
+    // uncapped: the hot gram joins all-pairs — C(5,2) = 10 pairs, each
+    // exactly one matched tile
+    val exact = Dedup.substringDupPairs(docs, "doc_id", "text", maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == (for { a <- 1 to 5; b <- (a + 1) to 5 }
+      yield (a.toLong, b.toLong, 1L)).toSet)
+
+    // a cap above the bucket size changes nothing
+    val wide = Dedup.substringDupPairs(docs, "doc_id", "text", maxBucket = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide == exact)
+
+    // cap = 2 < 5 docs: the flooded gram rep-links every member to the
+    // bucket min (doc 1) instead of enumerating all pairs — the family
+    // stays connected as a star at O(n) cost
+    val capped = Dedup.substringDupPairs(docs, "doc_id", "text", maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 5L, 1L)))
+
+    // a flooded gram that is NO doc's tile must produce no pairs (same as
+    // the exact join): shift the shared run off every tile boundary by
+    // prefixing an odd-length unique lead-in shorter than k so the run
+    // never aligns... a 1-char prefix suffices: tiles start at 1, 25, …
+    // and the run sits at position 2 with total length < 48 ⇒ tile 1
+    // differs per doc (first char unique) and there is no tile 2 overlap
+    // with the run for docs short enough. Build docs of length 47:
+    // unique char + hot(24) + 22 unique chars ⇒ only ONE tile (chars
+    // 1..24), which includes the doc-unique first char.
+    val letters = "bcdfg"
+    val offDocs = (1 to 5).map { i =>
+      val c = letters(i - 1).toString
+      (i.toLong, c + hot + (i.toString * 22))
+    }.toDF("doc_id", "text")
+    val offRes = Dedup.substringDupPairs(offDocs, "doc_id", "text", maxBucket = 2)
+    assert(offRes.count() == 0L)
+  }
 }

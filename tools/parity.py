@@ -47,8 +47,10 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    omitted = []
     for name, sql in sorted(oracles.items()):
         if (only and name not in only) or name in skip:
+            omitted.append(name)
             continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
@@ -82,7 +84,16 @@ def main(sf_dir, out_dir):
                 extra = o[len(s):] if len(o) > len(s) else s[len(o):]
                 print(f"  extra rows on {'oracle' if len(o)>len(s) else 'spark'} side: {extra[:3]}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    # A subset run must never read like a full parity pass: name what was
+    # omitted and tag the summary so a resumed run's log can't be mistaken
+    # for complete verification.
+    if omitted:
+        print(f"\nOMITTED ({len(omitted)} queries, via PARITY_ONLY/PARITY_SKIP):")
+        for name in omitted:
+            print(f"  SKIPPED {name}")
+        print(f"\n{n_pass} pass, {n_fail} fail (SUBSET: {len(omitted)} queries skipped)")
+    else:
+        print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
