@@ -65,40 +65,124 @@ object BpeTrain {
     */
   def train(spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    // single-symbol words can never pair again — drop them as they arise
+    // single-symbol words can never pair again — drop them as they arise.
+    // Eager localCheckpoint (not persist): persist cuts RDD recompute but
+    // NOT logical-plan lineage, and at k ≳ 100 the nested plan tree grew
+    // deep enough that merely formatting it for an AQE log line OOMed the
+    // driver (measured, SCALE_r10) — checkpointing truncates the plan the
+    // same way labelPropagation does.
     var seg: Dataset[Seg] = words.select(col("w"), col("cnt").cast("long"))
       .as[(String, Long)]
       .map { case (w, c) => Seg(w.map(_.toString), c) }
       .filter(_.syms.lengthCompare(1) > 0)
-      .persist()
-    seg.count()
+      .localCheckpoint(eager = true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
-    try {
-      var rank = 1
-      while (rank <= k && !exhausted) {
-        val top = seg
-          .flatMap(s => s.syms.iterator.sliding(2).withPartial(false)
-            .map(p => (p.head, p(1), s.cnt)))
-          .toDF("lhs", "rhs", "c")
-          .groupBy("lhs", "rhs").agg(sum(col("c")).as("c"))
-          .orderBy(col("c").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          learned += Merge(rank.toLong, l, r, c)
-          val next = seg.map(s => Seg(mergePass(s.syms, l, r), s.cnt))
-            .filter(_.syms.lengthCompare(1) > 0)
-            .persist()
-          next.count() // materialize before releasing the parent
-          seg.unpersist()
-          seg = next
-          rank += 1
-        }
+    var rank = 1
+    while (rank <= k && !exhausted) {
+      val top = seg
+        .flatMap(s => s.syms.iterator.sliding(2).withPartial(false)
+          .map(p => (p.head, p(1), s.cnt)))
+        .toDF("lhs", "rhs", "c")
+        .groupBy("lhs", "rhs").agg(sum(col("c")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += Merge(rank.toLong, l, r, c)
+        seg = seg.map(s => Seg(mergePass(s.syms, l, r), s.cnt))
+          .filter(_.syms.lengthCompare(1) > 0)
+          .localCheckpoint(eager = true)
+        rank += 1
       }
-    } finally seg.unpersist()
+    }
+    learned.toSeq.toDS().toDF()
+  }
+
+  /** True iff `syms` contains (l, r) adjacent — i.e. [[mergePass]] would
+    * change the word. Tight while-loop: runs per cached row per iteration.
+    */
+  private[graft] def hasPair(syms: Seq[String], l: String, r: String): Boolean = {
+    var i = 0
+    val n = syms.length
+    while (i + 1 < n) {
+      if (syms(i) == l && syms(i + 1) == r) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Delta-maintained variant of [[train]] — identical learned table
+    * (asserted in BpeTrainSpec), different per-iteration cost shape.
+    *
+    * [[train]] re-counts EVERY adjacent pair of EVERY word each
+    * iteration: k merges = k full shuffles of the distinct-word pair
+    * table, even though merging (l, r) only changes pairs inside words
+    * that contain (l, r) adjacent. Here the pair-count table is built
+    * once and then MAINTAINED: per iteration, only words containing the
+    * merged pair emit a delta (−their old pairs, +their re-segmented
+    * pairs), and the counts table absorbs it with one
+    * union → hash-agg → (c > 0) pass. The argmax tiebreak (count DESC,
+    * lhs ASC, rhs ASC) reads the maintained table, so the chosen merge —
+    * and therefore the learned table — is bit-identical to the full
+    * recount's (the deltas are exact Long arithmetic on the same
+    * integers). At a real 32k-merge vocabulary this is the standard
+    * shape: the shuffled delta volume tracks the (shrinking) affected
+    * word set instead of the whole vocabulary, 32k times.
+    *
+    * Both state tables are eagerly local-checkpointed per iteration —
+    * the k=100 lineage would otherwise grow a 100-deep plan whose
+    * re-analysis dominates wall time (the iterative-plan blowup class
+    * labelPropagation guards against the same way).
+    */
+  def trainIncremental(spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    def pairsOf(syms: Seq[String]): Iterator[(String, String)] =
+      syms.iterator.sliding(2).withPartial(false).map(p => (p.head, p(1)))
+    var seg: Dataset[Seg] = words.select(col("w"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, c) => Seg(w.map(_.toString), c) }
+      .filter(_.syms.lengthCompare(1) > 0)
+      .localCheckpoint(eager = true)
+    // the one full pair count — every later iteration only applies deltas
+    var counts: DataFrame = seg
+      .flatMap(s => pairsOf(s.syms).map(p => (p._1, p._2, s.cnt)))
+      .toDF("lhs", "rhs", "c")
+      .groupBy("lhs", "rhs").agg(sum(col("c")).as("c"))
+      .localCheckpoint(eager = true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = counts.orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += Merge(rank.toLong, l, r, c)
+        // only words containing (l, r) adjacent change — retract their
+        // old pairs, assert their re-segmented ones; everything else's
+        // counts are untouched by this merge
+        val delta = seg.filter(s => hasPair(s.syms, l, r))
+          .flatMap { s =>
+            pairsOf(s.syms).map(p => (p._1, p._2, -s.cnt)) ++
+              pairsOf(mergePass(s.syms, l, r)).map(p => (p._1, p._2, s.cnt))
+          }
+          .toDF("lhs", "rhs", "c")
+        counts = counts.unionByName(delta)
+          .groupBy("lhs", "rhs").agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint(eager = true)
+        seg = seg
+          .map(s => if (hasPair(s.syms, l, r)) Seg(mergePass(s.syms, l, r), s.cnt) else s)
+          .filter(_.syms.lengthCompare(1) > 0)
+          .localCheckpoint(eager = true)
+        rank += 1
+      }
+    }
     learned.toSeq.toDS().toDF()
   }
 

@@ -65,4 +65,28 @@ class BpeTrainSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(m.toSeq == Seq((1L, "a", "b", 3L)))
   }
+
+  test("incremental delta maintenance learns the identical table (k >= 12)") {
+    // a corpus rich enough to exercise ≥ 12 merges, including tie-breaks,
+    // words dropping out (fully merged), and multi-occurrence pairs
+    val rich = Seq(
+      ("low", 5L), ("lower", 2L), ("lowest", 4L), ("newest", 6L),
+      ("widest", 3L), ("newer", 4L), ("wider", 2L), ("banana", 7L),
+      ("bandana", 2L), ("ananas", 1L), ("seeses", 3L), ("aaaa", 2L))
+      .toDF("w", "cnt")
+    val full = BpeTrain.train(spark, rich, 14).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val inc = BpeTrain.trainIncremental(spark, rich, 14).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(full.size >= 12, s"fixture too small: only ${full.size} merges")
+    assert(inc == full, s"incremental diverged:\n  inc =$inc\n  full=$full")
+  }
+
+  test("incremental stops early when the corpus runs out of pairs") {
+    val m = BpeTrain.trainIncremental(spark, Seq(("ab", 3L)).toDF("w", "cnt"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1L, "a", "b", 3L)))
+  }
 }
