@@ -50,15 +50,24 @@ object IndexStore {
   // ---------------------------------------------------------------- IVF
 
   /** Build the IVF index at `path`: freeze the centroid table, then
-    * append the corpus as list-partitioned (vec_id, uv) rows.
+    * append the corpus as list-partitioned (vec_id, uv) rows. `batchId`
+    * names the initial append's delta files — a streaming maintainer
+    * whose FIRST batch triggers the build passes its micro-batch id so
+    * a crash-replay of that batch (which by then sees the centroids and
+    * takes the append path) renames onto the same dests and skips. The
+    * default is −1, NOT 0: streaming batchIds start at 0, and a
+    * maintainer appending batch 0 to a PRE-built index must not rename
+    * onto the build's dests (the dest-exists skip would silently drop
+    * the batch — different data under a colliding id).
     */
-  def buildIvf(vectors: DataFrame, nLists: Int, path: String): Unit = {
+  def buildIvf(vectors: DataFrame, nLists: Int, path: String,
+      batchId: Long = -1L): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cents = Similarity.collectCentroids(vectors, nLists)
     cents.toSeq.toDF("cid", "q").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    appendIvf(vectors, path, batchId = 0L, nLists)
+    appendIvf(vectors, path, batchId, nLists)
   }
 
   /** Append vectors against the STORED centroids (one delta file per
@@ -130,9 +139,11 @@ object IndexStore {
 
   /** Build the PQ index at `path`: train the m codebooks once (the
     * [[Similarity.pqTopK]] Lloyd convention), freeze them, and append
-    * the corpus's codes.
+    * the corpus's codes. `batchId` as on [[buildIvf]] (default −1 keeps
+    * a pre-built index's delta namespace disjoint from streaming ids).
     */
-  def buildPq(vectors: DataFrame, m: Int, k: Int, path: String): Unit = {
+  def buildPq(vectors: DataFrame, m: Int, k: Int, path: String,
+      batchId: Long = -1L): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val (quant, owns) = Caching.ownPersist(Similarity.quantized(vectors))
@@ -145,7 +156,7 @@ object IndexStore {
         b.map { case (cid, q) => (s, cid, q.toSeq) }
       }.toSeq.toDF("s", "cid", "q").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/codebooks")
-      appendPqQuant(quant, path, batchId = 0L, m, sub)
+      appendPqQuant(quant, path, batchId, m, sub)
     } finally if (owns) quant.unpersist(blocking = false)
   }
 

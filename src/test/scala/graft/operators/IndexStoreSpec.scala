@@ -73,6 +73,80 @@ class IndexStoreSpec extends SparkSuite {
       s"appended clone not at distance 0 from its source probe")
   }
 
+  test("stored IVF probe partition-prunes the lists scan (DPP pinned in-plan)") {
+    // The O(nprobe) read claim is structural: the probe's lists scan must
+    // carry a dynamic-pruning partition filter on the bucket column, so a
+    // probe of nprobe lists reads exactly those directories regardless of
+    // corpus size. Pin it in the plan so it cannot silently regress.
+    import org.apache.spark.sql.execution.ExplainMode
+    val path = newDir("ivf-dpp")
+    IndexStore.buildIvf(emb, nLists = 16, path)
+    val prev = spark.conf.getOption(Caching.EagerReleaseKey)
+    spark.conf.set(Caching.EagerReleaseKey, "false")
+    try {
+      val df = IndexStore.ivfKnnStored(
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2, path)
+      val plan = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      val lines = plan.split("\n")
+      val listsScan = lines.indexWhere(_.contains("/lists"))
+      assert(listsScan >= 0, s"no lists scan in plan:\n$plan")
+      val pruned = lines.slice(listsScan, listsScan + 8).exists(l =>
+        l.contains("PartitionFilters") && l.contains("dynamicpruning"))
+      assert(pruned,
+        "lists scan lost its dynamic partition pruning filter:\n" +
+          lines.slice(listsScan - 4, listsScan + 8).mkString("\n"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(Caching.EagerReleaseKey, v)
+        case None    => spark.conf.unset(Caching.EagerReleaseKey)
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("same-batchId replay of a crashed IVF compaction never empties the list") {
+    // IndexStore shares BucketIndex.appendDelta with the streaming
+    // near-dup stores (compactThreshold = 8); mirror the reproduced
+    // crash state from StreamingNearDupSpec: compaction promoted
+    // compact-b<id>-0 and crashed before deleting the old deltas, then
+    // the append replays under the SAME batchId — the promoted compact
+    // file may be the list's only full copy and must survive the replay.
+    val path = newDir("ivf-crash")
+    IndexStore.buildIvf(emb, nLists = 16, path)
+    val v3 = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    def clone(id: Long) = Seq((id, v3)).toDF("vec_id", "embedding")
+    // the frozen centroids route every clone to vector 3's list: 6
+    // appends stack 6 delta files on top of the build's one
+    (1 to 6).foreach(i => IndexStore.appendIvf(clone(90100L + i), path, i.toLong))
+    def bucketDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val snapshot = bucketDirs.flatMap(_.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.toPath -> java.nio.file.Files.readAllBytes(f.toPath)))
+    // append 7 crosses the 8-file threshold in the clone list: compaction
+    // promotes compact-b7-0 and deletes the deltas...
+    IndexStore.appendIvf(clone(90107L), path, 7L)
+    assert(bucketDirs.exists(_.listFiles()
+      .exists(_.getName.startsWith("compact-b7-"))),
+      "compaction never fired — crash fixture invalid")
+    // ...restore the deleted deltas next to it = the crashed state
+    snapshot.foreach { case (p, bytes) => java.nio.file.Files.write(p, bytes) }
+    // replay the same batch under the same batchId
+    IndexStore.appendIvf(clone(90107L), path, 7L)
+    assert(bucketDirs.forall(_.listFiles().exists(_.getName.endsWith(".parquet"))),
+      "replayed compaction emptied a list directory")
+    // the index still answers: vector 3's probe sees every appended clone
+    val res = IndexStore.ivfKnnStored(
+      emb.filter(col("vec_id") === 3), k = 10, nprobe = 2, path)
+      .collect().map(_.getLong(1)).toSet
+    assert((1 to 7).forall(i => res.contains(90100L + i)),
+      s"index lost appended vectors after crash replay: $res")
+  }
+
   test("layout guard rejects a mismatched IVF reopen") {
     val path = newDir("ivf-layout")
     IndexStore.buildIvf(emb, nLists = 16, path)
