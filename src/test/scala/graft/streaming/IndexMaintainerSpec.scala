@@ -94,4 +94,30 @@ class IndexMaintainerSpec extends SparkSuite {
       .groupBy("query_id").count().count()
     assert(res == 100L, s"appended vectors not probeable: $res of 100")
   }
+
+  test("streamed PQ appends converge to the batch build") {
+    val refPath = tmp("im-pq-ref") + "/idx"
+    val livePath = tmp("im-pq-live") + "/idx"
+    val ckpt = tmp("im-pq-ckpt")
+    val init = emb.filter(col("vec_id") < 440)
+    val later = emb.filter(col("vec_id") >= 440)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    IndexStore.buildPq(init, m = 4, k = 8, refPath)
+    IndexStore.buildPq(init, m = 4, k = 8, livePath)
+    IndexStore.appendPq(later.toSeq.toDF("vec_id", "embedding"), refPath, 1L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark, numPartitions = 1)
+    val q = IndexMaintainer.startPq(
+      ms.toDF().toDF("vec_id", "embedding"), livePath, m = 4, k = 8, ckpt)
+    try {
+      later.grouped(20).foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def probe(path: String) = IndexStore.pqTopKStored(spark, path, probes = 5, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val live = probe(livePath)
+    val ref = probe(refPath)
+    assert(live == ref,
+      s"streamed PQ index diverged:\n  live-ref=${live.diff(ref)}\n  ref-live=${ref.diff(live)}")
+  }
 }
