@@ -190,12 +190,14 @@ object BpeTrain {
     * words (the [[graft.functions.Bpe]] pretokenization), count them,
     * and learn `k` merges.
     */
-  def trainOnDocuments(spark: SparkSession, docs: DataFrame, k: Int): DataFrame =
-    train(spark,
-      docs.select(explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt")),
-      k)
+  def trainOnDocuments(spark: SparkSession, docs: DataFrame, k: Int,
+      incremental: Boolean = false): DataFrame = {
+    val words = docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    if (incremental) trainIncremental(spark, words, k)
+    else train(spark, words, k)
+  }
 
   /** Unrolled DuckDB replay of the SAME training loop for the oracle:
     * per step, a pairs CTE (unnest positions → weighted counts), a

@@ -317,7 +317,6 @@ object Dedup {
   def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 24,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     val base = docs
       .filter(length(norm) >= k)
@@ -337,28 +336,28 @@ object Dedup {
         .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
     } else {
-      // the every-position side feeds three consumers (sizes, the exact
-      // join, the hot-gram links) and tiles feeds two — persist both
-      val allGp = allG.persist(mem)
-      val tilesP = tiles.persist(mem)
-      val sizes = allGp.groupBy("g")
+      // One wide shuffle of the gram table total: the sizes aggregation
+      // and the annotate-join below both hash-partition allG by g, so
+      // ReuseExchange computes that exchange once; the annotated rows
+      // come out partitioned by g, so the small/hot joins that follow
+      // reuse the partitioning instead of re-shuffling the big side.
+      // (No persists: materializing the 10M-row gram table costs more
+      // than the map-side explode it would save.)
+      val sizes = allG.groupBy("g")
         .agg(count(lit(1)).as("na"), min(col("doc_id")).as("rep"))
-        .persist(mem)
-      val small = allGp.join(
-        sizes.filter(col("na") <= maxBucket).select("g"), Seq("g"), "left_semi")
-      val smallPairs = small.join(tilesP, "g")
+      val annotated = allG.join(sizes, "g")
+      val smallPairs = annotated.filter(col("na") <= maxBucket)
+        .join(tiles, "g")
         .filter(col("doc_id") < col("doc_b"))
         .select(col("doc_id").as("doc_a"), col("doc_b"))
       // rep = bucket min over the superset side ⇒ doc_a < doc_b holds
-      val hotPairs = allGp
-        .join(sizes.filter(col("na") > maxBucket).select("g", "rep"), Seq("g"))
-        .join(tilesP.select("g").distinct(), Seq("g"), "left_semi")
+      val hotPairs = annotated.filter(col("na") > maxBucket)
+        .join(tiles.select("g").distinct(), Seq("g"), "left_semi")
         .filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-      val pairs = smallPairs.unionByName(hotPairs)
+      smallPairs.unionByName(hotPairs)
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_shared"))
-      Caching.materializeAndRelease(pairs, allGp, tilesP, sizes)
     }
   }
 }

@@ -315,6 +315,16 @@ object TextQueries {
       graft.operators.BpeTrain.trainOnDocuments(
         s, tbl(s, dir, "documents"), BpeTrainK)),
 
+    // The delta-maintained trainer (BpeTrain.trainIncremental — pair
+    // counts built once, then updated only for words containing each
+    // merged pair; 5.9× less shuffle at k=100, SCALE_r10 §2) declared
+    // as its own query against the SAME unrolled oracle: the learned
+    // table is bit-identical to the full recount's by construction
+    // (BpeTrainSpec), and this row makes the driver hash-prove it.
+    "doc_bpe_train_inc" -> ((s, dir) =>
+      graft.operators.BpeTrain.trainOnDocuments(
+        s, tbl(s, dir, "documents"), BpeTrainK, incremental = true)),
+
     // Winnowing document fingerprints (the rolling-hash scheme used for
     // near-dup detection robust to small edits): hash every 8-char gram
     // of the whitespace-normalized text, take the min hash of each
@@ -937,6 +947,7 @@ object TextQueries {
 
   private val oraclesBase: Map[String, String] = Map(
     "doc_bpe_train" -> graft.operators.BpeTrain.oracleSql(BpeTrainK),
+    "doc_bpe_train_inc" -> graft.operators.BpeTrain.oracleSql(BpeTrainK),
     // Independent replay of the greedy BPE loop: per distinct word, a
     // recursive CTE holds the symbol list, finds the lowest-rank
     // adjacent pair (leftmost via list_position's first-match), merges
