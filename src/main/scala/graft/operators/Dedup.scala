@@ -336,23 +336,40 @@ object Dedup {
         .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
     } else {
-      // One wide shuffle of the gram table total: the sizes aggregation
-      // and the annotate-join below both hash-partition allG by g, so
-      // ReuseExchange computes that exchange once; the annotated rows
-      // come out partitioned by g, so the small/hot joins that follow
-      // reuse the partitioning instead of re-shuffling the big side.
-      // (No persists: materializing the 10M-row gram table costs more
-      // than the map-side explode it would save.)
+      // Over-cap grams are structurally rare — at most |allG|/maxBucket
+      // and in practice a handful of boilerplate strings — so the guard
+      // is a BROADCAST of the hot set, not a second big-big join: the
+      // gram table pays one aggregation shuffle to find the hot grams,
+      // then the exact join runs as in the uncapped path with a map-side
+      // anti-join excluding them, and the representative links come from
+      // one more map-side broadcast join. (The r9-capped form annotated
+      // every gram row with its bucket size via allG⋈sizes — a
+      // same-cardinality sort-merge join executed once per consumer
+      // branch; 7× slower at sf0.1.) If a corpus ever has more than
+      // ~10^6 boilerplate grams over the cap the broadcast is the limit
+      // to revisit — at that point substring dedup wants a boilerplate
+      // strip pass first, not a bigger join.
+      // The gram table is consumed three times (sizes agg, exact join,
+      // hot-link probe) and deliberately NOT persisted: re-running the
+      // map-side explode is cheaper than materializing the gram rows
+      // (measured at sf0.1: persist+checkpoint 3.2-3.8 s vs 2.1-3.0 s
+      // recompute; same verdict as the r9 SMJ form's persist A/B).
       val sizes = allG.groupBy("g")
         .agg(count(lit(1)).as("na"), min(col("doc_id")).as("rep"))
-      val annotated = allG.join(sizes, "g")
-      val smallPairs = annotated.filter(col("na") <= maxBucket)
+      val hot = sizes.filter(col("na") > maxBucket).select("g", "rep")
+      val smallPairs = allG
+        .join(broadcast(hot), Seq("g"), "left_anti")
         .join(tiles, "g")
         .filter(col("doc_id") < col("doc_b"))
         .select(col("doc_id").as("doc_a"), col("doc_b"))
+      // hot grams count only when they are at least one doc's tile —
+      // map-side probe of the (cheap, 1/k-dense) tiles side, then one
+      // representative link per containing doc.
+      val hotTile = tiles.join(broadcast(hot), Seq("g"), "left_semi")
+        .select("g").distinct()
       // rep = bucket min over the superset side ⇒ doc_a < doc_b holds
-      val hotPairs = annotated.filter(col("na") > maxBucket)
-        .join(tiles.select("g").distinct(), Seq("g"), "left_semi")
+      val hotPairs = allG
+        .join(broadcast(hot.join(hotTile, "g")), "g")
         .filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       smallPairs.unionByName(hotPairs)
