@@ -869,6 +869,41 @@ object TextQueries {
       src.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           expr("1000 * isq div tot").as("weight_permille"))
+    }),
+
+    // CCNet-shape LM quality filter: a unigram LM with add-one smoothing
+    // trained ON the corpus, then every doc scored by its mean token
+    // surprisal — the log2-perplexity signal CCNet/Gopher filter on.
+    // All arithmetic on the exact integer lattice (surprisal in 256ths
+    // of a bit via the linear-interpolated integer log2:
+    // s(q) = 256·⌊log2 q⌋ + (256q >> ⌊log2 q⌋) − 256, q = (T+V)·2^16
+    // DIV (cnt+1)); no fp logarithm ever crosses the engine boundary,
+    // and the per-doc SUM of Long surprisals is summation-order-free.
+    // Plan: one (doc_id,tok) hash agg with map-side combine, the LM
+    // from a second agg over the ALREADY-REDUCED tf table, scalar
+    // totals broadcast, surprisal computed per VOCAB row (not per
+    // token), tf⋈lm on tok (AQE broadcasts the LM while it fits;
+    // sort-merge at real-vocabulary scale), one final per-doc agg.
+    // Long headroom: 256·q ≤ (T+V)·2^24 keeps the shift exact through
+    // ~5·10^11 corpus tokens per job.
+    "doc_lm_surprisal" -> ((s, dir) => {
+      val tf = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val lm = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
+      val tot = lm.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+      val sur = lm.crossJoin(broadcast(tot))
+        .withColumn("q", expr("(t + v) * 65536 div (cnt + 1)"))
+        .withColumn("k", (length(bin(col("q"))) - 1).cast("int"))
+        .select(col("tok"),
+          (expr("shiftright(q * 256, k)") + col("k") * lit(256L) - lit(4352L))
+            .as("s_q"))
+      tf.join(sur, "tok")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("s_q")).as("nll_q"))
+        .withColumn("ppl_bits_q", expr("nll_q div n_tokens"))
+        .select("doc_id", "n_tokens", "nll_q", "ppl_bits_q")
     })
   )
 
@@ -1417,5 +1452,26 @@ object TextQueries {
                 FROM src)
           SELECT source, n_docs, n_tokens,
                  CAST(1000 * isq // (SELECT SUM(isq) FROM w) AS BIGINT) AS weight_permille
-          FROM w""")
+          FROM w""",
+    "doc_lm_surprisal" ->
+      s"""WITH tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+            GROUP BY doc_id, tok),
+          lm AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt
+                 FROM tf GROUP BY tok),
+          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t,
+                         CAST(COUNT(*) AS BIGINT) AS v FROM lm),
+          sur AS (
+            SELECT tok,
+                   CAST(256 * (length(bin(q)) - 1)
+                     + ((q * 256) >> (length(bin(q)) - 1)) - 4352
+                     AS BIGINT) AS s_q
+            FROM (SELECT tok, (t + v) * 65536 // (cnt + 1) AS q
+                  FROM lm CROSS JOIN tot))
+          SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                 CAST(SUM(tf.tf * s.s_q) AS BIGINT) AS nll_q,
+                 CAST(SUM(tf.tf * s.s_q) // SUM(tf.tf) AS BIGINT) AS ppl_bits_q
+          FROM tf JOIN sur s USING (tok)
+          GROUP BY tf.doc_id""")
 }
