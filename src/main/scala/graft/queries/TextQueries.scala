@@ -904,6 +904,53 @@ object TextQueries {
           sum(col("tf") * col("s_q")).as("nll_q"))
         .withColumn("ppl_bits_q", expr("nll_q div n_tokens"))
         .select("doc_id", "n_tokens", "nll_q", "ppl_bits_q")
+    }),
+
+    // DSIR importance weights (Xie et al., "Data Selection for Language
+    // Models via Importance Resampling", 2023): hashed-bigram feature
+    // counts, target distribution = the DsirTarget source slice, raw =
+    // the whole corpus; per-doc log importance weight
+    // log2(p_tgt/p_raw) = Σ_b tf_b · (s_raw(b) − s_tgt(b)) on the same
+    // 256ths-of-a-bit integer-log2 lattice as doc_lm_surprisal (add-one
+    // smoothing over the bucket space). THE scale property is the
+    // hashing: both distributions live in a FIXED B = 4096-bucket space
+    // regardless of corpus size, so the model is two B-row aggregates
+    // over the already-reduced (doc,bucket) table and scoring is a
+    // broadcast join — per-doc work never shuffles anything wider than
+    // the (doc_id,bucket) combine no matter how large the corpus.
+    "doc_dsir_weights" -> ((s, dir) => {
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val tf = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("gram"))
+        .groupBy(col("doc_id"), col("source"),
+          (h(col("gram")) % DsirBuckets).as("bucket"))
+        .agg(count(lit(1)).as("tf"))
+      val raw = tf.groupBy("bucket").agg(sum(col("tf")).as("cnt_r"))
+      val tgt = tf.filter(col("source") === DsirTarget)
+        .groupBy("bucket").agg(sum(col("tf")).as("cnt_t"))
+      val model = raw.join(tgt, Seq("bucket"), "left")
+        .na.fill(0L, Seq("cnt_t"))
+      val tot = model.agg(sum(col("cnt_r")).as("tr"), sum(col("cnt_t")).as("tt"))
+      // s_x(b) = 256·⌊log2 q⌋ + (256q >> ⌊log2 q⌋) − 4352,
+      // q_x = (T_x + B)·2^16 DIV (cnt_x + 1) — same lattice as
+      // doc_lm_surprisal; absent target buckets score the max surprisal.
+      val sQ = (q: String) =>
+        s"(shiftright($q * 256, cast(length(bin($q)) - 1 as int))" +
+          s" + (length(bin($q)) - 1) * 256L - 4352L)"
+      val scored = model.crossJoin(broadcast(tot))
+        .withColumn("qr", expr(s"(tr + $DsirBuckets) * 65536 div (cnt_r + 1)"))
+        .withColumn("qt", expr(s"(tt + $DsirBuckets) * 65536 div (cnt_t + 1)"))
+        .select(col("bucket"), expr(s"${sQ("qr")} - ${sQ("qt")}").as("dw_q"))
+      tf.join(broadcast(scored), "bucket")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * col("dw_q")).as("logw_q"))
+        .select("doc_id", "n_bigrams", "logw_q")
     })
   )
 
@@ -979,6 +1026,13 @@ object TextQueries {
 
   /** Merges learned by `doc_bpe_train` (bounds the unrolled oracle). */
   private val BpeTrainK = 12
+
+  /** DSIR hashed-feature space size and the source slice standing in as
+    * the target domain. B = 4096 keeps the two distribution tables
+    * broadcast-trivial at ANY corpus scale (that is DSIR's point).
+    */
+  private val DsirBuckets = 4096L
+  private val DsirTarget = "src0"
 
   private val oraclesBase: Map[String, String] = Map(
     "doc_bpe_train" -> graft.operators.BpeTrain.oracleSql(BpeTrainK),
@@ -1473,5 +1527,40 @@ object TextQueries {
                  CAST(SUM(tf.tf * s.s_q) AS BIGINT) AS nll_q,
                  CAST(SUM(tf.tf * s.s_q) // SUM(tf.tf) AS BIGINT) AS ppl_bits_q
           FROM tf JOIN sur s USING (tok)
+          GROUP BY tf.doc_id""",
+    "doc_dsir_weights" ->
+      s"""WITH toks AS (
+            SELECT doc_id, source, $tokensSql AS toks FROM documents
+            WHERE len($tokensSql) >= 2),
+          grams AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM toks),
+          tf AS (
+            SELECT doc_id, source, ${strHashSql("gram")} % $DsirBuckets AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM grams GROUP BY 1, 2, 3),
+          raw AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cnt_r
+                  FROM tf GROUP BY bucket),
+          tgt AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cnt_t
+                  FROM tf WHERE source = '$DsirTarget' GROUP BY bucket),
+          model AS (
+            SELECT r.bucket, r.cnt_r, COALESCE(t.cnt_t, 0) AS cnt_t
+            FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket),
+          tot AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS tr,
+                         CAST(SUM(cnt_t) AS BIGINT) AS tt FROM model),
+          scored AS (
+            SELECT bucket,
+                   (256 * (length(bin(qr)) - 1) + ((qr * 256) >> (length(bin(qr)) - 1)) - 4352)
+                 - (256 * (length(bin(qt)) - 1) + ((qt * 256) >> (length(bin(qt)) - 1)) - 4352)
+                   AS dw_q
+            FROM (SELECT bucket,
+                    (tr + $DsirBuckets) * 65536 // (cnt_r + 1) AS qr,
+                    (tt + $DsirBuckets) * 65536 // (cnt_t + 1) AS qt
+                  FROM model CROSS JOIN tot))
+          SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(tf.tf * s.dw_q) AS BIGINT) AS logw_q
+          FROM tf JOIN scored s USING (bucket)
           GROUP BY tf.doc_id""")
 }
