@@ -879,18 +879,23 @@ object TextQueries {
     // s(q) = 256·⌊log2 q⌋ + (256q >> ⌊log2 q⌋) − 256, q = (T+V)·2^16
     // DIV (cnt+1)); no fp logarithm ever crosses the engine boundary,
     // and the per-doc SUM of Long surprisals is summation-order-free.
-    // Plan: one (doc_id,tok) hash agg with map-side combine, the LM
-    // from a second agg over the ALREADY-REDUCED tf table, scalar
-    // totals broadcast, surprisal computed per VOCAB row (not per
-    // token), tf⋈lm on tok (AQE broadcasts the LM while it fits;
-    // sort-merge at real-vocabulary scale), one final per-doc agg.
+    // Plan: the canonical two-pass LM shape, exactly TWO corpus scans.
+    // Pass 1 builds the vocab table directly (explode → one tok-keyed
+    // hash agg with map-side combine) and PERSISTS it — the vocabulary
+    // is the small side (≪ corpus) and every downstream consumer
+    // (totals, surprisal, the scoring join) reads the cache instead of
+    // re-scanning the corpus (measured: the un-persisted diamond
+    // re-ran the build once per consumer — AQE stage reuse caught only
+    // 2 of 4 scans). Pass 2 scores: explode → join the surprisal table
+    // on tok (AQE broadcasts it while it fits; sort-merge at
+    // real-vocabulary scale) → one per-doc agg with map-side combine.
     // Long headroom: 256·q ≤ (T+V)·2^24 keeps the shift exact through
     // ~5·10^11 corpus tokens per job.
     "doc_lm_surprisal" -> ((s, dir) => {
-      val tf = tbl(s, dir, "documents")
+      val toks = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val lm = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = lm.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
       val sur = lm.crossJoin(broadcast(tot))
         .withColumn("q", expr("(t + v) * 65536 div (cnt + 1)"))
@@ -898,12 +903,12 @@ object TextQueries {
         .select(col("tok"),
           (expr("shiftright(q * 256, k)") + col("k") * lit(256L) - lit(4352L))
             .as("s_q"))
-      tf.join(sur, "tok")
+      val res = toks.join(sur, "tok")
         .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_tokens"),
-          sum(col("tf") * col("s_q")).as("nll_q"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("s_q")).as("nll_q"))
         .withColumn("ppl_bits_q", expr("nll_q div n_tokens"))
         .select("doc_id", "n_tokens", "nll_q", "ppl_bits_q")
+      graft.operators.Caching.materializeAndRelease(res, lm)
     }),
 
     // DSIR importance weights (Xie et al., "Data Selection for Language
@@ -921,20 +926,20 @@ object TextQueries {
     "doc_dsir_weights" -> ((s, dir) => {
       val h = (c: org.apache.spark.sql.Column) =>
         conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val tf = tbl(s, dir, "documents")
+      val grams = tbl(s, dir, "documents")
         .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), col("source"),
           explode(transform(sequence(lit(1), size(col("toks")) - 1),
             i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("gram"))
-        .groupBy(col("doc_id"), col("source"),
-          (h(col("gram")) % DsirBuckets).as("bucket"))
-        .agg(count(lit(1)).as("tf"))
-      val raw = tf.groupBy("bucket").agg(sum(col("tf")).as("cnt_r"))
-      val tgt = tf.filter(col("source") === DsirTarget)
-        .groupBy("bucket").agg(sum(col("tf")).as("cnt_t"))
-      val model = raw.join(tgt, Seq("bucket"), "left")
-        .na.fill(0L, Seq("cnt_t"))
+        .withColumn("bucket", h(col("gram")) % DsirBuckets)
+      // Pass 1: BOTH distributions from one B-row aggregation (the
+      // target count is a conditional sum), persisted — 4096 rows, so
+      // every consumer reads the cache and the corpus is scanned once.
+      val model = grams.groupBy("bucket")
+        .agg(count(lit(1)).as("cnt_r"),
+          sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("cnt_t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = model.agg(sum(col("cnt_r")).as("tr"), sum(col("cnt_t")).as("tt"))
       // s_x(b) = 256·⌊log2 q⌋ + (256q >> ⌊log2 q⌋) − 4352,
       // q_x = (T_x + B)·2^16 DIV (cnt_x + 1) — same lattice as
@@ -946,11 +951,14 @@ object TextQueries {
         .withColumn("qr", expr(s"(tr + $DsirBuckets) * 65536 div (cnt_r + 1)"))
         .withColumn("qt", expr(s"(tt + $DsirBuckets) * 65536 div (cnt_t + 1)"))
         .select(col("bucket"), expr(s"${sQ("qr")} - ${sQ("qt")}").as("dw_q"))
-      tf.join(broadcast(scored), "bucket")
+      // Pass 2: score — the weight table is ≤ B rows by construction,
+      // so the join is ALWAYS a broadcast (forced, not AQE-guessed) and
+      // the only shuffle is the per-doc combine.
+      val res = grams.join(broadcast(scored), "bucket")
         .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_bigrams"),
-          sum(col("tf") * col("dw_q")).as("logw_q"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("dw_q")).as("logw_q"))
         .select("doc_id", "n_bigrams", "logw_q")
+      graft.operators.Caching.materializeAndRelease(res, model)
     })
   )
 
