@@ -923,41 +923,19 @@ object TextQueries {
     // over the already-reduced (doc,bucket) table and scoring is a
     // broadcast join — per-doc work never shuffles anything wider than
     // the (doc_id,bucket) combine no matter how large the corpus.
+    // Pass 1: BOTH distributions from one B-row aggregation (the
+    // target count is a conditional sum), persisted — 4096 rows, so
+    // every consumer reads the cache and the corpus is scanned once.
+    // Pass 2: score — the weight table is ≤ B rows by construction, so
+    // the join is ALWAYS a broadcast and the only shuffle is the
+    // per-doc combine. The lattice lives in [[graft.operators.Dsir]],
+    // shared verbatim with the streaming scorer ([[StreamingDsir]]).
     "doc_dsir_weights" -> ((s, dir) => {
-      val h = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val grams = tbl(s, dir, "documents")
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("source"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("gram"))
-        .withColumn("bucket", h(col("gram")) % DsirBuckets)
-      // Pass 1: BOTH distributions from one B-row aggregation (the
-      // target count is a conditional sum), persisted — 4096 rows, so
-      // every consumer reads the cache and the corpus is scanned once.
-      val model = grams.groupBy("bucket")
-        .agg(count(lit(1)).as("cnt_r"),
-          sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("cnt_t"))
+      import graft.operators.Dsir
+      val docs = tbl(s, dir, "documents")
+      val model = Dsir.model(Dsir.bigramBuckets(docs), DsirTarget)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = model.agg(sum(col("cnt_r")).as("tr"), sum(col("cnt_t")).as("tt"))
-      // s_x(b) = 256·⌊log2 q⌋ + (256q >> ⌊log2 q⌋) − 4352,
-      // q_x = (T_x + B)·2^16 DIV (cnt_x + 1) — same lattice as
-      // doc_lm_surprisal; absent target buckets score the max surprisal.
-      val sQ = (q: String) =>
-        s"(shiftright($q * 256, cast(length(bin($q)) - 1 as int))" +
-          s" + (length(bin($q)) - 1) * 256L - 4352L)"
-      val scored = model.crossJoin(broadcast(tot))
-        .withColumn("qr", expr(s"(tr + $DsirBuckets) * 65536 div (cnt_r + 1)"))
-        .withColumn("qt", expr(s"(tt + $DsirBuckets) * 65536 div (cnt_t + 1)"))
-        .select(col("bucket"), expr(s"${sQ("qr")} - ${sQ("qt")}").as("dw_q"))
-      // Pass 2: score — the weight table is ≤ B rows by construction,
-      // so the join is ALWAYS a broadcast (forced, not AQE-guessed) and
-      // the only shuffle is the per-doc combine.
-      val res = grams.join(broadcast(scored), "bucket")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("dw_q")).as("logw_q"))
-        .select("doc_id", "n_bigrams", "logw_q")
+      val res = Dsir.score(docs, Dsir.weights(model))
       graft.operators.Caching.materializeAndRelease(res, model)
     })
   )
@@ -1035,11 +1013,11 @@ object TextQueries {
   /** Merges learned by `doc_bpe_train` (bounds the unrolled oracle). */
   private val BpeTrainK = 12
 
-  /** DSIR hashed-feature space size and the source slice standing in as
-    * the target domain. B = 4096 keeps the two distribution tables
-    * broadcast-trivial at ANY corpus scale (that is DSIR's point).
+  /** DSIR feature-space size (see [[graft.operators.Dsir.Buckets]] —
+    * referenced so the oracle SQL can never drift from the operator)
+    * and the source slice standing in as the target domain.
     */
-  private val DsirBuckets = 4096L
+  private val DsirBuckets = graft.operators.Dsir.Buckets
   private val DsirTarget = "src0"
 
   private val oraclesBase: Map[String, String] = Map(
