@@ -144,6 +144,48 @@ object Similarity {
     Caching.materializeAndRelease(res, unit)
   }
 
+  /** Matryoshka-style two-stage ANN (Kusupati et al., "Matryoshka
+    * Representation Learning", 2022): candidate generation by cosine
+    * over the FIRST `prefixDims` dimensions (an MRL-trained embedding
+    * packs its coarse geometry into the prefix), then an exact
+    * full-dimension re-rank of the surviving top `nCand` per query.
+    * The corpus-dominant stage does dim/prefixDims of brute force's
+    * arithmetic; the full vectors are touched for only nCand·|queries|
+    * rows. Output (query_id, neighbor_id, prank, rank) keeps the
+    * prefix-stage rank visible so the re-rank's corrections are
+    * observable (and oracle-checked). Per-query top-nCand runs the
+    * two-phase window (local per-partition prune bounds the global
+    * window's input to nCand·#partitions per query).
+    */
+  def mrlKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             prefixDims: Int = 16, nCand: Int = 50): DataFrame = {
+    val q = corpus.join(queries.select("vec_id"), "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pcos", cosine(slice(col("ce"), 1, prefixDims),
+        slice(col("qe"), 1, prefixDims)))
+    val local = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val cand = pairs
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= nCand)
+      .withColumn("prank", row_number().over(wPre).cast("long"))
+      .filter(col("prank") <= nCand)
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .withColumn("cos", cosine(col("ce"), col("qe")))
+      .withColumn("rank", row_number().over(wFull).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "prank", "rank")
+  }
+
   val NumPlanes = 8
 
   /** Target mean per-bucket occupancy for auto-sized LSH sketches. The

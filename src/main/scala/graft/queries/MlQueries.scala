@@ -169,6 +169,18 @@ object MlQueries {
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // Matryoshka two-stage ANN: prefix-dim (16 of 64) cosine generates
+    // nCand=50 candidates per query, exact full-dim cosine re-ranks —
+    // the corpus-dominant scan does 1/4 of brute force's arithmetic
+    // and the full vectors are touched for 50·|queries| rows only.
+    // prank (the prefix rank) stays in the output so the re-rank's
+    // corrections are oracle-checked, not just claimed.
+    "emb_mrl_ann" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.mrlKnn(emb, emb.filter(col("vec_id") < 10),
+        k = 5, prefixDims = 16, nCand = 50)
+    }),
+
     // Embedding-space DECONTAMINATION — the vector analogue of
     // doc_contamination: for each training vector, count the eval-set
     // vectors (vec_id < 10, stand-in for a benchmark) within cosine 0.3.
@@ -690,6 +702,25 @@ object MlQueries {
            FROM embeddings e,
                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
            WHERE e.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+    "emb_mrl_ann" ->
+      """SELECT query_id, neighbor_id, prank, rank FROM (
+           SELECT query_id, neighbor_id, prank,
+                  CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) DESC,
+                             neighbor_id) AS BIGINT) AS rank
+           FROM (
+             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                    q.embedding AS qe, e.embedding AS ce,
+                    CAST(row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]), CAST(e.embedding[1:16] AS DOUBLE[])) DESC,
+                               e.vec_id) AS BIGINT) AS prank
+             FROM embeddings e,
+                  (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+             WHERE e.vec_id <> q.vec_id)
+           WHERE prank <= 50)
          WHERE rank <= 5""",
     "emb_lsh_ann" ->
       s"""WITH quant AS ($quantSql),
