@@ -923,6 +923,65 @@ object TextQueries {
     // over the already-reduced (doc,bucket) table and scoring is a
     // broadcast join — per-doc work never shuffles anything wider than
     // the (doc_id,bucket) combine no matter how large the corpus.
+    // Bigram LM with STUPID BACKOFF (Brants et al., "Large Language
+    // Models in Machine Translation", 2007) — the web-scale LM scoring
+    // shape: a token after a seen (prev, cur) bigram pays the exact
+    // conditional surprisal log2(cnt(prev)/cnt(prev,cur)); an unseen
+    // continuation backs off to the unigram add-one lattice plus the
+    // fixed backoff penalty log2(1/0.4) ≈ 338/256 bits (the integer
+    // constant IS the contract — no fp crosses the engine boundary);
+    // position 0 scores unigram-only. The model trains on the TRAIN
+    // slice of doc_split's deterministic 90/5/5 assignment (same salted
+    // md5 bucket) and scores ALL docs — held-out semantics, so unseen
+    // continuations (and unseen tokens, via add-one) genuinely occur in
+    // the validation/test slices and the backoff branch is live. Three
+    // corpus scans by design (unigram build, bigram build, scoring —
+    // the models have different keys and persisting the corpus-sized
+    // token stream to merge them costs more than the scan); the unigram
+    // table is persisted (three consumers: totals, prev-count join,
+    // cur-score join), the bigram table feeds its single consumer
+    // straight. Scoring joins the token stream to the bigram model on
+    // the (prev, cur) STRING key — exact, shuffle-joinable at any
+    // scale — then one per-doc combine.
+    "doc_lm_backoff" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val rows = docs
+        .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+        .select(col("doc_id"), col("pos"),
+          when(col("pos") >= 1, expr("toks[pos - 1]")).as("prev"),
+          col("col").as("cur"))
+      val trainRows = rows.filter(
+        (conv(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 100L) < 90)
+      val uni = trainRows.groupBy(col("cur").as("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = uni.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+      val big = trainRows.filter(col("prev").isNotNull)
+        .groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bi"))
+      val sQ = (q: String) =>
+        s"(shiftright($q * 256, cast(length(bin($q)) - 1 as int))" +
+          s" + (length(bin($q)) - 1) * 256L - 4352L)"
+      val res = rows
+        .join(uni.select(col("tok").as("cur"), col("cnt").as("cnt_cur")), Seq("cur"), "left")
+        .join(uni.select(col("tok").as("prev"), col("cnt").as("cnt_prev")), Seq("prev"), "left")
+        .join(big, Seq("prev", "cur"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("q_uni", expr("(t + v) * 65536 div (coalesce(cnt_cur, 0L) + 1)"))
+        .withColumn("s_q", expr(
+          s"""CASE WHEN cnt_bi IS NOT NULL
+                THEN ${sQ("(cnt_prev * 65536 div cnt_bi)")}
+                ELSE (CASE WHEN prev IS NULL THEN 0L ELSE 338L END) + ${sQ("q_uni")}
+              END"""))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("s_q")).as("nll_q"))
+        .withColumn("ppl_bits_q", expr("nll_q div n_tokens"))
+        .select("doc_id", "n_tokens", "nll_q", "ppl_bits_q")
+      graft.operators.Caching.materializeAndRelease(res, uni)
+    }),
+
     // Pass 1: BOTH distributions from one B-row aggregation (the
     // target count is a conditional sum), persisted — 4096 rows, so
     // every consumer reads the cache and the corpus is scanned once.
@@ -1000,6 +1059,14 @@ object TextQueries {
     "filter", "data", "column", "query", "the", "zzz-absent", "qqq-absent")
 
   private val tokensSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** DuckDB mirror of the 256ths-of-a-bit interpolated integer log2
+    * (shared lattice of doc_lm_surprisal / doc_lm_backoff /
+    * doc_dsir_weights): 256·⌊log2 q⌋ + (256q >> ⌊log2 q⌋) − 256, minus
+    * 4096 for the 2^16 odds scale.
+    */
+  private def latSql(q: String): String =
+    s"(256 * (length(bin($q)) - 1) + (($q * 256) >> (length(bin($q)) - 1)) - 4352)"
 
   /** DuckDB mirror of the 60-bit md5-prefix hash (no base-16 conv there). */
   private def strHashSql(e: String): String = {
@@ -1514,6 +1581,38 @@ object TextQueries {
                  CAST(SUM(tf.tf * s.s_q) // SUM(tf.tf) AS BIGINT) AS ppl_bits_q
           FROM tf JOIN sur s USING (tok)
           GROUP BY tf.doc_id""",
+    "doc_lm_backoff" ->
+      s"""WITH docs AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+          rws AS (
+            SELECT doc_id, i - 1 AS pos,
+                   CASE WHEN i >= 2 THEN toks[i - 1] END AS prev,
+                   toks[i] AS cur
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+          tr AS (
+            SELECT * FROM rws
+            WHERE ${strHashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90),
+          uni AS (SELECT cur AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM tr GROUP BY cur),
+          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t,
+                         CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+          big AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt_bi
+                  FROM tr WHERE prev IS NOT NULL GROUP BY prev, cur),
+          scored AS (
+            SELECT r.doc_id,
+                   CASE WHEN b.cnt_bi IS NOT NULL
+                     THEN ${latSql("(up.cnt * 65536 // b.cnt_bi)")}
+                     ELSE (CASE WHEN r.prev IS NULL THEN 0 ELSE 338 END)
+                          + ${latSql("((t + v) * 65536 // (COALESCE(uc.cnt, 0) + 1))")}
+                   END AS s_q
+            FROM rws r
+            LEFT JOIN uni uc ON uc.tok = r.cur
+            LEFT JOIN uni up ON up.tok = r.prev
+            LEFT JOIN big b ON b.prev = r.prev AND b.cur = r.cur
+            CROSS JOIN tot)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(s_q) AS BIGINT) AS nll_q,
+                 CAST(SUM(s_q) // COUNT(*) AS BIGINT) AS ppl_bits_q
+          FROM scored GROUP BY doc_id""",
     "doc_dsir_weights" ->
       s"""WITH toks AS (
             SELECT doc_id, source, $tokensSql AS toks FROM documents

@@ -45,6 +45,54 @@ class LmSurprisalSpec extends SparkSuite {
     assert(bits(1L) < bits(2L) && bits(2L) < bits(3L))
   }
 
+  /** Raw lattice on an already-2^16-scaled odds ratio. */
+  private def refLat(q: Long): Long = {
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    256L * k + ((q * 256L) >> k) - 4352L
+  }
+
+  /** doc_split's salted md5 bucket (mirrors the query + oracle). */
+  private def splitBucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 100L
+  }
+
+  test("stupid backoff: seen bigram pays conditional surprisal, unseen backs off") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lmbo").toString
+    // pick real train/held-out ids under the doc_split hash
+    val trainIds = (1L to 300L).filter(splitBucket(_) < 90).take(2)
+    val testId = (1L to 300L).find(splitBucket(_) >= 90).get
+    // train corpus: two copies of "x y x y x" → unigrams x:6 y:4 (T=10,
+    // V=2); bigrams (x,y):4 (y,x):4. Held-out doc "x y z": a seen
+    // bigram, then an unseen continuation ending in an unseen token.
+    val docs = (trainIds.map(id => (id, "x y x y x", "en", "s0", 0L)) :+
+      ((testId, "x y z", "en", "s0", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val res = graft.queries.TextQueries.queries("doc_lm_backoff")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    val (t, v) = (10L, 2L)
+    def sUni(cnt: Long) = refLat((t + v) * 65536L / (cnt + 1))
+    // held-out "x y z": pos0 x → unigram(6); (x,y) seen → cond
+    // cnt(x)=6 / cnt(x,y)=4; (y,z) unseen, z unseen → 338 + unigram(0)
+    val expTest = sUni(6) + refLat(6 * 65536L / 4) + (338L + sUni(0))
+    assert(res(testId) == ((3L, expTest, expTest / 3)),
+      s"held-out doc: ${res(testId)} != ($expTest)")
+    // train doc "x y x y x": all bigrams seen; (y,x) is y's ONLY
+    // continuation (cnt(y) = cnt(y,x) = 4) so its conditional
+    // surprisal is exactly zero bits
+    val expTrain = sUni(6) + 2 * refLat(6 * 65536L / 4) + 2 * refLat(4 * 65536L / 4)
+    trainIds.foreach(id => assert(res(id) == ((5L, expTrain, expTrain / 5))))
+    // the unseen-continuation doc is the more surprising one per token
+    assert(res(testId)._3 > res(trainIds.head)._3)
+  }
+
   test("interpolated integer log2 is monotone and exact on powers of two") {
     // exact at q = 2^k: s(cnt) with q exactly a power of two has zero
     // fractional part; monotone decreasing in cnt everywhere
