@@ -59,11 +59,21 @@ object Dsir {
     * corpus tokens per job.
     */
   def weights(model: DataFrame): DataFrame = {
-    val tot = model.agg(sum(col("cnt_r")).as("tr"), sum(col("cnt_t")).as("tt"))
+    // The global totals enter as SCALAR SUBQUERIES over the model view,
+    // not a 1-row crossJoin(broadcast(...)): the subquery executes once
+    // as its own tiny job and the result is inlined into the projection,
+    // so the weight plan carries no nested-loop join at all
+    // (PlanHygieneSpec's zero-BNLJ invariant holds without an allowlist
+    // entry). Two subqueries = two scans of the model plan — B rows when
+    // the caller persists it (the declared query does); callers building
+    // the model inline should persist first.
+    model.createOrReplaceTempView("graft_dsir_model")
     val sQ = (q: String) =>
       s"(shiftright($q * 256, cast(length(bin($q)) - 1 as int))" +
         s" + (length(bin($q)) - 1) * 256L - 4352L)"
-    model.crossJoin(broadcast(tot))
+    model
+      .withColumn("tr", expr("(select sum(cnt_r) from graft_dsir_model)"))
+      .withColumn("tt", expr("(select sum(cnt_t) from graft_dsir_model)"))
       .withColumn("qr", expr(s"(tr + $Buckets) * 65536 div (cnt_r + 1)"))
       .withColumn("qt", expr(s"(tt + $Buckets) * 65536 div (cnt_t + 1)"))
       .select(col("bucket"), expr(s"${sQ("qr")} - ${sQ("qt")}").as("dw_q"))

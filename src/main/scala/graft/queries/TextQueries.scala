@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -321,6 +321,13 @@ object TextQueries {
     // as its own query against the SAME unrolled oracle: the learned
     // table is bit-identical to the full recount's by construction
     // (BpeTrainSpec), and this row makes the driver hash-prove it.
+    // NOTE (VERDICT_r10 #2): at fixture scale (31-word vocab, k=12) the
+    // incremental path is OVERHEAD-BOUND — ~0.3-0.4 s slower than
+    // doc_bpe_train in the bench — and that is expected, not a bug to
+    // "fix": the delta maintenance only wins when the vocabulary is
+    // large enough that most words don't contain the merged pair
+    // (5.9× less shuffle at k=100, SCALE_r10 §2). The query is
+    // declared for oracle parity of the delta path, not for speed here.
     "doc_bpe_train_inc" -> ((s, dir) =>
       graft.operators.BpeTrain.trainOnDocuments(
         s, tbl(s, dir, "documents"), BpeTrainK, incremental = true)),
@@ -435,11 +442,8 @@ object TextQueries {
     // the split from every other hash use of doc_id, and the integer
     // bucket arithmetic is reproduced exactly in the oracle.
     "doc_split" -> ((s, dir) => {
-      val bucket = (conv(substring(md5(
-        concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long") % 100L).as("bucket")
       tbl(s, dir, "documents")
-        .select(col("doc_id"), bucket)
+        .select(col("doc_id"), splitBucket.as("bucket"))
         .select(col("doc_id"),
           when(col("bucket") < 90, "train")
             .when(col("bucket") < 95, "validation")
@@ -896,9 +900,14 @@ object TextQueries {
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = lm.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
-      val sur = lm.crossJoin(broadcast(tot))
-        .withColumn("q", expr("(t + v) * 65536 div (cnt + 1)"))
+      // T + V enters as ONE scalar subquery over the persisted vocab
+      // view (its own tiny job, result inlined) — no 1-row crossJoin,
+      // so the plan is BNLJ-free without a PlanHygieneSpec allowlist
+      // entry (VERDICT_r10 #8).
+      lm.createOrReplaceTempView("graft_lm_vocab")
+      val sur = lm
+        .withColumn("q", expr(
+          "(select sum(cnt) + count(*) from graft_lm_vocab) * 65536 div (cnt + 1)"))
         .withColumn("k", (length(bin(col("q"))) - 1).cast("int"))
         .select(col("tok"),
           (expr("shiftright(q * 256, k)") + col("k") * lit(256L) - lit(4352L))
@@ -951,25 +960,25 @@ object TextQueries {
         .select(col("doc_id"), col("pos"),
           when(col("pos") >= 1, expr("toks[pos - 1]")).as("prev"),
           col("col").as("cur"))
-      val trainRows = rows.filter(
-        (conv(substring(md5(concat(lit("split:"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10)
-          .cast("long") % 100L) < 90)
+      val trainRows = rows.filter(splitBucket < 90)
       val uni = trainRows.groupBy(col("cur").as("tok"))
         .agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = uni.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
       val big = trainRows.filter(col("prev").isNotNull)
         .groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bi"))
       val sQ = (q: String) =>
         s"(shiftright($q * 256, cast(length(bin($q)) - 1 as int))" +
           s" + (length(bin($q)) - 1) * 256L - 4352L)"
+      // T + V as ONE scalar subquery over the persisted unigram view —
+      // no 1-row crossJoin / BNLJ (VERDICT_r10 #8), same pattern as
+      // doc_lm_surprisal.
+      uni.createOrReplaceTempView("graft_lm_uni")
       val res = rows
         .join(uni.select(col("tok").as("cur"), col("cnt").as("cnt_cur")), Seq("cur"), "left")
         .join(uni.select(col("tok").as("prev"), col("cnt").as("cnt_prev")), Seq("prev"), "left")
         .join(big, Seq("prev", "cur"), "left")
-        .crossJoin(broadcast(tot))
-        .withColumn("q_uni", expr("(t + v) * 65536 div (coalesce(cnt_cur, 0L) + 1)"))
+        .withColumn("q_uni", expr(
+          "(select sum(cnt) + count(*) from graft_lm_uni) * 65536 div (coalesce(cnt_cur, 0L) + 1)"))
         .withColumn("s_q", expr(
           s"""CASE WHEN cnt_bi IS NOT NULL
                 THEN ${sQ("(cnt_prev * 65536 div cnt_bi)")}
@@ -1067,6 +1076,22 @@ object TextQueries {
     */
   private def latSql(q: String): String =
     s"(256 * (length(bin($q)) - 1) + (($q * 256) >> (length(bin($q)) - 1)) - 4352)"
+
+  /** THE train/validation/test assignment bucket in [0,100): salted md5
+    * of the doc id, 60-bit prefix, mod 100. One definition shared by
+    * `doc_split` and `doc_lm_backoff` (the oracles mirror it through
+    * [[strHashSql]] with the same `"split:"` salt) so a salt or width
+    * change cannot silently diverge held-out semantics between the
+    * split assignment and the LM's train-slice filter.
+    */
+  private def splitBucket: Column =
+    conv(substring(md5(
+      concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100L
+
+  /** Oracle-side mirror of [[splitBucket]] — same salt, same hash. */
+  private def splitBucketSql: String =
+    strHashSql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
 
   /** DuckDB mirror of the 60-bit md5-prefix hash (no base-16 conv there). */
   private def strHashSql(e: String): String = {
@@ -1259,8 +1284,7 @@ object TextQueries {
                  CASE WHEN b < 90 THEN 'train'
                       WHEN b < 95 THEN 'validation'
                       ELSE 'test' END AS split
-          FROM (SELECT doc_id,
-                  ${strHashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+          FROM (SELECT doc_id, $splitBucketSql AS b
                 FROM documents)""",
     "doc_hll_distinct" -> {
       val linValues = (1 to 64)
@@ -1590,7 +1614,7 @@ object TextQueries {
             FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
           tr AS (
             SELECT * FROM rws
-            WHERE ${strHashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90),
+            WHERE $splitBucketSql < 90),
           uni AS (SELECT cur AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
                   FROM tr GROUP BY cur),
           tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t,

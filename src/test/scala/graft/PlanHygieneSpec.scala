@@ -41,9 +41,6 @@ class PlanHygieneSpec extends SparkSuite {
     *     corpus size;
     *   - doc_mix_weights: broadcast side is the 1-row Σ√tokens global
     *     aggregate the permille weights divide by;
-    *   - doc_lm_surprisal / doc_lm_backoff / doc_dsir_weights:
-    *     broadcast side is the 1-row (T, V)/(T_raw, T_tgt) totals
-    *     aggregate the smoothed odds divide by;
     *   - emb_mrl_ann: the prefix-cosine candidate stage — broadcast
     *     side is the fixed ≤10-row query set, same contract as emb_knn
     *     (the corpus-dominant arithmetic is prefixDims/dim of brute
@@ -52,10 +49,14 @@ class PlanHygieneSpec extends SparkSuite {
     * fails: both all-pairs shapes scale with |left|·|right| and cannot
     * survive a 100 TB corpus.
     */
+  // doc_lm_surprisal / doc_lm_backoff / doc_dsir_weights left this list
+  // in round 11: their 1-row totals now enter as SCALAR SUBQUERIES
+  // (executed once, result inlined into the projection) instead of a
+  // crossJoin(broadcast(1-row agg)), so their plans carry no BNLJ at
+  // all (VERDICT_r10 #8).
   private val BoundedBroadcastNlj =
     Set("gun_ttl_purge", "emb_knn", "emb_decontaminate_exact",
       "doc_bm25_topk", "doc_length_quantiles", "doc_mix_weights",
-      "doc_lm_surprisal", "doc_lm_backoff", "doc_dsir_weights",
       "emb_mrl_ann")
 
   test("est-only sketch variants execute NO exact pass") {
