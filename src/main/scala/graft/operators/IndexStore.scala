@@ -135,6 +135,93 @@ object IndexStore {
     } finally qUnit.unpersist()
   }
 
+  // ---------------------------------------------------------------- MRL
+
+  private val mrlListsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("emb", ArrayType(FloatType))))
+
+  private def prefixOf(vectors: DataFrame, prefixDims: Int): DataFrame =
+    vectors.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+
+  /** Build the Matryoshka prefix index at `path`: freeze the PREFIX-space
+    * coarse centroids (quantized prefixes of the first `nLists` vectors —
+    * the [[Similarity.mrlIvfKnn]] convention), then append the corpus as
+    * list-partitioned (vec_id, emb) rows — the RAW float embedding is
+    * stored so the probe's prefix cosine and full-dim re-rank read only
+    * the probed list directories, never the source corpus. `batchId` as
+    * on [[buildIvf]].
+    */
+  def buildMrl(vectors: DataFrame, prefixDims: Int, nLists: Int,
+      path: String, batchId: Long = -1L): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents =
+      Similarity.collectCentroids(prefixOf(vectors, prefixDims), nLists)
+    cents.toSeq.toDF("cid", "q").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pcentroids")
+    appendMrl(vectors, path, batchId, prefixDims, nLists)
+  }
+
+  /** Append vectors against the STORED prefix centroids (idempotent per
+    * batchId, same delta discipline as [[appendIvf]]).
+    */
+  def appendMrl(vectors: DataFrame, path: String, batchId: Long,
+      prefixDims: Int = 0, nLists: Int = 0): Unit = {
+    val spark = vectors.sparkSession
+    val cents = readMrlCentroids(spark, path)
+    val p = if (prefixDims > 0) prefixDims else cents.head._2.length
+    val n = if (nLists > 0) nLists else cents.length
+    val (fs, storeDir) = fsOf(spark, s"$path/lists")
+    BucketIndex.checkLayout(fs, storeDir, "_mrl_layout",
+      s"$n:$p:${Similarity.QuantScale}")
+    val rows = Similarity
+      .assignToCentroids(prefixOf(vectors, p), cents)
+      .join(vectors.select(col("vec_id"), col("embedding").as("emb")),
+        "vec_id")
+      .withColumn("bucket", col("list_id").cast("int"))
+    BucketIndex.appendDelta(rows,
+      dataCols = Seq("vec_id", "emb"),
+      batchId, s"$path/lists", numBuckets = n,
+      compactThreshold = 8, schema = mrlListsSchema,
+      dedupCols = Seq("vec_id"), sortCols = Seq("vec_id"),
+      fs, storeDir)
+  }
+
+  private def readMrlCentroids(spark: SparkSession,
+      path: String): Array[(Long, Array[Long])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/pcentroids")
+      .select(col("cid"), col("q"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+  }
+
+  /** Matryoshka two-stage top-k from the STORED index: each query's
+    * prefix probes its `nprobe` best lists against the frozen prefix
+    * centroids (map-side), ONLY those list directories are read
+    * (partition-pruned on the bucket column — pinned in-plan by
+    * IndexStoreSpec), prefix cosine ranks the probed candidates and the
+    * exact full-dim cosine re-ranks the top `nCand`. Identical output to
+    * [[Similarity.mrlIvfKnn]] on the same corpus (IndexStoreSpec).
+    */
+  def mrlKnnStored(queries: DataFrame, k: Int, nCand: Int, nprobe: Int,
+      path: String): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = readMrlCentroids(spark, path)
+    val p = cents.head._2.length
+    val probes = Similarity.probeAssign(prefixOf(queries, p), cents, nprobe)
+    val scan = spark.read.parquet(s"$path/lists")
+      .select(col("bucket").cast("long").as("list_id"),
+        col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = probes.join(scan, "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(q), "query_id")
+    Similarity.mrlRerank(pairs, k, p, nCand)
+  }
+
   // ----------------------------------------------------------------- PQ
 
   /** Build the PQ index at `path`: train the m codebooks once (the

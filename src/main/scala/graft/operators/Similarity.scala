@@ -165,13 +165,28 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
+    mrlRerank(pairs, k, prefixDims, nCand)
+  }
+
+  /** Shared MRL tail over an arbitrary candidate pair set (columns
+    * query_id, qe, neighbor_id, ce — raw float embeddings): prefix-dim
+    * cosine prank via the two-phase window (local per-partition prune
+    * bounds the global window's input to nCand·#partitions per query),
+    * then the exact full-dimension re-rank. Used by [[mrlKnn]] (full
+    * corpus scan), [[mrlIvfKnn]] (coarse-pruned candidates), and
+    * [[IndexStore.mrlKnnStored]] (stored-index probe) so the ranking
+    * semantics cannot drift between the three.
+    */
+  private[operators] def mrlRerank(pairs: DataFrame, k: Int,
+      prefixDims: Int, nCand: Int): DataFrame = {
+    val withP = pairs
       .withColumn("pcos", cosine(slice(col("ce"), 1, prefixDims),
         slice(col("qe"), 1, prefixDims)))
     val local = Window.partitionBy(col("query_id"), col("_pid"))
       .orderBy(col("pcos").desc, col("neighbor_id"))
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("neighbor_id"))
-    val cand = pairs
+    val cand = withP
       .withColumn("_pid", spark_partition_id())
       .withColumn("lrk", row_number().over(local))
       .filter(col("lrk") <= nCand)
@@ -184,6 +199,47 @@ object Similarity {
       .withColumn("rank", row_number().over(wFull).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "prank", "rank")
+  }
+
+  /** Prefix slice with the ORIGINAL column name, so the integer coarse
+    * quantizer machinery ([[collectCentroids]] / [[assignToCentroids]] /
+    * [[probeAssign]]) operates on the Matryoshka prefix: floor-quantize
+    * commutes with the slice, so prefix-slice-then-quantize equals the
+    * prefix of the full quantization — the oracle mirrors it as
+    * `q[d+1], d < prefixDims`.
+    */
+  private def prefixOf(vectors: DataFrame, prefixDims: Int): DataFrame =
+    vectors.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+
+  /** MRL ANN with IVF-pruned candidate generation — the stored-index
+    * scale path's DIRECT form ([[IndexStore.mrlKnnStored]] must produce
+    * identical output on the same corpus): the coarse quantizer lives in
+    * PREFIX space (centroids = quantized prefixes of the first `nLists`
+    * vectors, integer inner-product argmax — the [[ivfKnn]] convention),
+    * each query probes its `nprobe` best lists, prefix-cosine ranks the
+    * probed candidates (prank), and the exact full-dim re-rank runs on
+    * the surviving top `nCand`. Candidate work per query is
+    * corpus/nLists × nprobe × prefixDims/dim of brute force — the two
+    * prunings compose.
+    */
+  def mrlIvfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDims: Int = 16, nCand: Int = 50,
+      nLists: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = collectCentroids(prefixOf(corpus, prefixDims), nLists)
+    val probes = probeAssign(
+      prefixOf(corpus.join(queries.select("vec_id"), "vec_id"), prefixDims),
+      cents, nprobe)
+    val lists = assignToCentroids(prefixOf(corpus, prefixDims), cents)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+    val q = corpus.join(queries.select("vec_id"), "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = probes.join(lists, "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+    mrlRerank(pairs, k, prefixDims, nCand)
   }
 
   val NumPlanes = 8

@@ -305,6 +305,24 @@ object MlQueries {
       IndexStore.pqTopKStored(s, path, probes = 5, topK = 10)
     }),
 
+    // Matryoshka ANN from the stored prefix index (VERDICT_r10 #2 — the
+    // emb_mrl_ann caveat closed): candidate generation no longer scans
+    // the corpus — the query's PREFIX probes nprobe of nLists
+    // list-partitioned directories (prefix-space coarse quantizer,
+    // frozen on disk), prefix cosine ranks only the probed candidates,
+    // full-dim cosine re-ranks the top nCand. The two prunings compose:
+    // candidate work per query is corpus/nLists × nprobe × 1/4 of brute
+    // force. Oracle = the full mrl-ivf semantics replayed in SQL
+    // (coarse assignment integer-for-integer, both rank stages).
+    "emb_mrl_ann_stored" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path =
+        java.nio.file.Files.createTempDirectory("mrl-idx").toString + "/idx"
+      IndexStore.buildMrl(emb, prefixDims = 16, nLists = 16, path)
+      IndexStore.mrlKnnStored(emb.filter(col("vec_id") < 10),
+        k = 5, nCand = 50, nprobe = 2, path)
+    }),
+
     // SemDeDup (cluster-blocked semantic dedup): k-means is the blocking,
     // near-dup cosine scored only within a cluster, keep the lowest id.
     // One flag per vector; the oracle reruns the identical integer-exact
@@ -908,5 +926,46 @@ object MlQueries {
     */
   val oracles: Map[String, String] = directOracles ++ Map(
     "emb_ivf_ann_stored" -> directOracles("emb_ivf_ann"),
-    "emb_pq_ann_stored" -> directOracles("emb_pq_ann"))
+    "emb_pq_ann_stored" -> directOracles("emb_pq_ann"),
+    // mrl-ivf: the emb_ivf_ann coarse-quantizer CTE chain restricted to
+    // the 16-dim PREFIX (generate_series(0, 15) — quantize commutes with
+    // the slice), then emb_mrl_ann's two rank stages over the PROBED
+    // candidates only.
+    "emb_mrl_ann_stored" ->
+      s"""WITH quant AS ($quantSql),
+          cents AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < 16),
+          dots AS (
+            SELECT v.vec_id, c.cid, SUM(v.q[d+1] * c.cq[d+1]) AS dp
+            FROM quant v, cents c, generate_series(0, 15) t(d)
+            WHERE d < len(v.q)
+            GROUP BY v.vec_id, c.cid),
+          assign AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+              FROM dots) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS query_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+              FROM dots WHERE vec_id < 10) WHERE rn <= 2),
+          cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   eq.embedding AS qe, en.embedding AS ce,
+                   CAST(row_number() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY list_cosine_similarity(CAST(en.embedding[1:16] AS DOUBLE[]), CAST(eq.embedding[1:16] AS DOUBLE[])) DESC,
+                              a.vec_id) AS BIGINT) AS prank
+            FROM probes p
+            JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings en ON en.vec_id = a.vec_id)
+          SELECT query_id, neighbor_id, prank, rank FROM (
+            SELECT query_id, neighbor_id, prank,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) DESC,
+                              neighbor_id) AS BIGINT) AS rank
+            FROM cand WHERE prank <= 50)
+          WHERE rank <= 5""")
 }

@@ -73,6 +73,55 @@ class IndexStoreSpec extends SparkSuite {
       s"appended clone not at distance 0 from its source probe")
   }
 
+  test("stored MRL knn == direct mrlIvfKnn, second call identical, append visible") {
+    val path = newDir("mrl-store")
+    IndexStore.buildMrl(emb, prefixDims = 16, nLists = 16, path)
+    val queries = emb.filter(col("vec_id") < 10)
+    val direct = Similarity.mrlIvfKnn(emb, queries, k = 5,
+      prefixDims = 16, nCand = 50, nLists = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def stored() = IndexStore.mrlKnnStored(queries, k = 5, nCand = 50,
+      nprobe = 2, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val first = stored()
+    assert(first == direct,
+      s"stored != direct: ${first.diff(direct)} / ${direct.diff(first)}")
+    assert(stored() == first)
+    // prefix lists ARE the directories
+    val listDirs = new java.io.File(s"$path/lists").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(listDirs > 1, s"expected list-partitioned layout, got $listDirs dirs")
+    // append a clone of vector 3 against the frozen prefix centroids:
+    // same prefix → same list → probed by vector 3 → rank-1 full-dim
+    val v3 = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    IndexStore.appendMrl(
+      Seq((90001L, v3)).toDF("vec_id", "embedding"), path, batchId = 1L)
+    val res = IndexStore.mrlKnnStored(
+      emb.filter(col("vec_id") === 3), k = 5, nCand = 50, nprobe = 2, path)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(res.contains((90001L, 1L)),
+      s"appended clone not rank-1 for its source: ${res.toSeq}")
+  }
+
+  test("stored MRL probe partition-prunes the lists scan (DPP pinned in-plan)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val path = newDir("mrl-dpp")
+    IndexStore.buildMrl(emb, prefixDims = 16, nLists = 16, path)
+    val df = IndexStore.mrlKnnStored(
+      emb.filter(col("vec_id") < 10), k = 5, nCand = 50, nprobe = 2, path)
+    val plan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val lines = plan.split("\n")
+    val listsScan = lines.indexWhere(_.contains("/lists"))
+    assert(listsScan >= 0, s"no lists scan in plan:\n$plan")
+    val pruned = lines.slice(listsScan, listsScan + 8).exists(l =>
+      l.contains("PartitionFilters") && l.contains("dynamicpruning"))
+    assert(pruned,
+      "MRL lists scan lost its dynamic partition pruning filter:\n" +
+        lines.slice(listsScan - 4, listsScan + 8).mkString("\n"))
+  }
+
   test("stored IVF probe partition-prunes the lists scan (DPP pinned in-plan)") {
     // The O(nprobe) read claim is structural: the probe's lists scan must
     // carry a dynamic-pruning partition filter on the bucket column, so a
