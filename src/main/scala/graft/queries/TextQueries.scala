@@ -895,28 +895,21 @@ object TextQueries {
     // real-vocabulary scale) → one per-doc agg with map-side combine.
     // Long headroom: 256·q ≤ (T+V)·2^24 keeps the shift exact through
     // ~5·10^11 corpus tokens per job.
+    // Scoring + lattice live in [[graft.operators.Lm]] — shared
+    // verbatim with the frozen-snapshot path ([[Lm.saveModel]] /
+    // [[graft.streaming.StreamingLm]]) so batch and at-ingest scoring
+    // cannot drift. T + V enters as ONE scalar subquery over the
+    // persisted vocab view (its own tiny job, result inlined) — no
+    // 1-row crossJoin, so the plan is BNLJ-free without a
+    // PlanHygieneSpec allowlist entry (VERDICT_r10 #8).
     "doc_lm_surprisal" -> ((s, dir) => {
-      val toks = tbl(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      import graft.operators.Lm
+      val rows = Lm.tokenStream(tbl(s, dir, "documents"))
+      val lm = Lm.unigrams(rows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // T + V enters as ONE scalar subquery over the persisted vocab
-      // view (its own tiny job, result inlined) — no 1-row crossJoin,
-      // so the plan is BNLJ-free without a PlanHygieneSpec allowlist
-      // entry (VERDICT_r10 #8).
       lm.createOrReplaceTempView("graft_lm_vocab")
-      val sur = lm
-        .withColumn("q", expr(
-          "(select sum(cnt) + count(*) from graft_lm_vocab) * 65536 div (cnt + 1)"))
-        .withColumn("k", (length(bin(col("q"))) - 1).cast("int"))
-        .select(col("tok"),
-          (expr("shiftright(q * 256, k)") + col("k") * lit(256L) - lit(4352L))
-            .as("s_q"))
-      val res = toks.join(sur, "tok")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("s_q")).as("nll_q"))
-        .withColumn("ppl_bits_q", expr("nll_q div n_tokens"))
-        .select("doc_id", "n_tokens", "nll_q", "ppl_bits_q")
+      val tv = "(select sum(cnt) + count(*) from graft_lm_vocab)"
+      val res = Lm.scoreUnigram(rows, Lm.surprisalTable(lm, tv), tv)
       graft.operators.Caching.materializeAndRelease(res, lm)
     }),
 
@@ -952,42 +945,19 @@ object TextQueries {
     // straight. Scoring joins the token stream to the bigram model on
     // the (prev, cur) STRING key — exact, shuffle-joinable at any
     // scale — then one per-doc combine.
+    // Training, lattice, and scoring live in [[graft.operators.Lm]]
+    // (shared verbatim with the frozen-snapshot / streaming path);
+    // the query owns the train-slice selection ([[splitBucket]]) and
+    // the scalar-subquery totals (VERDICT_r10 #8 — no 1-row crossJoin).
     "doc_lm_backoff" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val rows = docs
-        .select(col("doc_id"), col("toks"), posexplode(col("toks")))
-        .select(col("doc_id"), col("pos"),
-          when(col("pos") >= 1, expr("toks[pos - 1]")).as("prev"),
-          col("col").as("cur"))
+      import graft.operators.Lm
+      val rows = Lm.tokenStream(tbl(s, dir, "documents"))
       val trainRows = rows.filter(splitBucket < 90)
-      val uni = trainRows.groupBy(col("cur").as("tok"))
-        .agg(count(lit(1)).as("cnt"))
+      val uni = Lm.unigrams(trainRows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val big = trainRows.filter(col("prev").isNotNull)
-        .groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bi"))
-      val sQ = (q: String) =>
-        s"(shiftright($q * 256, cast(length(bin($q)) - 1 as int))" +
-          s" + (length(bin($q)) - 1) * 256L - 4352L)"
-      // T + V as ONE scalar subquery over the persisted unigram view —
-      // no 1-row crossJoin / BNLJ (VERDICT_r10 #8), same pattern as
-      // doc_lm_surprisal.
       uni.createOrReplaceTempView("graft_lm_uni")
-      val res = rows
-        .join(uni.select(col("tok").as("cur"), col("cnt").as("cnt_cur")), Seq("cur"), "left")
-        .join(uni.select(col("tok").as("prev"), col("cnt").as("cnt_prev")), Seq("prev"), "left")
-        .join(big, Seq("prev", "cur"), "left")
-        .withColumn("q_uni", expr(
-          "(select sum(cnt) + count(*) from graft_lm_uni) * 65536 div (coalesce(cnt_cur, 0L) + 1)"))
-        .withColumn("s_q", expr(
-          s"""CASE WHEN cnt_bi IS NOT NULL
-                THEN ${sQ("(cnt_prev * 65536 div cnt_bi)")}
-                ELSE (CASE WHEN prev IS NULL THEN 0L ELSE 338L END) + ${sQ("q_uni")}
-              END"""))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("s_q")).as("nll_q"))
-        .withColumn("ppl_bits_q", expr("nll_q div n_tokens"))
-        .select("doc_id", "n_tokens", "nll_q", "ppl_bits_q")
+      val res = Lm.scoreBackoff(rows, uni, Lm.bigrams(trainRows),
+        "(select sum(cnt) + count(*) from graft_lm_uni)")
       graft.operators.Caching.materializeAndRelease(res, uni)
     }),
 
