@@ -975,6 +975,63 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val res = Dsir.score(docs, Dsir.weights(model))
       graft.operators.Caching.materializeAndRelease(res, model)
+    }),
+
+    // The COMPOSED curation pipeline (VERDICT_r10 next-round #7): the
+    // stages exist as separate declared queries; this runs them as ONE
+    // flow so stage composition itself — column contracts at each
+    // boundary, cache ownership across operators, hash/salt reuse — is
+    // under the oracle. train-split (the shared [[splitBucket]]) →
+    // PII scrub (doc_pii_scrub's injection + Java∩RE2 redaction;
+    // downstream stages run on the SCRUBBED text) → LM quality filter
+    // (unigram [[Lm]] kernels trained on the scrubbed train slice;
+    // keep docs at or below the corpus mean bits-per-token — the
+    // CCNet-style "keep the low-perplexity side", the threshold a
+    // scalar subquery, not a magic constant) → exact near-dup dedup
+    // (doc_dedup_exact's normalized 64-char key on the CLEAN text,
+    // keep lowest doc_id) → sequence packing (the doc_pack_chunks
+    // two-pass prefix sum over survivors). Scale shape: each stage
+    // keeps its declared plan — map-side scrub, two-scan LM, one
+    // key shuffle for dedup, O(#partitions) driver merge for the
+    // pack — composition adds no new global step.
+    "doc_pipeline_e2e" -> ((s, dir) => {
+      import graft.operators.Lm
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
+      val train = tbl(s, dir, "documents").filter(splitBucket < 90)
+      val body = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or admin@test.org now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val cleanDf = train.select(col("doc_id"),
+        regexp_replace(regexp_replace(body, PiiEmailPat, "<EMAIL>"),
+          PiiPhonePat, "<PHONE>").as("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rows = Lm.tokenStream(cleanDf)
+      val uni = Lm.unigrams(rows).persist(StorageLevel.MEMORY_AND_DISK)
+      uni.createOrReplaceTempView("graft_pipe_vocab")
+      val tv = "(select sum(cnt) + count(*) from graft_pipe_vocab)"
+      val scored = Lm.scoreUnigram(rows, Lm.surprisalTable(uni, tv), tv)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      scored.createOrReplaceTempView("graft_pipe_scored")
+      val kept = scored.filter(col("ppl_bits_q") <=
+        expr("(select sum(nll_q) div sum(n_tokens) from graft_pipe_scored)"))
+      val wDedup = Window.partitionBy(col("key_hash")).orderBy(col("doc_id"))
+      val deduped = kept.join(cleanDf, "doc_id")
+        .withColumn("key_hash", md5(substring(lower(col("text")), 1, 64)))
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select("doc_id", "n_tokens")
+      val res = graft.operators.Packing
+        .packChunks(deduped, "doc_id", "n_tokens", PackBudget)
+        .select("doc_id", "n_tokens", "start_off", "chunk_first",
+          "chunk_last", "n_chunks")
+      graft.operators.Caching.materializeAndRelease(res, cleanDf, uni, scored)
     })
   )
 
@@ -1641,5 +1698,80 @@ object TextQueries {
           SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
                  CAST(SUM(tf.tf * s.dw_q) AS BIGINT) AS logw_q
           FROM tf JOIN scored s USING (bucket)
-          GROUP BY tf.doc_id""")
+          GROUP BY tf.doc_id""",
+    // The staged pipeline replayed stage-for-stage: split filter →
+    // scrub (doc_pii_scrub's CTEs) → unigram-LM score over the CLEAN
+    // text → keep ppl ≤ corpus mean bits-per-token → normalized-key
+    // dedup keep-lowest-id → the doc_pack_chunks prefix-sum tail.
+    "doc_pipeline_e2e" ->
+      s"""WITH tr AS (
+            SELECT doc_id, text FROM documents WHERE $splitBucketSql < 90),
+          body AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com or admin@test.org now'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                        THEN ' call 555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS b
+            FROM tr),
+          clean AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(b,
+                     '$PiiEmailPat', '<EMAIL>', 'g'),
+                     '$PiiPhonePat', '<PHONE>', 'g') AS c
+            FROM body),
+          tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                    unnest(string_split_regex(lower(trim(c)), '\\s+')) AS tok
+                  FROM clean)
+            GROUP BY doc_id, tok),
+          lm AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt
+                 FROM tf GROUP BY tok),
+          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t,
+                         CAST(COUNT(*) AS BIGINT) AS v FROM lm),
+          sur AS (
+            SELECT tok, ${latSql("q")} AS s_q
+            FROM (SELECT tok, (t + v) * 65536 // (cnt + 1) AS q
+                  FROM lm CROSS JOIN tot)),
+          scored AS (
+            SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                   CAST(SUM(tf.tf * s.s_q) AS BIGINT) AS nll_q,
+                   CAST(SUM(tf.tf * s.s_q) // SUM(tf.tf) AS BIGINT)
+                     AS ppl_bits_q
+            FROM tf JOIN sur s USING (tok)
+            GROUP BY tf.doc_id),
+          thr AS (SELECT CAST(SUM(nll_q) AS BIGINT)
+                       // CAST(SUM(n_tokens) AS BIGINT) AS th FROM scored),
+          kept AS (
+            SELECT s.doc_id, s.n_tokens FROM scored s, thr
+            WHERE s.ppl_bits_q <= th),
+          dedup AS (
+            SELECT doc_id, n_tokens FROM (
+              SELECT k.doc_id, k.n_tokens,
+                     row_number() OVER (
+                       PARTITION BY md5(substring(lower(c.c), 1, 64))
+                       ORDER BY k.doc_id) AS rn
+              FROM kept k JOIN clean c USING (doc_id))
+            WHERE rn = 1),
+          cum AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM dedup)
+          SELECT doc_id, n_tokens,
+                 CAST(cum - n_tokens AS BIGINT) AS start_off,
+                 CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS chunk_first,
+                 CAST(CASE WHEN n_tokens = 0
+                   THEN (cum - n_tokens) // $PackBudget - 1
+                   ELSE (cum - 1) // $PackBudget END AS BIGINT) AS chunk_last,
+                 CAST(CASE WHEN n_tokens = 0 THEN 0
+                   ELSE GREATEST((cum - 1) // $PackBudget
+                     - (cum - n_tokens) // $PackBudget + 1, 0) END AS BIGINT)
+                   AS n_chunks
+          FROM cum""")
 }
