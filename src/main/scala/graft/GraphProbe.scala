@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
@@ -41,6 +44,20 @@ object GraphProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // shuffle-write volume per leg (plan property — stable on this noisy
+    // VM, unlike wall; same discipline as ShuffleProbe)
+    val shufRecs = new AtomicLong(0L)
+    val shufBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f
@@ -64,33 +81,49 @@ object GraphProbe {
     }
 
     def leg(name: String, edges: org.apache.spark.sql.DataFrame,
-            pagerank: Boolean): String = {
+            kind: String): String = {
       val nE = edges.count()
       val degStats = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .agg(max(col("d")).as("dmax"), countDistinct(col("src")).as("nsrc"))
         .first()
       val dmax = degStats.getLong(0)
+      shufRecs.set(0L); shufBytes.set(0L)
       val (res, sec) = timed {
-        val df =
-          if (pagerank) graph.Analytics.pageRankLattice(spark, edges, iters = 5)
-          else graph.Analytics.connectedComponents(spark, edges)
-        if (pagerank)
+        val df = kind match {
+          case "pagerank" => graph.Analytics.pageRankLattice(spark, edges, iters = 5)
+          case "label_prop" => graph.Analytics.labelPropagation(spark, edges, iters = 4)
+          case _ => graph.Analytics.connectedComponents(spark, edges)
+        }
+        if (kind == "pagerank")
           df.agg(count(lit(1)), max(col("rank_q"))).first()
+        else if (kind == "label_prop")
+          // the declared query's terminal shape: community histogram
+          df.groupBy(col("lab")).agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)), max(col("n"))).first()
         else df.agg(count(lit(1)), lit(0L)).first()
       }
+      Thread.sleep(1000) // listener events drain async after the last task
       val nV = res.getLong(0)
       val maxQ = res.getLong(1)
-      val headroom = if (maxQ > 0) Long.MaxValue / maxQ else 0L
-      println(f"[graph-probe] $name: edges=$nE vertices=$nV dmax=$dmax " +
-        f"sec=$sec%.1f max_rank_q=$maxQ headroom=${headroom}x peak_heap=${peakHeapMb}MB")
+      val headroom =
+        if (kind == "pagerank" && maxQ > 0) Long.MaxValue / maxQ else 0L
+      val sMb = shufBytes.get / 1024 / 1024.0
+      println(f"[graph-probe] $name: edges=$nE out=$nV dmax=$dmax " +
+        f"sec=$sec%.1f max_q=$maxQ headroom=${headroom}x " +
+        f"shuffle_recs=${shufRecs.get} shuffle_mb=$sMb%.1f peak_heap=${peakHeapMb}MB")
       s""""$name":{"edges":$nE,"vertices_out":$nV,"out_degree_max":$dmax,""" +
-        s""""sec":${f"$sec%.1f"},"max_rank_q":$maxQ,"long_headroom_x":$headroom}"""
+        s""""sec":${f"$sec%.1f"},"max_rank_q":$maxQ,"long_headroom_x":$headroom,""" +
+        s""""shuffle_records":${shufRecs.get},"shuffle_mb":${f"$sMb%.1f"}}"""
     }
 
     val parts = Seq(
-      leg("pagerank_forest", forestEdges, pagerank = true),
-      leg("pagerank_general", generalEdges, pagerank = true),
-      leg("components", forestEdges, pagerank = false))
+      leg("pagerank_forest", forestEdges, "pagerank"),
+      leg("pagerank_general", generalEdges, "pagerank"),
+      leg("components", forestEdges, "components"),
+      // VERDICT_r10 #4: the bench's most expensive query — 4-step
+      // synchronous LPA over the undirected relation graph, terminal
+      // histogram agg exactly as graph_label_prop declares it.
+      leg("label_prop", forestEdges.select(col("src"), col("dst")), "label_prop"))
     val json = s"""{"sf_dir":"$sfDir","cpus":$cpus,""" +
       parts.mkString(",") + s""","peak_heap_mb":$peakHeapMb}"""
     println(json)

@@ -323,6 +323,46 @@ object MlQueries {
         k = 5, nCand = 50, nprobe = 2, path)
     }),
 
+    // ANN RECALL EVAL — the accuracy harness every approximate-index
+    // deployment needs next to its latency numbers: per query, how much
+    // of the exact-cosine top-k does each approximate method recover?
+    // Ground truth = the declared emb_knn brute-force top-5; methods =
+    // the declared emb_mrl_ann (prefix candidates + exact re-rank) and
+    // emb_lsh_ann (single-table hyperplane bucket) with their declared
+    // parameters — the eval COMPOSES the same builders the standalone
+    // queries run, so a parameter drift anywhere breaks this hash too.
+    // A method that returns nothing for a query (possible for LSH: a
+    // singleton bucket) still yields a row (left join, n_hit = 0) — a
+    // recall eval that silently drops empty queries overstates recall.
+    // Scale shape: ground truth is one bounded-query-set scan (the
+    // emb_knn contract); the comparison is a broadcast join on the
+    // |queries|·k result rows — eval cost is index cost + ε.
+    "emb_ann_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceKnn(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def recallOf(method: String, approx: DataFrame): DataFrame =
+        exact
+          .join(approx
+            .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("method", lit(method))
+          .withColumn("recall_permille", expr("1000 * n_hit div n_exact"))
+          .select("method", "query_id", "n_exact", "n_hit",
+            "recall_permille")
+      val res = recallOf("mrl",
+          Similarity.mrlKnn(emb, qs, k = 5, prefixDims = 16, nCand = 50))
+        .unionByName(recallOf("lsh",
+          Similarity.lshKnn(emb, k = 5, bits = Similarity.NumPlanes)
+            .filter(col("query_id") < 10)))
+      graft.operators.Caching.materializeAndRelease(res, exact)
+    }),
+
     // SemDeDup (cluster-blocked semantic dedup): k-means is the blocking,
     // near-dup cosine scored only within a cluster, keep the lowest id.
     // One flag per vector; the oracle reruns the identical integer-exact
@@ -927,6 +967,31 @@ object MlQueries {
   val oracles: Map[String, String] = directOracles ++ Map(
     "emb_ivf_ann_stored" -> directOracles("emb_ivf_ann"),
     "emb_pq_ann_stored" -> directOracles("emb_pq_ann"),
+    // recall eval: ground truth and both approximate methods are the
+    // DECLARED queries' oracles verbatim (string-composed here, so the
+    // eval can never drift from what the standalone queries compute),
+    // joined per (query, neighbor) and reduced to hit counts.
+    "emb_ann_recall" ->
+      s"""WITH exact AS (${directOracles("emb_knn")}),
+          approx AS (
+            SELECT 'mrl' AS method, query_id, neighbor_id
+            FROM (${directOracles("emb_mrl_ann")})
+            UNION ALL
+            SELECT 'lsh' AS method, query_id, neighbor_id
+            FROM (${directOracles("emb_lsh_ann")}) WHERE query_id < 10)
+          SELECT m.method, e.query_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_exact,
+                 CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                 CAST(1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+                   AS recall_permille
+          FROM (SELECT 'mrl' AS method UNION ALL SELECT 'lsh') m
+          CROSS JOIN exact e
+          LEFT JOIN approx a ON a.method = m.method
+               AND a.query_id = e.query_id
+               AND a.neighbor_id = e.neighbor_id
+          GROUP BY m.method, e.query_id""",
     // mrl-ivf: the emb_ivf_ann coarse-quantizer CTE chain restricted to
     // the 16-dim PREFIX (generate_series(0, 15) — quantize commutes with
     // the slice), then emb_mrl_ann's two rank stages over the PROBED

@@ -1032,6 +1032,143 @@ object TextQueries {
         .select("doc_id", "n_tokens", "start_off", "chunk_first",
           "chunk_last", "n_chunks")
       graft.operators.Caching.materializeAndRelease(res, cleanDf, uni, scored)
+    }),
+
+    // Contrastive LM quality scoring (the CCNet discipline, Wenzek et
+    // al. 2020: score each doc under an in-domain LM AND a general LM —
+    // the DIFFERENCE cancels doc-length and common-token effects and
+    // ranks docs by domain fit, which a single-model perplexity can't):
+    // target model = add-one unigram on the DsirTarget source slice,
+    // general model = the same on the whole corpus, both on the shared
+    // 256ths-of-a-bit integer-log2 lattice. Plan: ONE corpus scan
+    // builds the reduced (doc_id, source, tok, tf) table (persisted);
+    // both models, both surprisal tables, and the scoring join all read
+    // that cache — the corpus is never rescanned. Tokens outside the
+    // target vocabulary pay the add-one unseen surprisal (a LIVE branch
+    // here: the target slice is ~1/20th of the corpus). Totals enter as
+    // scalar subqueries (the VERDICT_r10 #8 discipline — no 1-row
+    // crossJoin). Output keeps both nll sums so the contrast is
+    // oracle-checked end to end; contrast_bits_q = per-token bits under
+    // general − per-token bits under target (positive ⇒ the target
+    // model finds the doc more predictable ⇒ in-domain — the keep
+    // signal). Both div operands are non-negative, so Spark `div` and
+    // DuckDB `//` agree.
+    "doc_lm_contrast" -> ((s, dir) => {
+      import graft.operators.Lm
+      import org.apache.spark.storage.StorageLevel
+      val tf = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val lmAll = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val lmTgt = tf.filter(col("source") === DsirTarget)
+        .groupBy("tok").agg(sum(col("tf")).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      lmAll.createOrReplaceTempView("graft_lmc_all")
+      lmTgt.createOrReplaceTempView("graft_lmc_tgt")
+      val tvAll = "(select sum(cnt) + count(*) from graft_lmc_all)"
+      val tvTgt = "(select sum(cnt) + count(*) from graft_lmc_tgt)"
+      val res = tf
+        .join(Lm.surprisalTable(lmAll, tvAll)
+          .withColumnRenamed("s_q", "s_all"), Seq("tok"))
+        .join(Lm.surprisalTable(lmTgt, tvTgt)
+          .withColumnRenamed("s_q", "s_tgt"), Seq("tok"), "left")
+        .withColumn("s_tgt",
+          coalesce(col("s_tgt"), expr(Lm.sQSql(s"(($tvTgt) * 65536)"))))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("s_all")).as("nll_all_q"),
+          sum(col("tf") * col("s_tgt")).as("nll_tgt_q"))
+        .withColumn("contrast_bits_q",
+          expr("nll_all_q div n_tokens - nll_tgt_q div n_tokens"))
+        .select("doc_id", "n_tokens", "nll_all_q", "nll_tgt_q",
+          "contrast_bits_q")
+      graft.operators.Caching.materializeAndRelease(res, tf, lmAll, lmTgt)
+    }),
+
+    // Temperature-scaled source sampling (the mT5/XLM-R mixing rule
+    // with α = 1/2: p(source) ∝ n^α up-weights tail sources and
+    // down-weights the head) — doc_mix_weights COMPUTES the mixture,
+    // this APPLIES it: per-source doc counts → integer-sqrt weights
+    // (the doc_mix_weights lattice) → a 10%-of-corpus doc budget split
+    // across sources by weight → per-source keep-rate in permille →
+    // a deterministic salted-md5 coin per doc (the doc's identity IS
+    // the randomness — the sample is reproducible across runs and
+    // engines, no RNG). Scale shape: ONE per-source count aggregate;
+    // everything after is arithmetic on a #sources-row table broadcast
+    // into a map-side filter — no corpus shuffle at any scale.
+    "doc_temperature_sample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val src = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("isq",
+          floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      src.createOrReplaceTempView("graft_tsamp_src")
+      val rate = src
+        .withColumn("quota", expr(
+          "(select sum(n_docs) from graft_tsamp_src) div 10" +
+            " * isq div (select sum(isq) from graft_tsamp_src)"))
+        .withColumn("rate_permille",
+          least(lit(1000L), expr("1000 * quota div n_docs")))
+        .select("source", "rate_permille")
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(rate), Seq("source"))
+        .filter(
+          conv(substring(md5(concat(lit("tsamp:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+            % 1000L < col("rate_permille"))
+        .select("doc_id", "source", "rate_permille")
+    }),
+
+    // Corpus profiling — the before/after-stage diagnostic a curation
+    // run records at every pipeline boundary: per-source doc counts,
+    // empty-doc count, distinct languages, char-length min/max/mean,
+    // token totals and mean tokens per doc. ONE pass: a map-side
+    // projection (token count = size(split()) — the row never widens,
+    // no explode) into a single per-source hash aggregate with map-side
+    // combine; integer means (both div operands non-negative).
+    "doc_profile" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          length(col("text")).cast("long").as("chars"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+            .as("toks"),
+          when(length(trim(col("text"))) === 0, 1L).otherwise(0L)
+            .as("empty"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("empty")).as("n_empty"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("chars")).as("len_min"),
+          max(col("chars")).as("len_max"),
+          sum(col("chars")).as("chars_total"),
+          sum(col("toks")).as("toks_total"))
+        .withColumn("len_mean", expr("chars_total div n_docs"))
+        .withColumn("toks_mean", expr("toks_total div n_docs"))),
+
+    // Deterministic shuffle-shard export — the training-data writer's
+    // last step: every doc gets a reproducible pseudo-random position
+    // (salted 60-bit md5 — the doc's identity is the randomness, so
+    // the export is stable across runs and engines), the hash's top 6
+    // bits pick 1 of 64 shards, and position-in-shard is a
+    // PARTITION-LOCAL window. This is the scale-correct shape: a
+    // global ORDER BY hash would funnel the corpus through one task;
+    // hash-range sharding (uniform by construction) + per-shard
+    // row_number keeps every step partition-parallel — shard is the
+    // write.partitionBy key of a real export, pos the in-file order.
+    "doc_shuffle_export" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          conv(substring(md5(concat(lit("shuf:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+            .as("h"))
+        .withColumn("shard", shiftright(col("h"), 54))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .select("shard", "pos", "doc_id")
     })
   )
 
@@ -1773,5 +1910,82 @@ object TextQueries {
                    ELSE GREATEST((cum - 1) // $PackBudget
                      - (cum - n_tokens) // $PackBudget + 1, 0) END AS BIGINT)
                    AS n_chunks
-          FROM cum""")
+          FROM cum""",
+    "doc_lm_contrast" ->
+      s"""WITH tf AS (
+            SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, source, unnest($tokensSql) AS tok
+                  FROM documents)
+            GROUP BY 1, 2, 3),
+          lm_all AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt
+                     FROM tf GROUP BY tok),
+          lm_tgt AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt
+                     FROM tf WHERE source = '$DsirTarget' GROUP BY tok),
+          ta AS (SELECT CAST(SUM(cnt) + COUNT(*) AS BIGINT) AS tv
+                 FROM lm_all),
+          tt AS (SELECT CAST(SUM(cnt) + COUNT(*) AS BIGINT) AS tv
+                 FROM lm_tgt),
+          sa AS (SELECT tok, CAST(${latSql("q")} AS BIGINT) AS s_all
+                 FROM (SELECT tok,
+                         (SELECT tv FROM ta) * 65536 // (cnt + 1) AS q
+                       FROM lm_all)),
+          st AS (SELECT tok, CAST(${latSql("q")} AS BIGINT) AS s_tgt
+                 FROM (SELECT tok,
+                         (SELECT tv FROM tt) * 65536 // (cnt + 1) AS q
+                       FROM lm_tgt)),
+          sc AS (
+            SELECT tf.doc_id, tf.tf, a.s_all,
+                   COALESCE(t.s_tgt,
+                     ${latSql("((SELECT tv FROM tt) * 65536)")}) AS s_tgt
+            FROM tf JOIN sa a USING (tok) LEFT JOIN st t USING (tok))
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 CAST(SUM(tf * s_all) AS BIGINT) AS nll_all_q,
+                 CAST(SUM(tf * s_tgt) AS BIGINT) AS nll_tgt_q,
+                 CAST(SUM(tf * s_all) // SUM(tf)
+                      - SUM(tf * s_tgt) // SUM(tf) AS BIGINT)
+                   AS contrast_bits_q
+          FROM sc GROUP BY doc_id""",
+    "doc_temperature_sample" ->
+      s"""WITH src AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source),
+          w AS (SELECT source, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                         AS isq
+                FROM src),
+          r AS (SELECT source, n_docs,
+                       ((SELECT SUM(n_docs) FROM src) // 10 * isq
+                        // (SELECT SUM(isq) FROM w)) AS quota
+                FROM w),
+          rt AS (SELECT source,
+                        CAST(LEAST(1000, 1000 * quota // n_docs) AS BIGINT)
+                          AS rate_permille
+                 FROM r)
+          SELECT d.doc_id, d.source, rt.rate_permille
+          FROM documents d JOIN rt USING (source)
+          WHERE ${strHashSql("'tsamp:' || CAST(doc_id AS VARCHAR)")} % 1000
+                < rt.rate_permille""",
+    "doc_profile" ->
+      s"""SELECT source,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_empty,
+            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+            CAST(MIN(length(text)) AS BIGINT) AS len_min,
+            CAST(MAX(length(text)) AS BIGINT) AS len_max,
+            CAST(SUM(length(text)) AS BIGINT) AS chars_total,
+            CAST(SUM(len($tokensSql)) AS BIGINT) AS toks_total,
+            CAST(SUM(length(text)) // COUNT(*) AS BIGINT) AS len_mean,
+            CAST(SUM(len($tokensSql)) // COUNT(*) AS BIGINT) AS toks_mean
+          FROM documents GROUP BY source""",
+    "doc_shuffle_export" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+                   ${strHashSql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents)
+          SELECT CAST(h >> 54 AS BIGINT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY (h >> 54)
+                   ORDER BY h, doc_id) AS BIGINT) AS pos,
+                 doc_id
+          FROM h""")
 }

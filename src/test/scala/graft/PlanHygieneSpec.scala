@@ -44,7 +44,11 @@ class PlanHygieneSpec extends SparkSuite {
     *   - emb_mrl_ann: the prefix-cosine candidate stage — broadcast
     *     side is the fixed ≤10-row query set, same contract as emb_knn
     *     (the corpus-dominant arithmetic is prefixDims/dim of brute
-    *     force's; the full-dim pass touches nCand·|queries| rows).
+    *     force's; the full-dim pass touches nCand·|queries| rows);
+    *   - emb_ann_recall: COMPOSES emb_knn (ground truth) and
+    *     emb_mrl_ann (method under eval) — its BNLJs are exactly
+    *     theirs, both bounded-query-set broadcasts; the eval adds only
+    *     equi-joins on the |queries|·k result rows.
     * Anything NOT in this list with a BNLJ — or ANY CartesianProduct —
     * fails: both all-pairs shapes scale with |left|·|right| and cannot
     * survive a 100 TB corpus.
@@ -57,7 +61,7 @@ class PlanHygieneSpec extends SparkSuite {
   private val BoundedBroadcastNlj =
     Set("gun_ttl_purge", "emb_knn", "emb_decontaminate_exact",
       "doc_bm25_topk", "doc_length_quantiles", "doc_mix_weights",
-      "emb_mrl_ann")
+      "emb_mrl_ann", "emb_ann_recall")
 
   test("est-only sketch variants execute NO exact pass") {
     // The declared sketch queries carry exact ride-along columns for bias
