@@ -1173,8 +1173,8 @@ object TextQueries {
   )
 
   /** Java∩RE2 PII patterns (shared verbatim with the oracle). */
-  private val PiiEmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PiiPhonePat = "555-[0-9]{4}"
+  private val PiiEmailPat = graft.operators.Pii.EmailPat
+  private val PiiPhonePat = graft.operators.Pii.PhonePat
 
   /** Linear-counting table for the HLL small-range branch:
     * floor(1000·64·ln(64/V)) for V ∈ 1..64, computed ONCE here and
