@@ -21,27 +21,36 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *   3. exact near-dup dedup against ALL HISTORY: the normalized
   *      64-char-prefix key of the batch query, first-arrival-wins —
   *      within a batch the lowest doc_id, across batches an anti-join
-  *      on the on-disk key index written by prior batches;
-  *   4. survivors appended under `out/batch=<id>` and their keys under
-  *      `keys/batch=<id>`.
+  *      on the persistent key index;
+  *   4. survivors committed under `out/batch=<id>`, then their keys
+  *      appended into the index.
   *
-  * Driver state across batches: NONE — the key index on disk IS the
-  * dedup state (the [[StreamingNearDup]] discipline). Crash story:
-  * both per-batch directories are overwritten WHOLE under the SAME
-  * batch id on replay, and the history anti-join reads only batches
-  * `< id`, so a driver kill anywhere between the two writes and the
-  * checkpoint commit converges to exactly-once output — replay cannot
-  * self-dedupe against its own failed attempt, double a survivor, or
-  * resurrect a dropped one.
+  * The key index is a [[BucketIndex]] LSM store (the
+  * [[StreamingNearDup]] discipline): keys bucket-partitioned by a
+  * key-hash prefix, one delta file per touched bucket per batch,
+  * file-count-triggered compaction folding each bucket into one file
+  * SORTED by key_hash — so the per-batch history anti-join reads a
+  * bounded number of files no matter how many batches have run (the
+  * per-batch-directory alternative degrades to O(#batches) file
+  * listings and opens), and stays a plain equi-anti-join, shuffle-
+  * joinable at any history size.
   *
-  * Scale shape per batch: scrub + scoring are map-side against
-  * broadcast snapshot tables; the only corpus-history work is ONE
-  * equi-anti-join of the batch's ≤|batch| distinct keys against the
-  * key index — shuffle-joinable at any history size, and the index is
-  * a parquet directory a compactor can bucket/sort like the delta
-  * store's (the key column is the natural partition key).
+  * Exactly-once across replays WITHOUT driver state, by WRITE ORDER:
+  * survivors are committed (whole-directory overwrite + `_SUCCESS`)
+  * BEFORE their keys are appended. A replayed batch id therefore sees
+  * one of two worlds: (a) output not committed — the index cannot
+  * contain this batch's keys, so the recompute's anti-join is exact
+  * and the overwrite discards any partial attempt; (b) output
+  * committed — the committed survivors are authoritative, recompute is
+  * SKIPPED (re-running the anti-join now would see the batch's own
+  * keys and emit nothing), and the key append re-runs, which is
+  * file-level idempotent (same-batchId delta promotions skip on
+  * dest-exists; duplicate rows from a mid-append crash are folded by
+  * compaction and absorbed by the set-semantic anti-join).
   */
 object StreamingPipeline {
+
+  private val KeySchema = StructType(Seq(StructField("key_hash", StringType)))
 
   /** Train the quality model on a curated corpus and freeze it:
     * [[Lm.saveModel]] (vocab + totals) plus the keep threshold — the
@@ -67,61 +76,86 @@ object StreamingPipeline {
       modelPath: String,
       outPath: String,
       keysPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      numBuckets: Int = 64,
+      compactThreshold: Int = 8): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          processBatch(batch, batchId, modelPath, outPath, keysPath)
+          processBatch(batch, batchId, modelPath, outPath, keysPath,
+            numBuckets, compactThreshold)
       }
       .start()
 
+  /** The normalized dedup key — one definition with the batch query. */
+  private def keyOf(text: org.apache.spark.sql.Column) =
+    md5(substring(lower(text), 1, 64))
+
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
-      modelPath: String, outPath: String, keysPath: String): Unit = {
+      modelPath: String, outPath: String, keysPath: String,
+      numBuckets: Int = 64, compactThreshold: Int = 8): Unit = {
     val spark = batch.sparkSession
-    val scrubbed = batch
-      .select(col("doc_id"), Pii.scrub(col("text")).as("text"))
-    val snap = Lm.loadModel(spark, modelPath)
-    val threshold =
-      spark.read.parquet(s"$modelPath/threshold").head().getLong(0)
-    val kept = Lm.scoreUnigramFrozen(scrubbed, snap)
-      .filter(col("ppl_bits_q") <= threshold)
-      .join(scrubbed, "doc_id")
-      .withColumn("key_hash", md5(substring(lower(col("text")), 1, 64)))
-    // first-arrival-wins: lowest doc_id within the batch…
-    val w = Window.partitionBy(col("key_hash")).orderBy(col("doc_id"))
-    val firstHere = kept.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-    // …then anti-join the history (batches strictly before this id —
-    // NOT this id's own failed attempt, or replay would emit nothing)
-    val fresh = firstHere
-      .join(priorKeys(spark, keysPath, batchId), Seq("key_hash"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fresh.select("doc_id", "text", "n_tokens", "ppl_bits_q")
-      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-    fresh.select("key_hash")
-      .write.mode("overwrite").parquet(s"$keysPath/batch=$batchId")
-    fresh.unpersist(blocking = false)
+    val storeDir = new Path(keysPath)
+    val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BucketIndex.checkLayout(fs, storeDir, "_pipe_layout", numBuckets.toString)
+    val outDir = new Path(s"$outPath/batch=$batchId")
+
+    val survivors: DataFrame =
+      if (fs.exists(new Path(outDir, "_SUCCESS"))) {
+        // replay world (b): committed output is authoritative — do NOT
+        // re-run the anti-join (the index may already hold these keys)
+        spark.read.parquet(outDir.toString).select("doc_id", "text")
+      } else {
+        val scrubbed = batch
+          .select(col("doc_id"), Pii.scrub(col("text")).as("text"))
+        val snap = Lm.loadModel(spark, modelPath)
+        val threshold =
+          spark.read.parquet(s"$modelPath/threshold").head().getLong(0)
+        val kept = Lm.scoreUnigramFrozen(scrubbed, snap)
+          .filter(col("ppl_bits_q") <= threshold)
+          .join(scrubbed, "doc_id")
+          .withColumn("key_hash", keyOf(col("text")))
+        // first-arrival-wins: lowest doc_id within the batch…
+        val w = Window.partitionBy(col("key_hash")).orderBy(col("doc_id"))
+        val firstHere = kept.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        // …then anti-join the whole history in the key index
+        val fresh = firstHere
+          .join(storedKeys(spark, keysPath, fs, storeDir),
+            Seq("key_hash"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fresh.select("doc_id", "text", "n_tokens", "ppl_bits_q")
+          .write.mode("overwrite").parquet(outDir.toString)
+        val out = fresh.select("doc_id", "text")
+        fresh.unpersist(blocking = false)
+        out
+      }
+
+    val keyed = survivors.select(keyOf(col("text")).as("key_hash"))
+      .distinct()
+      .withColumn("bucket",
+        conv(substring(col("key_hash"), 1, 4), 16, 10).cast("long")
+          % numBuckets)
+    BucketIndex.appendDelta(keyed, dataCols = Seq("key_hash"),
+      batchId, keysPath, numBuckets, compactThreshold,
+      schema = KeySchema, dedupCols = Seq("key_hash"),
+      sortCols = Seq("key_hash"), fs, storeDir)
   }
 
-  /** Key sets of every batch strictly before `batchId` (empty DF when
-    * none): directory listing, not driver state — replay-safe.
-    */
-  private def priorKeys(spark: SparkSession, keysPath: String,
-      batchId: Long): DataFrame = {
-    val root = new Path(keysPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith("batch="))
-        .filter(p => p.getName.stripPrefix("batch=").toLong < batchId)
-        .map(_.toString)
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("key_hash", StringType))))
-    else spark.read.parquet(dirs.toIndexedSeq: _*)
+  /** Every key committed so far (empty DF before the first append). */
+  private def storedKeys(spark: SparkSession, keysPath: String,
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: Path): DataFrame = {
+    val buckets =
+      if (!fs.exists(storeDir)) Array.empty[String]
+      else fs.listStatus(storeDir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(_.getPath.toString)
+    if (buckets.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], KeySchema)
+    else spark.read.schema(KeySchema).parquet(buckets.toIndexedSeq: _*)
   }
 
   /** Everything curated so far; `batch` comes back as a partition col. */

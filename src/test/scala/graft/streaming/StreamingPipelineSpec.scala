@@ -64,7 +64,10 @@ class StreamingPipelineSpec extends SparkSuite {
     StreamingPipeline.trainAndFreeze(corpus.toDF(), model)
 
     val in = MemoryStream[PDoc]
-    val q = StreamingPipeline.start(in.toDF(), model, out, keys, s"$base/ckpt")
+    // small bucket count + aggressive compaction so the LSM fold runs
+    // WITHIN this test, not just in theory
+    val q = StreamingPipeline.start(in.toDF(), model, out, keys,
+      s"$base/ckpt", numBuckets = 8, compactThreshold = 2)
     try {
       in.addData(batchA: _*); q.processAllAvailable()
       in.addData(batchB: _*); q.processAllAvailable()
@@ -85,18 +88,37 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(got == batchEquivalent(model),
       s"stream/batch divergence: $got vs ${batchEquivalent(model)}")
 
-    // crash window: keys/batch=1 written but commit lost → batch 1
-    // replays under the same id. Simulate the worst interleaving (out
-    // written, keys missing) and the clean double-replay; both must
-    // converge to the identical survivor set.
-    val fs = new org.apache.hadoop.fs.Path(keys)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$keys/batch=1"), true)
-    StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys)
-    StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys)
+    // replay world (b): output committed, checkpoint lost — the batch
+    // replays under the same id twice; the committed survivors are
+    // authoritative and the key re-append is file-level idempotent
+    StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys,
+      numBuckets = 8, compactThreshold = 2)
+    StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys,
+      numBuckets = 8, compactThreshold = 2)
     val afterReplay = StreamingPipeline.readOut(spark, out)
       .select("doc_id").as[Long].collect().toSet
     assert(afterReplay == Set(10L, 13L, 21L),
       s"replay changed the output: $afterReplay")
+
+    // the worst window: outputs committed but the ENTIRE key index lost
+    // (crash between commit and append, every batch). Replaying both
+    // ids must leave the outputs untouched and rebuild the index whole —
+    // proven by a NEW batch whose dup of doc 10 is still dropped.
+    val fs = new org.apache.hadoop.fs.Path(keys)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(keys), true)
+    StreamingPipeline.processBatch(batchA.toDF(), 0L, model, out, keys,
+      numBuckets = 8, compactThreshold = 2)
+    StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys,
+      numBuckets = 8, compactThreshold = 2)
+    val batchC = Seq(
+      PDoc(30L, "alpha beta alpha beta"),   // dup of doc 10 — must drop
+      PDoc(31L, "alpha alpha beta alpha"))  // fresh — must survive
+    StreamingPipeline.processBatch(batchC.toDF(), 2L, model, out, keys,
+      numBuckets = 8, compactThreshold = 2)
+    val finalIds = StreamingPipeline.readOut(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(finalIds == Set(10L, 13L, 21L, 31L),
+      s"rebuilt index missed history: $finalIds")
   }
 }
