@@ -103,7 +103,16 @@ object Bench {
     val passesJson =
       if (passes > 1) s""","passes":${passTotals.mkString("[", ",", "]")}""" else ""
     val mode = if (isolate) "context-per-query" else "shared-context"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_first":${jsonMap(firsts)},"repeat":$repeat,"isolation":"$mode","sf":"$sfDir"$passesJson}"""
+    // provenance: who ran this record and on what tree (ADVICE_r10 —
+    // builder-committed and judge-overwritten runs were otherwise
+    // indistinguishable in the artifact)
+    val who = sys.env.getOrElse("SPARK_GRAFT_BENCH_WHO", "builder")
+    val commit = {
+      import scala.sys.process._
+      try Seq("git", "rev-parse", "--short", "HEAD").!!.trim
+      catch { case _: Exception => "unknown" }
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_first":${jsonMap(firsts)},"repeat":$repeat,"isolation":"$mode","sf":"$sfDir","provenance":"$who@$commit"$passesJson}"""
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     // Stop Spark BEFORE the stdout emit so no shutdown chatter can follow it:

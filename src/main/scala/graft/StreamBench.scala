@@ -2,7 +2,7 @@ package graft
 
 import graft.core.GunCell
 import graft.sources.{GunWebSocketServer, GunWire, InMemoryPeerConn, PeerConn, WebSocketPeerConn, WireCodec}
-import graft.streaming.HamStream
+import graft.streaming.{HamStream, StreamingPipeline}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import java.nio.file.{Files, Paths}
@@ -449,6 +449,68 @@ object StreamBench {
     }
   }
 
+  // ------------------------------------------------------------- pipeline
+  final case class PipeStats(
+      batches: Int, docsPerBatch: Int, keptTotal: Long, elapsedSec: Double,
+      batchMs: IndexedSeq[Long]) {
+    def docsPerSec: Double =
+      if (elapsedSec > 0) batches.toLong * docsPerBatch / elapsedSec else 0.0
+    private def avg(xs: Seq[Long]) =
+      if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.length
+    def firstQuartileMs: Double = avg(batchMs.take(batchMs.length / 4 max 1))
+    def lastQuartileMs: Double = avg(batchMs.takeRight(batchMs.length / 4 max 1))
+  }
+
+  /** Drive the composed at-ingest pipeline ([[StreamingPipeline]]:
+    * scrub → frozen-LM gate → history dedup → commit) over a GROWING
+    * key index. The scale signal is the per-batch latency CURVE:
+    * with compaction the history anti-join reads a bounded file set
+    * per bucket, so the last quartile of batches should cost about
+    * what the first did; with compaction off every batch reads every
+    * delta file ever written — the uncompacted-growth control leg.
+    * Workload: 20-token docs from the fixture vocabulary, 10% of each
+    * batch duplicating earlier history (the dedup branch stays live).
+    */
+  def runPipeline(spark: SparkSession, batches: Int, docsPerBatch: Int,
+      numBuckets: Int, compactThreshold: Int): PipeStats = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("pipe-bench").toString
+    val vocab = ("spark line column order small sort fast value scan hash " +
+      "slow group batch part query agg table key stream filter").split(" ")
+    val rnd = new scala.util.Random(42)
+    def docText(): String =
+      (1 to 20).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpus = (1L to 500L).map(i => (i, docText())).toDF("doc_id", "text")
+    StreamingPipeline.trainAndFreeze(corpus, s"$base/model")
+    var nextId = 1000L
+    var seen = Vector.empty[String]
+    val t0 = System.nanoTime()
+    val times = (0 until batches).map { b =>
+      val docs = (1 to docsPerBatch).map { _ =>
+        nextId += 1
+        val t =
+          if (seen.nonEmpty && rnd.nextInt(10) == 0)
+            seen(rnd.nextInt(seen.length)) // 10% dup of history
+          else { val t = docText(); seen :+= t; t }
+        (nextId, t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val bt0 = System.nanoTime()
+      StreamingPipeline.processBatch(df, b.toLong, s"$base/model",
+        s"$base/out", s"$base/keys", numBuckets, compactThreshold)
+      (System.nanoTime() - bt0) / 1000000
+    }
+    val kept = spark.read.parquet(s"$base/out").count()
+    PipeStats(batches, docsPerBatch, kept,
+      (System.nanoTime() - t0) / 1e9, times)
+  }
+
+  private def pipeJs(key: String, p: PipeStats): String =
+    s""""$key":{"batches":${p.batches},"docs_per_batch":${p.docsPerBatch},""" +
+      s""""kept":${p.keptTotal},"docs_per_sec":${f"${p.docsPerSec}%.1f"},""" +
+      s""""batch_ms_first_quartile":${f"${p.firstQuartileMs}%.0f"},""" +
+      s""""batch_ms_last_quartile":${f"${p.lastQuartileMs}%.0f"}}"""
+
   private def raJs(key: String, r: ReadAmpStats): String = {
     val pts = r.probes.map { case (b, ms) => s"[$b,${f"$ms%.1f"}]" }.mkString(",")
     s""""$key":{"batches":${r.batches},"max_files_end":${r.maxFilesEnd},""" +
@@ -569,6 +631,23 @@ object StreamBench {
       finally spark.stop()
     }
 
+    // composed-pipeline A/B: compaction on (default) vs off over the
+    // same growing key index — the per-batch latency-curve evidence
+    val pipeBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPE_BATCHES", "40").toInt
+    val pipeDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPE_DOCS", "200").toInt
+    val pipeOn = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runPipeline(spark, pipeBatches, pipeDocs, numBuckets = 64,
+        compactThreshold = 8)
+      finally spark.stop()
+    }
+    val pipeOff = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runPipeline(spark, pipeBatches, pipeDocs, numBuckets = 64,
+        compactThreshold = 0)
+      finally spark.stop()
+    }
+
     val walOverheadPct =
       if (ingestNoWal.rate > 0)
         (ingestNoWal.rate - ingest.rate) / ingestNoWal.rate * 100.0
@@ -593,7 +672,9 @@ object StreamBench {
         ndJs("neardup_hot_capped", ndHotCapped) + "," +
         ndJs("neardup_hot_uncapped", ndHotUncapped) + "," +
         ndJs("emb_neardup_pruned", endPruned) + "," +
-        ndJs("emb_neardup_full_probe", endFull) + "}"
+        ndJs("emb_neardup_full_probe", endFull) + "," +
+        pipeJs("pipeline_compact_on", pipeOn) + "," +
+        pipeJs("pipeline_compact_off", pipeOff) + "}"
     println(json)
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[stream-bench] write failed: $e") }

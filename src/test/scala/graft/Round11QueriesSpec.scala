@@ -84,6 +84,23 @@ class Round11QueriesSpec extends SparkSuite {
     assert(res("s1").getLong(1) == 1)
   }
 
+  test("doc_shuffle_export plans NO global sort; doc_temperature_sample broadcasts the rate table") {
+    // the export's scale contract: shard = hash range, pos = a
+    // PARTITION-LOCAL window — a rangepartitioning exchange (global
+    // sort) would funnel the corpus through one ordered shuffle
+    val dir = "/root/testdata/sf0.001"
+    val exportPlan = graft.queries.TextQueries.queries("doc_shuffle_export")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(!exportPlan.contains("rangepartitioning"),
+      s"global sort in the export plan:\n$exportPlan")
+    // the sampling rate table is #sources rows — its corpus join must
+    // be a broadcast, never a corpus-wide shuffle
+    val tsampPlan = graft.queries.TextQueries.queries("doc_temperature_sample")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(tsampPlan.contains("BroadcastHashJoin"),
+      s"rate-table join not broadcast:\n$tsampPlan")
+  }
+
   test("emb_ann_recall: every query evaluated for every method; re-rank beats raw LSH") {
     val res = graft.queries.MlQueries.queries("emb_ann_recall")(
       spark, "/root/testdata/sf0.001")
