@@ -211,25 +211,32 @@ object Analytics {
     * the GraphX side).
     */
   def labelPropagation(spark: SparkSession, edges: DataFrame, iters: Int = 4): DataFrame = {
+    // und is joined on u EVERY step: pre-partition it by the join key
+    // once, so the persisted partitioning is reused by each step's join
+    // (in the asymptotic sort-merge regime the und side never
+    // re-shuffles; below the broadcast threshold the join needs no
+    // exchange at all and the repartition is the only one paid)
     val und = edges.select(col("src").as("v"), col("dst").as("u"))
       .unionByName(edges.select(col("dst").as("v"), col("src").as("u")))
       .distinct()
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = und.select(col("v").as("soul")).distinct()
     var labels = verts.select(col("soul"), col("soul").as("lab"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      // counts is read twice (cmax + the filter join) — persist for the
-      // step, release once the eager checkpoint has materialized `labels`
-      val counts = und.join(labels.withColumnRenamed("soul", "u"), "u")
+      // mode-label-with-min-tiebreak in ONE aggregation: min(struct(-c,
+      // lab)) is lexicographic — smallest -c = LARGEST count, ties fall
+      // to the SMALLEST label — replacing the former three-shuffle form
+      // (count agg + global cmax agg + filter join) with count agg + one
+      // per-vertex reduce; semantics (and the oracle's recurrence) are
+      // bit-identical
+      labels = und.join(labels.withColumnRenamed("soul", "u"), "u")
         .groupBy("v", "lab").agg(count(lit(1)).as("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val cmax = counts.groupBy("v").agg(max(col("c")).as("cmax"))
-      labels = counts.join(cmax, "v")
-        .filter(col("c") === col("cmax"))
-        .groupBy(col("v").as("soul")).agg(min(col("lab")).as("lab"))
+        .groupBy(col("v").as("soul"))
+        .agg(min(struct((col("c") * -1L).as("nc"), col("lab"))).as("m"))
+        .select(col("soul"), col("m.lab").as("lab"))
         .localCheckpoint(eager = true)
-      counts.unpersist(blocking = false)
     }
     und.unpersist(blocking = false)
     labels

@@ -157,4 +157,26 @@ object Lm {
   def scoreUnigramFrozen(docs: DataFrame, snap: Snapshot): DataFrame =
     scoreUnigram(tokenStream(docs), surprisalTable(snap.uni, snap.tvSql),
       snap.tvSql)
+
+  /** Contrast-score docs against TWO frozen snapshots (the at-ingest
+    * form of `doc_lm_contrast`'s CCNet discipline: general-model bits
+    * minus target-model bits, positive ⇒ in-domain). Both scorings are
+    * the [[scoreUnigramFrozen]] kernel verbatim — the per-doc outputs
+    * join on doc_id, so the contrast of frozen scores equals frozen
+    * contrast by construction. Unseen tokens pay each snapshot's own
+    * add-one unseen surprisal, exactly as the batch query's live
+    * unseen branch does against its in-query target model.
+    */
+  def scoreContrastFrozen(docs: DataFrame, general: Snapshot,
+      target: Snapshot): DataFrame = {
+    val g = scoreUnigramFrozen(docs, general)
+      .select(col("doc_id"), col("n_tokens"), col("nll_q").as("nll_all_q"))
+    val t = scoreUnigramFrozen(docs, target)
+      .select(col("doc_id"), col("nll_q").as("nll_tgt_q"))
+    g.join(t, "doc_id")
+      .withColumn("contrast_bits_q",
+        expr("nll_all_q div n_tokens - nll_tgt_q div n_tokens"))
+      .select("doc_id", "n_tokens", "nll_all_q", "nll_tgt_q",
+        "contrast_bits_q")
+  }
 }

@@ -58,4 +58,36 @@ object StreamingLm {
   /** All scores so far; `batch` comes back as a partition column. */
   def readScores(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
+
+  // -------------------------------------------------- two-model contrast
+
+  /** Contrast-score arriving micro-batches against TWO frozen snapshots
+    * (general + target — the at-ingest `doc_lm_contrast`): domain
+    * routing/selection at ingest, with the same immutability argument
+    * as the single-model scorers, doubled — a drifting BASELINE model
+    * is as meaningless for a contrast as a drifting target. Same
+    * zero-driver-state, whole-directory-per-batch replay discipline.
+    */
+  def startContrast(
+      docs: DataFrame,
+      generalPath: String,
+      targetPath: String,
+      outPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processContrastBatch(batch, batchId, generalPath, targetPath, outPath)
+      }
+      .start()
+
+  private[graft] def processContrastBatch(batch: DataFrame, batchId: Long,
+      generalPath: String, targetPath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    Lm.scoreContrastFrozen(batch,
+        Lm.loadModel(spark, generalPath), Lm.loadModel(spark, targetPath))
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+  }
 }

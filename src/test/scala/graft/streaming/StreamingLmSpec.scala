@@ -114,4 +114,47 @@ class StreamingLmSpec extends SparkSuite {
       s"unseen-doc bits ${byId(21L)} != lattice unseen $unseenBits")
     assert(byId(20L) < byId(21L))
   }
+
+  test("contrast mode: stream equals the frozen two-model kernel; sign separates domains") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("slm-con").toString
+    // general model = the whole corpus; target model = the alpha/beta
+    // slice (docs 1-2) — the frozen pair of doc_lm_contrast's roles
+    val gPath = freeze(base)
+    val tPath = s"$base/target"
+    val tRows = Lm.tokenStream(corpus.take(2).toDF())
+    Lm.saveModel(Lm.unigrams(tRows), Lm.bigrams(tRows), tPath)
+    val outPath = s"$base/scores"
+
+    val arriving = Seq(
+      LDoc(30L, "alpha beta alpha beta"),   // in-domain: contrast > 0
+      LDoc(31L, "epsilon zeta epsilon"))    // out-of-domain: contrast < 0
+    val in = MemoryStream[LDoc]
+    val q = StreamingLm.startContrast(in.toDF(), gPath, tPath, outPath,
+      s"$base/ckpt")
+    try {
+      in.addData(arriving: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamingLm.readScores(spark, outPath)
+      .select("doc_id", "n_tokens", "nll_all_q", "nll_tgt_q",
+        "contrast_bits_q")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = Lm.scoreContrastFrozen(arriving.toDF(),
+        Lm.loadModel(spark, gPath), Lm.loadModel(spark, tPath))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    val byId = streamed.map(t => t._1 -> t._5).toMap
+    assert(byId(30L) > 0 && byId(31L) < 0,
+      s"contrast signs wrong: $byId")
+    // replay idempotency
+    val before = StreamingLm.readScores(spark, outPath).count()
+    StreamingLm.processContrastBatch(arriving.toDF(), 0L, gPath, tPath, outPath)
+    assert(StreamingLm.readScores(spark, outPath).count() == before)
+  }
 }
