@@ -102,17 +102,26 @@ object MlQueries {
     // touching document text again — the decision stage a 100 TB dedup
     // pass runs between candidate generation and (expensive) exact
     // verification. Pure integer counting → exact oracle.
+    // Plan (round 11): signatures are COMPACTED to one i-ordered array
+    // per doc before the pair joins, so each join moves |pairs| rows
+    // instead of |pairs|·16 (the former per-component join form) and
+    // the comparison is a codegen'd zip_with/aggregate over the two
+    // arrays — one n·16→n aggregation buys a 16× cut in the
+    // pair-proportional shuffle, the side that dominates on a
+    // near-dup-rich corpus.
     "minhash_est" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = sigs.select(col("doc_id").as("doc_a"), col("i"), col("sig").as("sig_a"))
-      val b = sigs.select(col("doc_id").as("doc_b"), col("i"), col("sig").as("sig_b"))
+      val arr = sigs.groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("i"), col("sig")))).as("sa"))
+        .select(col("doc_id"), expr("transform(sa, x -> x.sig)").as("sa"))
       val res = Dedup.minhashCandidates(sigs).select("doc_a", "doc_b")
-        .join(a, "doc_a")
-        .join(b, Seq("doc_b", "i"))
-        .groupBy("doc_a", "doc_b")
-        .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("n_equal"),
-          count(lit(1)).as("n_components"))
+        .join(arr.select(col("doc_id").as("doc_a"), col("sa")), "doc_a")
+        .join(arr.select(col("doc_id").as("doc_b"), col("sa").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
+            .as("n_equal"),
+          size(col("sa")).cast("long").as("n_components"))
       graft.operators.Caching.materializeAndRelease(res, sigs)
     }),
 
