@@ -336,10 +336,12 @@ object MlQueries {
     // deployment needs next to its latency numbers: per query, how much
     // of the exact-cosine top-k does each approximate method recover?
     // Ground truth = the declared emb_knn brute-force top-5; methods =
-    // the declared emb_mrl_ann (prefix candidates + exact re-rank) and
-    // emb_lsh_ann (single-table hyperplane bucket) with their declared
-    // parameters — the eval COMPOSES the same builders the standalone
-    // queries run, so a parameter drift anywhere breaks this hash too.
+    // the declared emb_mrl_ann (prefix candidates + exact re-rank),
+    // emb_lsh_ann (single-table hyperplane bucket), and emb_ivf_ann
+    // (inverted-file, nprobe=2 — the scale-path index) with their
+    // declared parameters — the eval COMPOSES the same builders the
+    // standalone queries run, so a parameter drift anywhere breaks
+    // this hash too.
     // A method that returns nothing for a query (possible for LSH: a
     // singleton bucket) still yields a row (left join, n_hit = 0) — a
     // recall eval that silently drops empty queries overstates recall.
@@ -369,6 +371,8 @@ object MlQueries {
         .unionByName(recallOf("lsh",
           Similarity.lshKnn(emb, k = 5, bits = Similarity.NumPlanes)
             .filter(col("query_id") < 10)))
+        .unionByName(recallOf("ivf",
+          Similarity.ivfKnn(emb, qs, k = 5, nLists = 16, nprobe = 2)))
       graft.operators.Caching.materializeAndRelease(res, exact)
     }),
 
@@ -987,7 +991,10 @@ object MlQueries {
             FROM (${directOracles("emb_mrl_ann")})
             UNION ALL
             SELECT 'lsh' AS method, query_id, neighbor_id
-            FROM (${directOracles("emb_lsh_ann")}) WHERE query_id < 10)
+            FROM (${directOracles("emb_lsh_ann")}) WHERE query_id < 10
+            UNION ALL
+            SELECT 'ivf' AS method, query_id, neighbor_id
+            FROM (${directOracles("emb_ivf_ann")}))
           SELECT m.method, e.query_id,
                  CAST(COUNT(*) AS BIGINT) AS n_exact,
                  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
@@ -995,7 +1002,8 @@ object MlQueries {
                  CAST(1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL
                       THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
                    AS recall_permille
-          FROM (SELECT 'mrl' AS method UNION ALL SELECT 'lsh') m
+          FROM (SELECT 'mrl' AS method UNION ALL SELECT 'lsh'
+                UNION ALL SELECT 'ivf') m
           CROSS JOIN exact e
           LEFT JOIN approx a ON a.method = m.method
                AND a.query_id = e.query_id

@@ -107,9 +107,9 @@ class Round11QueriesSpec extends SparkSuite {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val methods = res.map(_._1).distinct.sorted
-    assert(methods.sameElements(Seq("lsh", "mrl")))
+    assert(methods.sameElements(Seq("ivf", "lsh", "mrl")))
     // no silently-dropped query: 10 rows per method, ground truth always 5
-    assert(res.count(_._1 == "mrl") == 10 && res.count(_._1 == "lsh") == 10)
+    assert(Seq("mrl", "lsh", "ivf").forall(m => res.count(_._1 == m) == 10))
     assert(res.forall(_._3 == 5L))
     val avg = res.groupBy(_._1).map { case (m, g) =>
       m -> g.map(_._4).sum.toDouble / g.length }
