@@ -105,4 +105,26 @@ class LmSurprisalSpec extends SparkSuite {
     val q0 = (t + v) * 65536L / (t + v) // cnt = t+v-1 ⇒ q = 65536
     assert(q0 == 65536L && sQ(t + v - 1, t, v) == 0L)
   }
+
+  test("SQL lattice equals the scalar reference on 2000 random odds (generative)") {
+    // the engine-side expression ([[Lm.sQSql]], shared by every LM
+    // query and the frozen scorers) against this suite's independent
+    // scalar, across the full odds range the models can produce —
+    // q from 2 (a token holding half the smoothed mass) up past 2^40
+    // (ultra-rare token in a trillion-token corpus)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = Gen.chooseNum(1L, 1L << 40)
+    val qs = (0 until 2000).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))).map(_ + 1L)
+    val got = qs.toDF("q")
+      .selectExpr("q", graft.operators.Lm.sQSql("q") + " AS s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    qs.foreach { q =>
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(q)
+      val ref = 256L * k + ((q * 256L) >> k) - 4352L
+      assert(got(q) == ref, s"lattice mismatch at q=$q: ${got(q)} != $ref")
+    }
+  }
 }
