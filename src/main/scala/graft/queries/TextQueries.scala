@@ -1169,6 +1169,143 @@ object TextQueries {
           Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
           .cast("long"))
         .select("shard", "pos", "doc_id")
+    }),
+
+    // Gopher-style rule battery (Rae et al. 2021 §A1.1 — the per-rule
+    // diagnostic form every modern curation run records, e.g. Dolma's
+    // attribute files): each rule is a pass/fail flag PLUS a combined
+    // keep, so downstream ablations can re-weight individual rules
+    // without re-scanning the corpus. Rules live on this corpus (the
+    // fixture is punctuation-free, so the symbol/bullet/ellipsis rules
+    // are vacuous and omitted): token-count bounds, mean-word-length
+    // bounds, >= 2 distinct stopwords, duplicate-token fraction cap.
+    // All comparisons are cross-multiplied INTEGER forms (2·chars >=
+    // 9·tokens, not chars/tokens >= 4.5) — exact on both engines, no fp
+    // ratio ever materializes. Thresholds are fixture-calibrated so
+    // both branches of every rule are exercised (the CmProbes
+    // discipline); a deployment passes its own. Pure map-side work:
+    // one scan, no shuffle, no explode (array sizes only).
+    "doc_gopher_rules" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val n = size(toks).cast("long")
+      val u = size(array_distinct(toks)).cast("long")
+      val cns = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+      val stopArr = array(stopEn.map(lit): _*)
+      val nStop = size(array_distinct(
+        filter(toks, t => array_contains(stopArr, t)))).cast("long")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_tokens"),
+          (n >= 20L && n <= 100000L).cast("long").as("r_wc"),
+          (cns * 2L >= n * 9L && cns <= n * 10L).cast("long").as("r_mwl"),
+          (nStop >= 2L).cast("long").as("r_stop"),
+          ((n - u) * 100L <= n * 65L).cast("long").as("r_dup"))
+        .withColumn("keep",
+          (col("r_wc") + col("r_mwl") + col("r_stop") + col("r_dup") === 4L)
+            .cast("long"))
+    }),
+
+    // C4-style segment dedup APPLIED (Raffel et al. 2020 §2.2
+    // "deduplicate three-sentence spans"; doc_boilerplate only LISTS
+    // the cross-doc segments — this removes them): every 12-token
+    // segment keeps its globally FIRST occurrence (ordered by doc_id,
+    // then position — deterministic, replay-stable) and later copies
+    // are dropped; per doc the kept/removed counts are the curation
+    // record. Plan: segment → 60-bit hash → ONE shuffle on the 8-byte
+    // hash; the first-occurrence window runs per hash group (group
+    // size = the duplication factor, small by construction — a flooded
+    // segment IS boilerplate and still costs only its own group), then
+    // one per-doc combine. The same two-pass line-dedup shape CCNet
+    // runs at web scale, with the removal pass fused into the window.
+    "doc_line_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val segs = tbl(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 12)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0L), expr("(size(toks) div 12) - 1")),
+          k => concat_ws(" ",
+            slice(col("toks"), (k * 12 + 1).cast("int"), lit(12))))))
+        .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+          h(col("col")).as("line_hash"))
+      val w = Window.partitionBy(col("line_hash"))
+        .orderBy(col("doc_id"), col("seg_idx"))
+      segs.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("n_removed", col("n_segs") - col("n_kept"))
+        .select("doc_id", "n_segs", "n_kept", "n_removed")
+    }),
+
+    // CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): the
+    // corpus is split per LANGUAGE into perplexity terciles — "head"
+    // (most fluent third) trains the flagship model, "tail" is held
+    // for ablation. Scoring is doc_lm_surprisal's unigram [[Lm]]
+    // kernel verbatim; the tercile thresholds come from a per-language
+    // HISTOGRAM of the integer score (the quantileQuery discipline:
+    // never a global sort over docs — the histogram is bounded by
+    // distinct score values, its cumsum window runs over that bounded
+    // table, and the resulting #langs-row threshold table broadcasts
+    // into a map-side bucket assign). Equal scores land in the same
+    // bucket on both engines — the integer lattice leaves no
+    // fp-boundary ambiguity for a doc to straddle.
+    "doc_ccnet_bucket" -> ((s, dir) => {
+      import graft.operators.Lm
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
+      val docs = tbl(s, dir, "documents")
+      val rows = Lm.tokenStream(docs)
+      val lm = Lm.unigrams(rows).persist(StorageLevel.MEMORY_AND_DISK)
+      lm.createOrReplaceTempView("graft_ccb_vocab")
+      val tv = "(select sum(cnt) + count(*) from graft_ccb_vocab)"
+      val sl = Lm.scoreUnigram(rows, Lm.surprisalTable(lm, tv), tv)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "ppl_bits_q")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hist = sl.groupBy("lang", "ppl_bits_q").agg(count(lit(1)).as("c"))
+      val thr = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("lang").orderBy("ppl_bits_q")))
+        .withColumn("total", sum(col("c")).over(Window.partitionBy("lang")))
+        .groupBy("lang")
+        .agg(
+          min(when(col("cum") * 3 >= col("total"), col("ppl_bits_q"))).as("t1"),
+          min(when(col("cum") * 3 >= col("total") * 2, col("ppl_bits_q"))).as("t2"))
+      val res = sl.join(broadcast(thr), "lang")
+        .select(col("doc_id"), col("lang"), col("ppl_bits_q"),
+          when(col("ppl_bits_q") <= col("t1"), "head")
+            .when(col("ppl_bits_q") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+      graft.operators.Caching.materializeAndRelease(res, lm, sl)
+    }),
+
+    // Per-document token-entropy quality signal (the Shannon diversity
+    // score entropy-based spam/keyword-stuffing filters threshold on —
+    // a doc repeating one phrase has entropy near 0, healthy prose
+    // near log2 of its vocabulary): H = Σ_tok (tf/n)·log2(n/tf), held
+    // in 256ths of a bit on the SAME interpolated integer-log2 lattice
+    // as the LM scorers ([[Lm.sQSql]] — n·2^16 div tf ≥ 2^16, so every
+    // odds value is in lattice range and the contribution is ≥ 0).
+    // Complements doc_repetition (top-2-gram mass) with the full
+    // distributional signal. Plan: explode → one (doc,tok) hash agg
+    // with map-side combine (n rides along map-side — no second scan,
+    // no window) → one per-doc combine. Long headroom: tf·s_q <
+    // n·256·log2(n) keeps per-doc sums far under 2^63 at any doc size.
+    "doc_token_entropy" -> ((s, dir) => {
+      val ex = tbl(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          explode(col("toks")).as("tok"))
+      ex.groupBy("doc_id", "n_tokens", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("q", expr("n_tokens * 65536 div tf"))
+        .withColumn("s_q", expr(graft.operators.Lm.sQSql("q")))
+        .groupBy("doc_id", "n_tokens")
+        .agg(count(lit(1)).as("n_uniq"),
+          sum(col("tf") * col("s_q")).as("hsum_q"))
+        .withColumn("ent_q", expr("hsum_q div n_tokens"))
+        .select("doc_id", "n_tokens", "n_uniq", "ent_q")
     })
   )
 
@@ -1987,5 +2124,105 @@ object TextQueries {
                  CAST(row_number() OVER (PARTITION BY (h >> 54)
                    ORDER BY h, doc_id) AS BIGINT) AS pos,
                  doc_id
-          FROM h""")
+          FROM h""",
+    "doc_gopher_rules" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   CAST(len($tokensSql) AS BIGINT) AS n,
+                   CAST(len(list_distinct($tokensSql)) AS BIGINT) AS u,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                     AS BIGINT) AS cns,
+                   CAST(len(list_distinct(list_filter($tokensSql,
+                     x -> x IN ('the','a','of','and','to','in','is','on'))))
+                     AS BIGINT) AS nstop
+            FROM documents)
+          SELECT doc_id, n AS n_tokens,
+                 CAST(CASE WHEN n >= 20 AND n <= 100000 THEN 1 ELSE 0 END
+                   AS BIGINT) AS r_wc,
+                 CAST(CASE WHEN cns * 2 >= n * 9 AND cns <= n * 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+                 CAST(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END
+                   AS BIGINT) AS r_stop,
+                 CAST(CASE WHEN (n - u) * 100 <= n * 65 THEN 1 ELSE 0 END
+                   AS BIGINT) AS r_dup,
+                 CAST(CASE WHEN n >= 20 AND n <= 100000
+                        AND cns * 2 >= n * 9 AND cns <= n * 10
+                        AND nstop >= 2
+                        AND (n - u) * 100 <= n * 65
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM t""",
+    "doc_line_dedup" ->
+      s"""WITH docs AS (
+            SELECT doc_id, $tokensSql AS toks FROM documents
+            WHERE len($tokensSql) >= 12),
+          segs AS (
+            SELECT doc_id, CAST(k AS BIGINT) AS seg_idx,
+                   ${strHashSql(
+                     "array_to_string(toks[k*12+1 : k*12+12], ' ')")}
+                     AS line_hash
+            FROM docs, LATERAL (SELECT unnest(generate_series(
+              0, (len(toks) // 12) - 1)) AS k)),
+          rn AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY line_hash
+                     ORDER BY doc_id, seg_idx) AS rn
+            FROM segs)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 CAST(COUNT(*)
+                   - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+          FROM rn GROUP BY doc_id""",
+    "doc_ccnet_bucket" ->
+      s"""WITH tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+            GROUP BY doc_id, tok),
+          lm AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt
+                 FROM tf GROUP BY tok),
+          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t,
+                         CAST(COUNT(*) AS BIGINT) AS v FROM lm),
+          sur AS (
+            SELECT tok, CAST(${latSql("q")} AS BIGINT) AS s_q
+            FROM (SELECT tok, (t + v) * 65536 // (cnt + 1) AS q
+                  FROM lm CROSS JOIN tot)),
+          scored AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf * s.s_q) // SUM(tf.tf) AS BIGINT)
+                     AS ppl_bits_q
+            FROM tf JOIN sur s USING (tok) GROUP BY tf.doc_id),
+          sl AS (SELECT s.doc_id, d.lang, s.ppl_bits_q
+                 FROM scored s JOIN documents d USING (doc_id)),
+          hist AS (SELECT lang, ppl_bits_q, COUNT(*) AS c
+                   FROM sl GROUP BY 1, 2),
+          cum AS (SELECT lang, ppl_bits_q,
+                         SUM(c) OVER (PARTITION BY lang
+                           ORDER BY ppl_bits_q) AS cum,
+                         SUM(c) OVER (PARTITION BY lang) AS total
+                  FROM hist),
+          thr AS (SELECT lang,
+                         MIN(CASE WHEN cum * 3 >= total
+                           THEN ppl_bits_q END) AS t1,
+                         MIN(CASE WHEN cum * 3 >= total * 2
+                           THEN ppl_bits_q END) AS t2
+                  FROM cum GROUP BY lang)
+          SELECT sl.doc_id, sl.lang, sl.ppl_bits_q,
+                 CASE WHEN sl.ppl_bits_q <= t.t1 THEN 'head'
+                      WHEN sl.ppl_bits_q <= t.t2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM sl JOIN thr t USING (lang)""",
+    "doc_token_entropy" ->
+      s"""WITH tf AS (
+            SELECT doc_id, n_tokens, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                    CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+                    unnest($tokensSql) AS tok
+                  FROM documents)
+            GROUP BY doc_id, n_tokens, tok)
+          SELECT doc_id, n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_uniq,
+                 CAST(SUM(tf * ${latSql("(n_tokens * 65536 // tf)")})
+                   // n_tokens AS BIGINT) AS ent_q
+          FROM tf GROUP BY doc_id, n_tokens""")
 }
