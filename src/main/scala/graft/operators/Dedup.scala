@@ -56,6 +56,30 @@ object Dedup {
       sequence(lit(1), size(toks) - (k - 1)),
       i => concat_ws(" ", slice(toks, i, lit(k)))))
 
+  /** The C4/CCNet line-dedup segmentation: non-overlapping full
+    * `width`-token windows of the normalized text, one row per segment
+    * with its position and 60-bit hash — (idCol, seg_idx, line_hash).
+    * ONE definition shared by the batch `doc_line_dedup` query and the
+    * at-ingest [[graft.streaming.StreamingLineDedup]] (their
+    * first-occurrence semantics must agree on what a segment IS, or
+    * replaying history through the other path would change the
+    * survivor set). Trailing partial windows are dropped — a common
+    * short tail must not masquerade as cross-doc boilerplate
+    * (the doc_boilerplate rationale). Docs under `width` tokens emit
+    * no rows.
+    */
+  def segments(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 12): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= width)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), expr(s"(size(toks) div $width) - 1")),
+        k => concat_ws(" ",
+          slice(col("toks"), (k * width + 1).cast("int"), lit(width))))))
+      .select(col(idCol), col("pos").cast("long").as("seg_idx"),
+        strHash(col("col")).as("line_hash"))
+
   /** MinHash signatures: one row per (doc_id, hash index 0..NumHashes-1)
     * with the min affine-transformed shingle hash. Affine params derive
     * from the index alone: a_i = ((i+1)·2654435761) mod P,

@@ -1218,17 +1218,11 @@ object TextQueries {
     // runs at web scale, with the removal pass fused into the window.
     "doc_line_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val h = (c: org.apache.spark.sql.Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val segs = tbl(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 12)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0L), expr("(size(toks) div 12) - 1")),
-          k => concat_ws(" ",
-            slice(col("toks"), (k * 12 + 1).cast("int"), lit(12))))))
-        .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
-          h(col("col")).as("line_hash"))
+      // segmentation kernel shared with the at-ingest path
+      // ([[graft.streaming.StreamingLineDedup]]) — one definition of
+      // what a segment is, so batch and stream cannot drift
+      val segs = graft.operators.Dedup.segments(
+        tbl(s, dir, "documents"), "doc_id", "text")
       val w = Window.partitionBy(col("line_hash"))
         .orderBy(col("doc_id"), col("seg_idx"))
       segs.withColumn("rn", row_number().over(w))
