@@ -41,7 +41,18 @@ object ShuffleProbe {
     args.foreach { name =>
       recs.set(0L); bytes.set(0L)
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, sfDir).count()
+      // count() on the PHYSICAL plan's row RDD, not Dataset.count():
+      // the latter re-optimizes with only the row count demanded, so
+      // Catalyst prunes every column the count doesn't need — for a
+      // query ending in an aggregation that can elide the expensive
+      // exchanges entirely (measured: doc_line_dedup's window exchange
+      // vanished and the probe read exactly #docs+1 records). toRdd
+      // freezes the plan with the query's full projection, so the probe
+      // measures what materializing the RESULT shuffles. (Queries
+      // ending in localCheckpoint were immune — the checkpoint already
+      // forces full materialization — so their earlier records stand.)
+      val rows = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       // listener events drain asynchronously after the last task ends
       Thread.sleep(1000)
