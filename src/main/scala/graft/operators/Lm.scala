@@ -76,16 +76,33 @@ object Lm {
         (expr("shiftright(q * 256, k)") + col("k") * lit(256L) - lit(4352L))
           .as("s_q"))
 
+  /** A vocabulary at or under this many rows is explicitly broadcast
+    * into the scoring join (≈ tens of MB at LM-table row width —
+    * executor-safe). Why the caller must decide and not the planner:
+    * the vocab table is built by an aggregation over the corpus and
+    * then persisted, so Catalyst's size ESTIMATE scales with the
+    * corpus (the aggregate inherits its child's stats) and AQE cannot
+    * re-plan across the cached relation — measured at gen_sf 10
+    * (500k docs, 48-word vocab): the join silently fell to sort-merge
+    * and shuffled the full 26M-row token stream for a 48-row model
+    * (SCALE_r11 §10). The caller KNOWS the real vocab size after pass
+    * 1 (one cache-backed count), which is exactly the statistic the
+    * estimate lacks.
+    */
+  val BroadcastVocabMaxRows = 1000000L
+
   /** Unigram scoring: join the token stream to the surprisal table,
     * sum per doc. Tokens NOT in the vocab (possible only against a
     * frozen model) pay the add-one unseen surprisal s((T+V)·2^16) —
     * for a model trained on the scored corpus itself the left join
-    * never misses and the coalesce is a no-op.
+    * never misses and the coalesce is a no-op. `broadcastModel` pins
+    * the measured-small-vocab plan (see [[BroadcastVocabMaxRows]]);
+    * false = planner's choice (sort-merge at real-vocabulary scale).
     */
   def scoreUnigram(rows: DataFrame, sur: DataFrame,
-      tvSql: String): DataFrame =
+      tvSql: String, broadcastModel: Boolean = false): DataFrame =
     rows.select(col("doc_id"), col("cur").as("tok"))
-      .join(sur, Seq("tok"), "left")
+      .join(if (broadcastModel) broadcast(sur) else sur, Seq("tok"), "left")
       .withColumn("s_q",
         coalesce(col("s_q"), expr(sQSql(s"(($tvSql) * 65536)"))))
       .groupBy("doc_id")
@@ -93,17 +110,35 @@ object Lm {
       .withColumn("ppl_bits_q", expr("nll_q div n_tokens"))
       .select("doc_id", "n_tokens", "nll_q", "ppl_bits_q")
 
+  /** One cache-backed job over a persisted vocab: (T, V, tvSql-literal,
+    * broadcast-the-model?). Callers run this AFTER persisting the vocab
+    * — the job materializes the cache every downstream consumer reads,
+    * the totals become Long LITERALS (no per-consumer scalar-subquery
+    * job), and the broadcast decision uses the MEASURED row count the
+    * planner's estimate lacks.
+    */
+  def vocabStats(uni: DataFrame): (Long, Long, String, Boolean) = {
+    val r = uni.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v")).head()
+    val (t, v) = (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    (t, v, s"${t + v}L", v <= BroadcastVocabMaxRows)
+  }
+
   /** Stupid-backoff scoring: a token after a SEEN (prev, cur) bigram
     * pays the exact conditional surprisal log2(cnt(prev)/cnt(prev,cur));
     * an unseen continuation backs off to the add-one unigram plus the
     * fixed [[BackoffPenaltyQ]]; position 0 scores unigram-only.
+    * `broadcastModel` pins the measured-small-vocab plan for the two
+    * unigram joins (the [[BroadcastVocabMaxRows]] rationale); the
+    * bigram join is left to the planner — that table is vocab²-bounded
+    * and corpus-shaped, the regime sort-merge exists for.
     */
   def scoreBackoff(rows: DataFrame, uni: DataFrame, big: DataFrame,
-      tvSql: String): DataFrame =
+      tvSql: String, broadcastModel: Boolean = false): DataFrame = {
+    def hinted(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     rows
-      .join(uni.select(col("tok").as("cur"), col("cnt").as("cnt_cur")),
+      .join(hinted(uni.select(col("tok").as("cur"), col("cnt").as("cnt_cur"))),
         Seq("cur"), "left")
-      .join(uni.select(col("tok").as("prev"), col("cnt").as("cnt_prev")),
+      .join(hinted(uni.select(col("tok").as("prev"), col("cnt").as("cnt_prev"))),
         Seq("prev"), "left")
       .join(big, Seq("prev", "cur"), "left")
       .withColumn("q_uni",
@@ -117,6 +152,7 @@ object Lm {
       .agg(count(lit(1)).as("n_tokens"), sum(col("s_q")).as("nll_q"))
       .withColumn("ppl_bits_q", expr("nll_q div n_tokens"))
       .select("doc_id", "n_tokens", "nll_q", "ppl_bits_q")
+  }
 
   // ------------------------------------------------------- frozen model
 

@@ -907,9 +907,16 @@ object TextQueries {
       val rows = Lm.tokenStream(tbl(s, dir, "documents"))
       val lm = Lm.unigrams(rows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lm.createOrReplaceTempView("graft_lm_vocab")
-      val tv = "(select sum(cnt) + count(*) from graft_lm_vocab)"
-      val res = Lm.scoreUnigram(rows, Lm.surprisalTable(lm, tv), tv)
+      // ONE cache-materializing job ([[Lm.vocabStats]]): T + V become
+      // literals (no per-consumer scalar-subquery job) and the scoring
+      // join broadcasts on the MEASURED vocab size — Catalyst's
+      // estimate scales with the corpus and AQE cannot re-plan across
+      // the cached relation, so at gen_sf 10 the un-hinted join
+      // shuffled the full 26M-row token stream for a 48-row model
+      // (SCALE_r11 §10)
+      val (_, _, tv, bc) = Lm.vocabStats(lm)
+      val res = Lm.scoreUnigram(rows, Lm.surprisalTable(lm, tv), tv,
+        broadcastModel = bc)
       graft.operators.Caching.materializeAndRelease(res, lm)
     }),
 
@@ -955,9 +962,12 @@ object TextQueries {
       val trainRows = rows.filter(splitBucket < 90)
       val uni = Lm.unigrams(trainRows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      uni.createOrReplaceTempView("graft_lm_uni")
-      val res = Lm.scoreBackoff(rows, uni, Lm.bigrams(trainRows),
-        "(select sum(cnt) + count(*) from graft_lm_uni)")
+      // measured totals + broadcast decision (the doc_lm_surprisal
+      // rationale) — the two unigram scoring joins carry the same
+      // cached-estimate exposure
+      val (_, _, tv, bc) = Lm.vocabStats(uni)
+      val res = Lm.scoreBackoff(rows, uni, Lm.bigrams(trainRows), tv,
+        broadcastModel = bc)
       graft.operators.Caching.materializeAndRelease(res, uni)
     }),
 
@@ -1014,9 +1024,9 @@ object TextQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val rows = Lm.tokenStream(cleanDf)
       val uni = Lm.unigrams(rows).persist(StorageLevel.MEMORY_AND_DISK)
-      uni.createOrReplaceTempView("graft_pipe_vocab")
-      val tv = "(select sum(cnt) + count(*) from graft_pipe_vocab)"
-      val scored = Lm.scoreUnigram(rows, Lm.surprisalTable(uni, tv), tv)
+      val (_, _, tv, bc) = Lm.vocabStats(uni)
+      val scored = Lm.scoreUnigram(rows, Lm.surprisalTable(uni, tv), tv,
+        broadcastModel = bc)
         .persist(StorageLevel.MEMORY_AND_DISK)
       scored.createOrReplaceTempView("graft_pipe_scored")
       val kept = scored.filter(col("ppl_bits_q") <=
@@ -1066,15 +1076,17 @@ object TextQueries {
       val lmTgt = tf.filter(col("source") === DsirTarget)
         .groupBy("tok").agg(sum(col("tf")).as("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      lmAll.createOrReplaceTempView("graft_lmc_all")
-      lmTgt.createOrReplaceTempView("graft_lmc_tgt")
-      val tvAll = "(select sum(cnt) + count(*) from graft_lmc_all)"
-      val tvTgt = "(select sum(cnt) + count(*) from graft_lmc_tgt)"
+      // measured totals-as-literals + broadcast decisions for both
+      // models (the doc_lm_surprisal rationale): without the hint each
+      // scoring join re-exchanges the tf table by tok
+      val (_, _, tvAll, bAll) = Lm.vocabStats(lmAll)
+      val (_, _, tvTgt, bTgt) = Lm.vocabStats(lmTgt)
+      def hinted(df: DataFrame, b: Boolean) = if (b) broadcast(df) else df
       val res = tf
-        .join(Lm.surprisalTable(lmAll, tvAll)
-          .withColumnRenamed("s_q", "s_all"), Seq("tok"))
-        .join(Lm.surprisalTable(lmTgt, tvTgt)
-          .withColumnRenamed("s_q", "s_tgt"), Seq("tok"), "left")
+        .join(hinted(Lm.surprisalTable(lmAll, tvAll)
+          .withColumnRenamed("s_q", "s_all"), bAll), Seq("tok"))
+        .join(hinted(Lm.surprisalTable(lmTgt, tvTgt)
+          .withColumnRenamed("s_q", "s_tgt"), bTgt), Seq("tok"), "left")
         .withColumn("s_tgt",
           coalesce(col("s_tgt"), expr(Lm.sQSql(s"(($tvTgt) * 65536)"))))
         .groupBy("doc_id")
@@ -1252,9 +1264,9 @@ object TextQueries {
       val docs = tbl(s, dir, "documents")
       val rows = Lm.tokenStream(docs)
       val lm = Lm.unigrams(rows).persist(StorageLevel.MEMORY_AND_DISK)
-      lm.createOrReplaceTempView("graft_ccb_vocab")
-      val tv = "(select sum(cnt) + count(*) from graft_ccb_vocab)"
-      val sl = Lm.scoreUnigram(rows, Lm.surprisalTable(lm, tv), tv)
+      val (_, _, tv, bc) = Lm.vocabStats(lm)
+      val sl = Lm.scoreUnigram(rows, Lm.surprisalTable(lm, tv), tv,
+        broadcastModel = bc)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "ppl_bits_q")
         .persist(StorageLevel.MEMORY_AND_DISK)
