@@ -478,7 +478,14 @@ object TextQueries {
         .select(col("doc_id").as("test_doc_id"), col("g"))
       val train = ex.filter(col("doc_id") >= 20)
         .select(col("doc_id").as("train_doc_id"), col("g"))
-      val res = test.join(train, "g")
+      // the eval side is BOUNDED BY CONTRACT (decontamination checks a
+      // benchmark set, orders of magnitude smaller than the corpus) —
+      // broadcast it explicitly: its plan descends from the cached
+      // corpus-wide shingle table, so Catalyst's size estimate is
+      // corpus-scaled and the planner otherwise exchanges the full
+      // train-side shingle stream by hash (measured 22.7M records at
+      // gen_sf 10; SCALE_r11 §11)
+      val res = broadcast(test).join(train, "g")
         .select("test_doc_id", "train_doc_id").distinct()
         .groupBy("test_doc_id")
         .agg(count(lit(1)).as("n_contaminating"),
@@ -493,19 +500,37 @@ object TextQueries {
     // hash aggregations + a per-doc window over ≤ vocabulary-sized groups.
     "doc_top_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // ONE exchange for the whole query: the token stream is
+      // hash-partitioned by doc_id up front, which satisfies the
+      // clustering of every downstream step — the (doc, term) group-by
+      // (same-doc rows are co-located), the per-doc window (reuses the
+      // partitioning, no re-exchange), and the df join (broadcast, see
+      // below). The earlier shape paid three corpus-sized exchanges:
+      // group-by hash, a distinct() that recomputed what tf already is
+      // (tf HAS one row per (doc, term) — df is a count over it, not
+      // over a re-deduplicated token stream), and the window re-shuffle
+      // (measured 44.3M records at gen_sf 10 vs 26M tokens; §11).
       val ex = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .repartition(col("doc_id"))
       val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = ex.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // df is vocabulary-sized; decide its join side on the MEASURED
+      // count (the Lm.vocabStats rationale — the cached-lineage size
+      // estimate is corpus-scaled). Above the cap the planner's
+      // sort-merge is the real-vocabulary regime.
+      val dfT =
+        if (df.count() <= graft.operators.Lm.BroadcastVocabMaxRows)
+          broadcast(df)
+        else df
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      val res = tf.join(df, "term")
+      val res = tf.join(dfT, "term")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
-      graft.operators.Caching.materializeAndRelease(res, ex)
+      graft.operators.Caching.materializeAndRelease(res, tf)
     }),
 
     // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
