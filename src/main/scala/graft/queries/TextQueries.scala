@@ -630,10 +630,31 @@ object TextQueries {
           array_distinct(transform(col("grams"), g => h(g))).as("shingles"))
         // both sides of the pair self-join reuse this; don't re-shingle
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
       val ex = shingled.select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
-      val a = ex.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
-      val b = ex.select(col("doc_id").as("doc_b"), col("source"), col("sh"))
+      // Document-frequency cap on the blocking key (part of the
+      // operator CONTRACT, mirrored in the oracle — the minhash
+      // DefaultMaxBucket discipline applied to exact Jaccard): a
+      // shingle shared by m docs emits m² pair rows, so one piece of
+      // per-source boilerplate makes the join quadratic (measured:
+      // gen_sf 10's 48-word vocabulary drove 536M candidate rows /
+      // 7 GB for 3,086 true pairs). Shingles in more than
+      // [[JaccardDfCap]] docs of a source carry no dedup signal — they
+      // are the idf-stopword class — and are dropped from BOTH the
+      // intersection AND the union (n_sh recounts kept shingles), so
+      // the Jaccard stays EXACT over the filtered shingle space. The
+      // over-cap key set is bounded by occurrences/cap and
+      // structurally rare on natural text (the substring_dup hot-gram
+      // argument), so it broadcasts; at the driver fixtures no source
+      // reaches cap+1 docs and the filter is provably inert (hashes
+      // unchanged).
+      val hot = ex.groupBy("source", "sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > JaccardDfCap)
+        .select("source", "sh")
+      val kept = ex.join(broadcast(hot), Seq("source", "sh"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
+      val b = kept.select(col("doc_id").as("doc_b"), col("source"), col("sh"))
       val inter = a.join(b, Seq("source", "sh"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -657,7 +678,7 @@ object TextQueries {
         .filter(col("jaccard") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
-      graft.operators.Caching.materializeAndRelease(res, shingled)
+      graft.operators.Caching.materializeAndRelease(res, shingled, kept)
     }),
 
     // PII scrubbing — the redaction pass every training-data pipeline
@@ -1444,6 +1465,21 @@ object TextQueries {
   private val DsirBuckets = graft.operators.Dsir.Buckets
   private val DsirTarget = "src0"
 
+
+  /** Document-frequency cap for `doc_ngram_jaccard`'s blocking shingle
+    * (per source): shingles in more than this many docs are the
+    * idf-stopword class — no dedup signal, quadratic join cost — and
+    * are excluded from intersection AND union (exact Jaccard over the
+    * filtered space). Part of the operator contract, mirrored verbatim
+    * in the oracle. 256 > the driver fixtures' per-source doc counts,
+    * so the filter is inert there (hashes unchanged); JaccardCapSpec
+    * floods a shingle past the cap to pin the live path.
+    * `final` (a compile-time constant) and declared BEFORE the oracle
+    * map — oraclesBase interpolates it at object init, and a plain val
+    * declared after it would still read 0 there.
+    */
+  final val JaccardDfCap = 256
+
   private val oraclesBase: Map[String, String] = Map(
     "doc_bpe_train" -> graft.operators.BpeTrain.oracleSql(BpeTrainK),
     "doc_bpe_train_inc" -> graft.operators.BpeTrain.oracleSql(BpeTrainK),
@@ -1851,11 +1887,18 @@ object TextQueries {
                      g -> ${strHashSql("g")})) AS shingles
             FROM documents
             WHERE len($tokensSql) >= 3),
-          counts AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
           ex AS (SELECT doc_id, source, unnest(shingles) AS sh FROM shingled),
+          hot AS (SELECT source, sh FROM (
+                    SELECT source, sh, COUNT(*) AS df
+                    FROM ex GROUP BY source, sh)
+                  WHERE df > $JaccardDfCap),
+          kept AS (SELECT ex.doc_id, ex.source, ex.sh
+                   FROM ex ANTI JOIN hot
+                     ON ex.source = hot.source AND ex.sh = hot.sh),
+          counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
           inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-            FROM ex a JOIN ex b ON a.source = b.source AND a.sh = b.sh
+            FROM kept a JOIN kept b ON a.source = b.source AND a.sh = b.sh
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2)
           SELECT doc_a, doc_b, n_inter, ca.n_sh + cb.n_sh - n_inter AS n_union
@@ -1864,6 +1907,8 @@ object TextQueries {
           JOIN counts cb ON cb.doc_id = doc_b
           WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.2"""
   )
+
+
 
   /** The est-only variants share the full queries' oracles, projected to
     * the est columns — the ORACLE may run the exact passes (its cost is
