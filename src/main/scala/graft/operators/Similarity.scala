@@ -276,6 +276,22 @@ object Similarity {
     math.min(48, math.max(NumPlanes, raw))
   }
 
+  /** SemDeDup cluster count that balances the operator's two cost
+    * terms: assignment is N·k distance evaluations, within-cluster
+    * pair enumeration is ~N²/2k cosines — equal at k = √(N/2), the
+    * single-level optimum (total ~N^1.5 instead of the N²/k_fixed
+    * cliff a pinned k hits: measured 678 s at 200k vectors with k=8,
+    * SCALE_r11 §12). ceil(√((N+1) div 2)) on the integer lattice: the
+    * operand is an exact integer < 2^52 and IEEE sqrt is correctly
+    * rounded, so ceil can only misfire if a true root lies within ½
+    * ulp above an integer — impossible below 2^52 (the
+    * doc_mix_weights isqrt argument) — and the rule is reproduced
+    * verbatim in the `emb_semantic_dedup_auto` oracle from its own
+    * COUNT(*).
+    */
+  def autoKmeansK(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(((n + 1) / 2).toDouble)).toInt)
+
   /** Resolve a bits knob: positive = pinned by the caller (declared
     * queries pin their config for oracle-hash stability); 0 = auto-size
     * from the corpus count via [[autoLshBits]]. The chosen configuration

@@ -384,6 +384,19 @@ object MlQueries {
       Similarity.semanticDedup(tbl(s, dir, "embeddings"),
         k = 8, iters = 1, threshold = 0.4)),
 
+    // SemDeDup with the cluster count auto-sized from the corpus —
+    // k = ceil(√((N+1) div 2)) balances assignment (N·k) against
+    // within-cluster pair enumeration (~N²/2k), the [[Similarity
+    // .autoKmeansK]] rule; the pinned-k=8 variant above stays the
+    // fixed-config oracle anchor (the emb_neardup / emb_neardup_auto
+    // pairing). The oracle derives the same k from its own COUNT(*),
+    // so the auto rule itself is under the hash.
+    "emb_semantic_dedup_auto" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val k = Similarity.autoKmeansK(emb.count())
+      Similarity.semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
+    }),
+
     // Per-label centroid SUMS over integer-quantized embeddings — the
     // aggregation step of class-centroid workflows (k-means init,
     // classifier prototypes, cluster quality). Summing the exact
@@ -493,11 +506,14 @@ object MlQueries {
   /** The one-update k-means assignment as a reusable CTE chain (init =
     * first k ids, one integer-exact Lloyd update, final assignment `a1`)
     * — shared verbatim by the `emb_kmeans` oracle and the SemDeDup
-    * blocking so both check the SAME clustering.
+    * blocking so both check the SAME clustering. `kSql` is the cluster
+    * count as a SQL expression: a literal for the pinned queries, the
+    * COUNT(*)-derived [[Similarity.autoKmeansK]] rule for the auto
+    * variant (so the rule itself is under the oracle hash).
     */
-  private lazy val kmeansA1Ctes =
+  private def kmeansCtes(kSql: String): String =
     s"""quant AS ($quantSql),
-          c0 AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < 8),
+          c0 AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < ($kSql)),
           d0 AS (
             SELECT v.vec_id, c.cid,
                    SUM((v.q[d+1] - c.cq[d+1]) * (v.q[d+1] - c.cq[d+1])) AS dist
@@ -527,6 +543,15 @@ object MlQueries {
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
               FROM d1) WHERE rn = 1)"""
+
+  /** The pinned-k=8 chain (emb_kmeans / emb_semantic_dedup oracles). */
+  private lazy val kmeansA1Ctes = kmeansCtes("8")
+
+  /** COUNT(*)-derived SemDeDup cluster count — mirrors
+    * [[Similarity.autoKmeansK]] integer-for-integer.
+    */
+  private val autoKSql =
+    "SELECT CAST(ceil(sqrt(CAST((COUNT(*) + 1) // 2 AS DOUBLE))) AS BIGINT) FROM quant"
 
   /** One PQ subspace's CTE block: the [[kmeansA1Ctes]] pipeline (init =
     * first k ids, one Lloyd update, final assignment) restricted to the
@@ -874,6 +899,20 @@ object MlQueries {
     "emb_pq_ann" -> pqAnnSql,
     "emb_semantic_dedup" ->
       s"""WITH $kmeansA1Ctes,
+          dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM a1 a JOIN a1 b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4)
+          SELECT e.vec_id,
+                 CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_dup
+          FROM embeddings e LEFT JOIN dropped d USING (vec_id)""",
+    "emb_semantic_dedup_auto" ->
+      s"""WITH ${kmeansCtes(autoKSql)},
           dropped AS (
             SELECT DISTINCT b.vec_id
             FROM a1 a JOIN a1 b
