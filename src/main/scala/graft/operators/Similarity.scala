@@ -252,6 +252,31 @@ object Similarity {
     */
   val TargetBucketOccupancy = 5
 
+  /** Hot-bucket cap for the LSH candidate joins ([[nearDupPairsLsh]]):
+    * a (table, bucket) cell holding more than this many vectors switches
+    * from all-pairs enumeration to representative linking — every member
+    * pairs with the bucket-min vec_id only (the [[Dedup.minhashCandidates]]
+    * discipline, same star-keeps-the-family-connected argument).
+    *
+    * Why 64 and not [[Dedup.DefaultMaxBucket]] (1024): MinHash band keys
+    * live in an effectively unbounded hash space, so only genuinely viral
+    * keys exceed the cap. Here the bucket space is 2^bits, and a PINNED
+    * bits (the declared `emb_neardup` anchor pins 8 for oracle-hash
+    * stability) makes EVERY bucket uniformly hot once n ≫ 2^bits — the
+    * measured sf10 spill-kill (SCALE_r11 §11: >50 GB shuffle at 200k
+    * vectors, occupancy ~780, which a 1024 cap would not have caught).
+    * With the cap the worst-case candidate volume is bounded by
+    * tables · 2^bits · cap²/2 all-pairs rows plus tables · n star links —
+    * LINEAR in n at fixed config. 64 = 12.8× [[TargetBucketOccupancy]],
+    * so auto-sized sketches ([[autoLshBits]]) never rep-link a natural
+    * bucket; only true pile-ups (near-identical vector floods) and
+    * under-pinned bits do, and those stay DETECTED through the star.
+    * Mirrored in the oracle SQL (MlQueries), so the hash moves WITH the
+    * cap. `maxBucket = 0` disables the guard (exact banding, quadratic
+    * per bucket — unit-test / verification use only).
+    */
+  val DefaultMaxLshBucket = 64
+
   /** The SCALE_r4.md scale rule as code: bits = ceil(log₂(n / occupancy)),
     * i.e. hold per-bucket occupancy — and therefore candidate-join work per
     * row — flat as the corpus grows. Clamped to [NumPlanes, 48] (48-bit
@@ -906,23 +931,69 @@ object Similarity {
     * [[decontaminateExact]] — thresholds must sit far from attainable
     * fixture cosines.
     */
+  /** Hot-cluster cap for [[semanticDedup]]: a cluster larger than this
+    * rep-links (every member scored against the cluster-min vec_id only)
+    * instead of enumerating all within-cluster pairs. A PINNED k makes
+    * cluster size n/k — the N²/2k pair term is quadratic at fixed k
+    * (measured: 678 s at 200k vectors with k=8 vs 20.5 s auto,
+    * SCALE_r11 §12); capped, the worst case is k · cap²/2 all-pairs rows
+    * plus n star links — linear in n. 1024 matches
+    * [[Dedup.DefaultMaxBucket]]: the auto-sized path (k = √(N/2), cluster
+    * ≈ √(2N)) stays under it through ~500k vectors, so the cap binds only
+    * where the pinned config is already the wrong one at that scale.
+    * Mirrored in the oracle SQL, so the hash moves WITH the cap;
+    * `maxCluster = 0` disables (exact within-cluster pairs).
+    */
+  val DefaultMaxCluster = 1024
+
   def semanticDedup(
-      vectors: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
+      vectors: DataFrame, k: Int, iters: Int, threshold: Double,
+      maxCluster: Int = DefaultMaxCluster): DataFrame = {
     val assign = kmeansAssign(vectors, k, iters)
     val unit = unitVectors(vectors)
     val both = assign.join(unit, "vec_id")
-    val a = both.select(col("cluster"), col("vec_id").as("id_a"), col("uv").as("va"))
-    val b = both.select(col("cluster").as("cluster_b"),
-      col("vec_id").as("id_b"), col("uv").as("vb"))
-    val cand = a.join(b,
-      col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cand, owned) =
+      if (maxCluster <= 0) {
+        val a = both.select(col("cluster"), col("vec_id").as("id_a"), col("uv").as("va"))
+        val b = both.select(col("cluster").as("cluster_b"),
+          col("vec_id").as("id_b"), col("uv").as("vb"))
+        (a.join(b,
+          col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+          .select("id_a", "va", "id_b", "vb"), Seq(both))
+      } else {
+        // hot-cluster guard (default ON, [[DefaultMaxCluster]], mirrored
+        // in the oracle SQL): oversized clusters score members against the
+        // cluster-min representative only — the MinHash rep-link discipline
+        val sizes = both.groupBy("cluster")
+          .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("rep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val small = both.join(
+          sizes.filter(col("cluster_n") <= maxCluster).select("cluster"),
+          Seq("cluster"), "left_semi")
+        val a = small.select(col("cluster"), col("vec_id").as("id_a"), col("uv").as("va"))
+        val b = small.select(col("cluster").as("cluster_b"),
+          col("vec_id").as("id_b"), col("uv").as("vb"))
+        val smallPairs = a.join(b,
+          col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+          .select("id_a", "va", "id_b", "vb")
+        // rep = cluster min ⇒ id_a < id_b holds by construction
+        val hot = sizes.filter(col("cluster_n") > maxCluster)
+          .select(col("cluster"), col("rep"))
+          .join(unit.select(col("vec_id").as("rep"), col("uv").as("va")), "rep")
+        val bigPairs = both.join(hot, Seq("cluster"))
+          .filter(col("vec_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("va"),
+            col("vec_id").as("id_b"), col("uv").as("vb"))
+        (smallPairs.unionByName(bigPairs), Seq(both, sizes))
+      }
     val dropped = cosinePairs(cand, "id_a", "va", "id_b", "vb")
       .filter(col("cos") >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
     val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
       .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
-    Caching.materializeAndRelease(res, unit, assign)
+    Caching.materializeAndRelease(res, (Seq(unit, assign) ++ owned): _*)
   }
 
   /** Exact near-duplicate pairs over a similarity threshold — the O(n²)
@@ -1049,16 +1120,45 @@ object Similarity {
       vectors: DataFrame,
       threshold: Double,
       tables: Int = 16,
-      bits: Int = 0): DataFrame = {
+      bits: Int = 0,
+      maxBucket: Int = DefaultMaxLshBucket): DataFrame = {
     val nBits = resolveBits(vectors, bits, tables, "nearDupPairsLsh",
       TargetBucketOccupancy)
     val tb = lshTablesFast(vectors, tables, nBits)
-    val a = tb.select(col("vec_id").as("vec_a"), col("t"), col("tbucket"))
-    val b = tb.select(col("vec_id").as("vec_b"), col("t"), col("tbucket"))
-    val cand = a.join(b, Seq("t", "tbucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cand, owned) =
+      if (maxBucket <= 0) {
+        val a = tb.select(col("vec_id").as("vec_a"), col("t"), col("tbucket"))
+        val b = tb.select(col("vec_id").as("vec_b"), col("t"), col("tbucket"))
+        (a.join(b, Seq("t", "tbucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b")
+          .distinct(), Seq(tb))
+      } else {
+        // hot-bucket guard (default ON, [[DefaultMaxLshBucket]], mirrored
+        // in the oracle SQL): cells over the cap rep-link through the
+        // bucket-min id instead of enumerating all pairs — bounded
+        // candidate volume at ANY occupancy, families stay star-connected
+        val sizes = tb.groupBy("t", "tbucket")
+          .agg(count(lit(1)).as("bucket_n"), min(col("vec_id")).as("rep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val small = tb.join(
+          sizes.filter(col("bucket_n") <= maxBucket).select("t", "tbucket"),
+          Seq("t", "tbucket"), "left_semi")
+        val a = small.select(col("vec_id").as("vec_a"), col("t"), col("tbucket"))
+        val b = small.select(col("vec_id").as("vec_b"), col("t"), col("tbucket"))
+        val smallPairs = a.join(b, Seq("t", "tbucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b")
+        // rep = bucket min ⇒ vec_a < vec_b holds by construction
+        val bigPairs = tb.join(
+          sizes.filter(col("bucket_n") > maxBucket)
+            .select(col("t"), col("tbucket"), col("rep")),
+          Seq("t", "tbucket"))
+          .filter(col("vec_id") =!= col("rep"))
+          .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+        (smallPairs.unionByName(bigPairs).distinct(), Seq(tb, sizes))
+      }
     val unit = unitVectors(vectors)
     val pairs = cand
       .join(unit.select(col("vec_id").as("vec_a"), col("uv").as("va")), "vec_a")
@@ -1066,6 +1166,6 @@ object Similarity {
     val res = cosinePairs(pairs, "vec_a", "va", "vec_b", "vb")
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
-    Caching.materializeAndRelease(res, unit)
+    Caching.materializeAndRelease(res, (unit +: owned): _*)
   }
 }

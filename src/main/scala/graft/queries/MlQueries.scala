@@ -259,6 +259,13 @@ object MlQueries {
     // recall-1.0 LSH at 0.3 is impossible sub-quadratically; the banding
     // is therefore part of the operator definition and oracle-mirrored
     // (exact nearDupPairs remains available for full-recall needs).
+    // The DefaultMaxLshBucket hot-bucket guard (default ON, mirrored in
+    // the oracle) bounds the pinned-bits config at ANY corpus size:
+    // buckets over the cap rep-link through the bucket-min id instead of
+    // enumerating all pairs, so candidate volume stays linear in n even
+    // when n >> 2^8 uniformly floods every bucket (the measured sf10
+    // spill-kill this guard closes; emb_neardup_auto remains the
+    // scale-correct sizing).
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsLsh(tbl(s, dir, "embeddings"), threshold = 0.3,
         tables = 16, bits = 8)), // pinned for oracle-hash stability
@@ -380,6 +387,11 @@ object MlQueries {
     // near-dup cosine scored only within a cluster, keep the lowest id.
     // One flag per vector; the oracle reruns the identical integer-exact
     // assignment (shared CTE chain with emb_kmeans) + double cosines.
+    // The DefaultMaxCluster hot-cluster guard (default ON, oracle-mirrored)
+    // bounds the pinned-k config: clusters over the cap score members
+    // against the cluster-min representative only, turning the N²/2k pair
+    // term (the measured 678 s cliff at 200k vectors, SCALE_r11 §12) into
+    // n star links.
     "emb_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(tbl(s, dir, "embeddings"),
         k = 8, iters = 1, threshold = 0.4)),
@@ -503,6 +515,33 @@ object MlQueries {
           v -> CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS q
         FROM embeddings"""
 
+  /** LSH candidate CTEs over a `tb (vec_id, t, tbucket)` relation with the
+    * [[Similarity.DefaultMaxLshBucket]] hot-bucket guard mirrored
+    * integer-for-integer: cells at or under the cap enumerate all pairs;
+    * oversized cells rep-link every member to the bucket-min vec_id (a
+    * star — same discipline as the MinHash band oracle). Shared verbatim
+    * by `emb_neardup` and `emb_neardup_auto` so both anchors check the
+    * SAME guard the Spark operator applies.
+    */
+  private val lshCandSql =
+    s"""bsizes AS (
+            SELECT t, tbucket, COUNT(*) AS bucket_n, MIN(vec_id) AS rep
+            FROM tb GROUP BY t, tbucket),
+          cand AS (
+            SELECT DISTINCT vec_a, vec_b FROM (
+              SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+              FROM tb a
+              JOIN bsizes s ON s.t = a.t AND s.tbucket = a.tbucket
+                           AND s.bucket_n <= ${Similarity.DefaultMaxLshBucket}
+              JOIN tb c ON a.t = c.t AND a.tbucket = c.tbucket
+                       AND a.vec_id < c.vec_id
+              UNION ALL
+              SELECT s.rep AS vec_a, m.vec_id AS vec_b
+              FROM tb m
+              JOIN bsizes s ON s.t = m.t AND s.tbucket = m.tbucket
+                           AND s.bucket_n > ${Similarity.DefaultMaxLshBucket}
+              WHERE m.vec_id <> s.rep))"""
+
   /** The one-update k-means assignment as a reusable CTE chain (init =
     * first k ids, one integer-exact Lloyd update, final assignment `a1`)
     * — shared verbatim by the `emb_kmeans` oracle and the SemDeDup
@@ -546,6 +585,42 @@ object MlQueries {
 
   /** The pinned-k=8 chain (emb_kmeans / emb_semantic_dedup oracles). */
   private lazy val kmeansA1Ctes = kmeansCtes("8")
+
+  /** SemDeDup tail over an `a1 (vec_id, cluster)` assignment with the
+    * [[Similarity.DefaultMaxCluster]] hot-cluster guard mirrored: clusters
+    * at or under the cap enumerate all within-cluster pairs; oversized
+    * clusters score members against the cluster-min representative only
+    * (star). Shared by `emb_semantic_dedup` and `emb_semantic_dedup_auto`
+    * so pinned-k and auto-k check the SAME guard the Spark operator
+    * applies.
+    */
+  private val semDedupTailSql =
+    s"""csizes AS (
+            SELECT cluster, COUNT(*) AS cluster_n, MIN(vec_id) AS rep
+            FROM a1 GROUP BY cluster),
+          cpairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM a1 a
+            JOIN csizes s ON s.cluster = a.cluster
+                         AND s.cluster_n <= ${Similarity.DefaultMaxCluster}
+            JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            UNION ALL
+            SELECT s.rep AS id_a, m.vec_id AS id_b
+            FROM a1 m
+            JOIN csizes s ON s.cluster = m.cluster
+                         AND s.cluster_n > ${Similarity.DefaultMaxCluster}
+            WHERE m.vec_id <> s.rep),
+          dropped AS (
+            SELECT DISTINCT p.id_b AS vec_id
+            FROM cpairs p
+            JOIN embeddings ea ON ea.vec_id = p.id_a
+            JOIN embeddings eb ON eb.vec_id = p.id_b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4)
+          SELECT e.vec_id,
+                 CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_dup
+          FROM embeddings e LEFT JOIN dropped d USING (vec_id)"""
 
   /** COUNT(*)-derived SemDeDup cluster count — mirrors
     * [[Similarity.autoKmeansK]] integer-for-integer.
@@ -780,10 +855,7 @@ object MlQueries {
                         THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
                      AS tbucket
             FROM dots GROUP BY vec_id, t),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-            FROM tb a JOIN tb c
-              ON a.t = c.t AND a.tbucket = c.tbucket AND a.vec_id < c.vec_id)
+          $lshCandSql
           SELECT vec_a, vec_b FROM cand
           JOIN embeddings ea ON ea.vec_id = vec_a
           JOIN embeddings eb ON eb.vec_id = vec_b
@@ -885,10 +957,7 @@ object MlQueries {
                         THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
                      AS tbucket
             FROM dots GROUP BY vec_id, t),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-            FROM tb a JOIN tb c
-              ON a.t = c.t AND a.tbucket = c.tbucket AND a.vec_id < c.vec_id)
+          $lshCandSql
           SELECT vec_a, vec_b FROM cand
           JOIN embeddings ea ON ea.vec_id = vec_a
           JOIN embeddings eb ON eb.vec_id = vec_b
@@ -899,32 +968,10 @@ object MlQueries {
     "emb_pq_ann" -> pqAnnSql,
     "emb_semantic_dedup" ->
       s"""WITH $kmeansA1Ctes,
-          dropped AS (
-            SELECT DISTINCT b.vec_id
-            FROM a1 a JOIN a1 b
-              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-            JOIN embeddings ea ON ea.vec_id = a.vec_id
-            JOIN embeddings eb ON eb.vec_id = b.vec_id
-            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4)
-          SELECT e.vec_id,
-                 CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
-                   AS is_dup
-          FROM embeddings e LEFT JOIN dropped d USING (vec_id)""",
+          $semDedupTailSql""",
     "emb_semantic_dedup_auto" ->
       s"""WITH ${kmeansCtes(autoKSql)},
-          dropped AS (
-            SELECT DISTINCT b.vec_id
-            FROM a1 a JOIN a1 b
-              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-            JOIN embeddings ea ON ea.vec_id = a.vec_id
-            JOIN embeddings eb ON eb.vec_id = b.vec_id
-            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4)
-          SELECT e.vec_id,
-                 CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
-                   AS is_dup
-          FROM embeddings e LEFT JOIN dropped d USING (vec_id)""",
+          $semDedupTailSql""",
     "emb_label_centroid" ->
       s"""SELECT CAST(label AS BIGINT) AS label, d AS dim,
                  CAST(SUM(q[CAST(d AS INTEGER)+1]) AS BIGINT) AS q_sum,
