@@ -113,7 +113,9 @@ object Bench {
       catch { case _: Exception => "unknown" }
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_first":${jsonMap(firsts)},"repeat":$repeat,"isolation":"$mode","sf":"$sfDir","provenance":"$who@$commit"$passesJson}"""
-    try Files.writeString(Paths.get(outFile), json)
+    // newline-terminated: line-oriented tooling (wc -l, tail, jq -c
+    // pipelines) miscounts a file whose last line has no terminator
+    try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     // Stop Spark BEFORE the stdout emit so no shutdown chatter can follow it:
     // the driver parses the process's LAST stdout line as JSON (sbt's
