@@ -92,11 +92,136 @@ object StreamingNearDup {
     */
   val MaxKeyRows = 1024
 
-  private val indexSchema = StructType(Seq(
+  private[graft] val indexSchema = StructType(Seq(
     StructField("band", LongType),
     StructField("band_key", StringType),
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType))))
+
+  /** The new-side probe rows for a batch of (doc_id, text): MinHash
+    * signature + band keys + index-bucket id per (doc, band). Shared by
+    * this operator's own micro-batch and the composed
+    * [[StreamingPipeline]] near-dup stage so both index the SAME rows.
+    */
+  private[graft] def bandRows(docs: DataFrame, numBuckets: Int): DataFrame = {
+    val sigs = Dedup.minhashSignatures(docs.toDF(), "doc_id", "text")
+    Dedup.bandKeys(sigs)
+      .join(Dedup.sigArray(sigs), "doc_id")
+      .withColumn("bucket", pmod(hash(col("band"), col("band_key")), lit(numBuckets)))
+  }
+
+  /** Result of one pruned probe: `matches` is (new_doc, old_doc,
+    * n_shared_bands, n_eq) — UNMATERIALIZED (the caller decides where it
+    * lands); `idx` is the pruned index scan when any bucket was probed
+    * (for telemetry counts).
+    */
+  private[graft] final case class ProbeResult(
+      matches: DataFrame,
+      bucketsProbed: Int,
+      bucketsOccupied: Int,
+      idx: Option[DataFrame],
+      inListKeys: Int)
+
+  /** The probe stage alone, against a CALLER-persisted `rows` (the
+    * [[bandRows]] shape — this method runs several actions over it):
+    * prune to touched+occupied buckets, push the batch's band keys into
+    * the scan (bounded IN-list or broadcast semi-join), cap viral keys,
+    * verify candidates by signature agreement. Reused by the composed
+    * [[StreamingPipeline]], so "near-dup against all history" is ONE
+    * implementation wherever it appears.
+    */
+  private[graft] def probeMatches(
+      rows: DataFrame,
+      indexPath: String,
+      numBuckets: Int,
+      minEq: Int,
+      probeAllBuckets: Boolean = false,
+      maxPushdownKeys: Int = MaxPushdownKeys,
+      maxKeyRows: Int = MaxKeyRows): ProbeResult = {
+    val spark = rows.sparkSession
+    val storeDir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkIndexLayout(fs, storeDir, numBuckets)
+    // touched buckets: driver-side METADATA, ≤ numBuckets ids — the
+    // same O(#partitions) collect the prefix-sum packing does, not a
+    // data collect
+    val touched = rows.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val occupied =
+      if (!fs.exists(storeDir)) Array.empty[Int]
+      else fs.listStatus(storeDir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+    val probeIds =
+      if (probeAllBuckets) occupied.toSeq // the naive A/B leg: full-index probe
+      else occupied.filter(touched.contains).toSeq
+    val probePaths = probeIds.map(b => s"$indexPath/bucket=$b")
+    // the batch's band keys, pushed into the bucket scan so
+    // compaction-sorted files row-group-prune to point lookups
+    // (PushedFilters: In(band_key, ...)) — but BOUNDED: the collect is
+    // limit(MaxPushdownKeys + 1), and past the threshold the probe
+    // switches to a broadcast semi-join instead of a driver literal
+    // (ADVICE_r8: an unbounded batch×NumBands IN-list is a driver-
+    // memory and plan-size blowup on a catch-up batch). The naive A/B
+    // leg skips it — it exists to price the rescan shape.
+    var inListKeys = 0
+    val idx =
+      if (probePaths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+      else {
+        val scan = spark.read.schema(indexSchema).parquet(probePaths: _*)
+        if (probeAllBuckets) scan
+        else {
+          val distinctKeys = rows.select("band_key").distinct()
+          val sample = distinctKeys.limit(maxPushdownKeys + 1).collect()
+          if (sample.length <= maxPushdownKeys) {
+            inListKeys = sample.length
+            scan.filter(col("band_key").isInCollection(
+              sample.map(_.getString(0)).toSeq))
+          } else {
+            inListKeys = -1
+            scan.join(broadcast(distinctKeys), Seq("band_key"), "left_semi")
+          }
+        }
+      }
+    // hot-key guard: cap the OLD side of both candidate joins to the
+    // MaxKeyRows smallest doc_ids per (band, band_key) — runs on the
+    // already-pruned probe subset, so the window is O(probe), and a
+    // viral key degrades to representative matching instead of an
+    // unbounded fan-out
+    def capPerKey(df: DataFrame): DataFrame =
+      if (maxKeyRows <= 0) df
+      else df.withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "band_key").orderBy("old_doc")))
+        .filter(col("_rn") <= maxKeyRows).drop("_rn")
+    val old = capPerKey(idx.select(col("band"), col("band_key"),
+      col("doc_id").as("old_doc"), col("sig").as("old_sig")))
+    val newBands = rows.select(col("doc_id").as("new_doc"),
+      col("band"), col("band_key"), col("sig"))
+    val vsHistory = newBands.join(old, Seq("band", "band_key"))
+      .filter(col("old_doc") =!= col("new_doc"))
+    // within-batch: both sides new, ordered to emit each pair once
+    val inBatch = newBands.join(
+      capPerKey(rows.select(col("doc_id").as("old_doc"), col("band"),
+        col("band_key"), col("sig").as("old_sig"))),
+      Seq("band", "band_key"))
+      .filter(col("old_doc") < col("new_doc"))
+    val nEq = aggregate(
+      zip_with(col("sig"), col("old_sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val matches = vsHistory.unionByName(inBatch)
+      .groupBy("new_doc", "old_doc")
+      .agg(count(lit(1)).as("n_shared_bands"),
+        first(col("sig")).as("sig"), first(col("old_sig")).as("old_sig"))
+      .withColumn("n_eq", nEq)
+      .filter(col("n_eq") >= minEq)
+      .select("new_doc", "old_doc", "n_shared_bands", "n_eq")
+    ProbeResult(matches, probeIds.size, occupied.length,
+      if (probePaths.isEmpty) None else Some(idx), inListKeys)
+  }
 
   /** Start the standing query: `docs` must stream (doc_id, text) rows.
     * `minEq` is the match threshold in signature components (of
@@ -134,99 +259,20 @@ object StreamingNearDup {
       maxKeyRows: Int = MaxKeyRows): ProbeStats = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
-    val sigs = Dedup.minhashSignatures(batch.toDF(), "doc_id", "text")
-    val rows = Dedup.bandKeys(sigs)
-      .join(Dedup.sigArray(sigs), "doc_id")
-      .withColumn("bucket", pmod(hash(col("band"), col("band_key")), lit(numBuckets)))
+    val rows = bandRows(batch, numBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // touched buckets: driver-side METADATA, ≤ numBuckets ids — the
-      // same O(#partitions) collect the prefix-sum packing does, not a
-      // data collect
-      val touched = rows.select("bucket").distinct().collect()
-        .map(_.getInt(0)).toSet
+      val pr = probeMatches(rows, indexPath, numBuckets, minEq,
+        probeAllBuckets, maxPushdownKeys, maxKeyRows)
+      pr.matches.write.mode("overwrite").parquet(s"$matchesPath/batch-$batchId")
+      val nMatches = spark.read.parquet(s"$matchesPath/batch-$batchId").count()
+      val idxRows = pr.idx.map(_.count()).getOrElse(0L)
       val storeDir = new org.apache.hadoop.fs.Path(indexPath)
       val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      checkIndexLayout(fs, storeDir, numBuckets)
-      val occupied =
-        if (!fs.exists(storeDir)) Array.empty[Int]
-        else fs.listStatus(storeDir)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-          .map(_.getPath.getName.stripPrefix("bucket=").toInt)
-      val probeIds =
-        if (probeAllBuckets) occupied.toSeq // the naive A/B leg: full-index probe
-        else occupied.filter(touched.contains).toSeq
-      val probePaths = probeIds.map(b => s"$indexPath/bucket=$b")
-      // the batch's band keys, pushed into the bucket scan so
-      // compaction-sorted files row-group-prune to point lookups
-      // (PushedFilters: In(band_key, ...)) — but BOUNDED: the collect is
-      // limit(MaxPushdownKeys + 1), and past the threshold the probe
-      // switches to a broadcast semi-join instead of a driver literal
-      // (ADVICE_r8: an unbounded batch×NumBands IN-list is a driver-
-      // memory and plan-size blowup on a catch-up batch). The naive A/B
-      // leg skips it — it exists to price the rescan shape.
-      var inListKeys = 0
-      val idx =
-        if (probePaths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
-        else {
-          val scan = spark.read.schema(indexSchema).parquet(probePaths: _*)
-          if (probeAllBuckets) scan
-          else {
-            val distinctKeys = rows.select("band_key").distinct()
-            val sample = distinctKeys.limit(maxPushdownKeys + 1).collect()
-            if (sample.length <= maxPushdownKeys) {
-              inListKeys = sample.length
-              scan.filter(col("band_key").isInCollection(
-                sample.map(_.getString(0)).toSeq))
-            } else {
-              inListKeys = -1
-              scan.join(broadcast(distinctKeys), Seq("band_key"), "left_semi")
-            }
-          }
-        }
-      // hot-key guard: cap the OLD side of both candidate joins to the
-      // MaxKeyRows smallest doc_ids per (band, band_key) — runs on the
-      // already-pruned probe subset, so the window is O(probe), and a
-      // viral key degrades to representative matching instead of an
-      // unbounded fan-out
-      def capPerKey(df: DataFrame): DataFrame =
-        if (maxKeyRows <= 0) df
-        else df.withColumn("_rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("band", "band_key").orderBy("old_doc")))
-          .filter(col("_rn") <= maxKeyRows).drop("_rn")
-      val old = capPerKey(idx.select(col("band"), col("band_key"),
-        col("doc_id").as("old_doc"), col("sig").as("old_sig")))
-      val newBands = rows.select(col("doc_id").as("new_doc"),
-        col("band"), col("band_key"), col("sig"))
-      val vsHistory = newBands.join(old, Seq("band", "band_key"))
-        .filter(col("old_doc") =!= col("new_doc"))
-      // within-batch: both sides new, ordered to emit each pair once
-      val inBatch = newBands.join(
-        capPerKey(rows.select(col("doc_id").as("old_doc"), col("band"),
-          col("band_key"), col("sig").as("old_sig"))),
-        Seq("band", "band_key"))
-        .filter(col("old_doc") < col("new_doc"))
-      val nEq = aggregate(
-        zip_with(col("sig"), col("old_sig"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v)
-      val matches = vsHistory.unionByName(inBatch)
-        .groupBy("new_doc", "old_doc")
-        .agg(count(lit(1)).as("n_shared_bands"),
-          first(col("sig")).as("sig"), first(col("old_sig")).as("old_sig"))
-        .withColumn("n_eq", nEq)
-        .filter(col("n_eq") >= minEq)
-        .select("new_doc", "old_doc", "n_shared_bands", "n_eq")
-      matches.write.mode("overwrite").parquet(s"$matchesPath/batch-$batchId")
-      val nMatches = spark.read.parquet(s"$matchesPath/batch-$batchId").count()
-      val idxRows = if (probePaths.isEmpty) 0L else idx.count()
       appendIndexDelta(rows, batchId, indexPath, numBuckets, compactThreshold, fs, storeDir)
       ProbeStats(batchId, rows.select("doc_id").distinct().count(),
-        probeIds.size, occupied.length, idxRows, nMatches,
-        (System.nanoTime() - t0) / 1000000L, inListKeys)
+        pr.bucketsProbed, pr.bucketsOccupied, idxRows, nMatches,
+        (System.nanoTime() - t0) / 1000000L, pr.inListKeys)
     } finally rows.unpersist()
   }
 
@@ -234,7 +280,7 @@ object StreamingNearDup {
     * with a different `numBuckets` would silently probe the wrong
     * buckets (missed duplicates, no error).
     */
-  private def checkIndexLayout(
+  private[graft] def checkIndexLayout(
       fs: org.apache.hadoop.fs.FileSystem,
       storeDir: org.apache.hadoop.fs.Path,
       numBuckets: Int): Unit =
@@ -251,7 +297,7 @@ object StreamingNearDup {
     * ([[BucketIndex.appendDelta]]); compaction sorts by band_key so the
     * probe's pushdown filter row-group-prunes.
     */
-  private def appendIndexDelta(
+  private[graft] def appendIndexDelta(
       rows: DataFrame,
       batchId: Long,
       indexPath: String,

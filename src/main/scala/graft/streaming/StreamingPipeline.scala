@@ -76,16 +76,20 @@ object StreamingPipeline {
       modelPath: String,
       outPath: String,
       keysPath: String,
+      sigsPath: String,
       checkpoint: String,
       numBuckets: Int = 64,
-      compactThreshold: Int = 8): StreamingQuery =
+      compactThreshold: Int = 8,
+      minEq: Int = 8): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           processBatch(batch, batchId, modelPath, outPath, keysPath,
-            numBuckets, compactThreshold)
+            sigsPath, numBuckets, compactThreshold, minEq)
+          ()
+        }
       }
       .start()
 
@@ -95,18 +99,24 @@ object StreamingPipeline {
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       modelPath: String, outPath: String, keysPath: String,
-      numBuckets: Int = 64, compactThreshold: Int = 8): Unit = {
+      sigsPath: String, numBuckets: Int = 64, compactThreshold: Int = 8,
+      minEq: Int = 8): Option[StreamingNearDup.ProbeResult] = {
     val spark = batch.sparkSession
     val storeDir = new Path(keysPath)
     val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     BucketIndex.checkLayout(fs, storeDir, "_pipe_layout", numBuckets.toString)
+    val sigsDir = new Path(sigsPath)
+    // checked in BOTH worlds (the replay branch skips the probe, whose
+    // own check would otherwise be the only one before the sig append)
+    StreamingNearDup.checkIndexLayout(fs, sigsDir, numBuckets)
     val outDir = new Path(s"$outPath/batch=$batchId")
 
-    val survivors: DataFrame =
+    val (survivors: DataFrame, probe: Option[StreamingNearDup.ProbeResult]) =
       if (fs.exists(new Path(outDir, "_SUCCESS"))) {
         // replay world (b): committed output is authoritative — do NOT
-        // re-run the anti-join (the index may already hold these keys)
-        spark.read.parquet(outDir.toString).select("doc_id", "text")
+        // re-run the anti-join or the probe (the indexes may already
+        // hold these keys/signatures)
+        (spark.read.parquet(outDir.toString).select("doc_id", "text"), None)
       } else {
         val scrubbed = batch
           .select(col("doc_id"), Pii.scrub(col("text")).as("text"))
@@ -126,11 +136,27 @@ object StreamingPipeline {
           .join(storedKeys(spark, keysPath, fs, storeDir),
             Seq("key_hash"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        fresh.select("doc_id", "text", "n_tokens", "ppl_bits_q")
+        // near-dup stage (the StreamingNearDup probe, composed): a fresh
+        // doc whose MinHash signature agrees with an already-committed
+        // doc in ≥ minEq of NumHashes components — or with a lower-id
+        // doc in this batch — is dropped. The probe reads ONLY the
+        // signature-index buckets this batch's band keys hash into.
+        val rows = StreamingNearDup
+          .bandRows(fresh.select("doc_id", "text"), numBuckets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pr = StreamingNearDup.probeMatches(rows, sigsPath, numBuckets, minEq)
+        val dupIds = pr.matches.select(col("new_doc").as("doc_id")).distinct()
+        fresh.join(dupIds, Seq("doc_id"), "left_anti")
+          .select("doc_id", "text", "n_tokens", "ppl_bits_q")
           .write.mode("overwrite").parquet(outDir.toString)
-        val out = fresh.select("doc_id", "text")
+        rows.unpersist(blocking = false)
         fresh.unpersist(blocking = false)
-        out
+        // the just-committed parquet is the ONE evaluation of the
+        // anti-join + probe pipeline: deriving survivors from `fresh`'s
+        // lineage would re-run the whole history probe inside
+        // appendDelta (measured double key-store scan per batch) — read
+        // the commit back instead, exactly as the replay branch does
+        (spark.read.parquet(outDir.toString).select("doc_id", "text"), Some(pr))
       }
 
     val keyed = survivors.select(keyOf(col("text")).as("key_hash"))
@@ -142,6 +168,15 @@ object StreamingPipeline {
       batchId, keysPath, numBuckets, compactThreshold,
       schema = KeySchema, dedupCols = Seq("key_hash"),
       sortCols = Seq("key_hash"), fs, storeDir)
+    // signature-index append LAST, survivors only (a dropped doc never
+    // indexes), recomputed from the committed text so fresh and replay
+    // worlds share one path; same-batchId re-appends are file-level
+    // idempotent, so any crash window between the three writes replays
+    // clean
+    StreamingNearDup.appendIndexDelta(
+      StreamingNearDup.bandRows(survivors, numBuckets),
+      batchId, sigsPath, numBuckets, compactThreshold, fs, sigsDir)
+    probe
   }
 
   /** Every key committed so far (empty DF before the first append). */

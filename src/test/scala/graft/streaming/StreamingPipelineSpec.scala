@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import graft.SparkSuite
-import graft.operators.{Lm, Pii}
+import graft.operators.{Dedup, Lm, Pii}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,12 +12,15 @@ final case class PDoc(doc_id: Long, text: String)
 
 /** The at-ingest composed pipeline: every stage's semantics visible in
   * one flow (scrub before everything, quality gate against the FROZEN
-  * threshold, first-arrival-wins dedup across batches), stream output
-  * equal to the batch-kernel equivalent, and replay idempotent across
-  * the crash window between the two per-batch writes.
+  * threshold, first-arrival-wins exact dedup across batches, MinHash-LSH
+  * near-dup against the committed history), stream output equal to the
+  * batch-kernel equivalent, and replay idempotent across the crash
+  * window between the three per-batch writes.
   */
 class StreamingPipelineSpec extends SparkSuite {
   import spark.implicits._
+
+  private val MinEq = 8
 
   // curated training corpus: common alpha/beta vocabulary, an email
   // (so the scrubbed "<email>" token is IN the frozen vocab), and a
@@ -27,20 +30,31 @@ class StreamingPipelineSpec extends SparkSuite {
     PDoc(2L, "alpha beta gamma alpha admin@example.com gamma"),
     PDoc(3L, "omega"))
 
-  // batch A: keeper, garbage, in-batch dup of the keeper, PII keeper;
-  // batch B: cross-batch dup of the keeper, fresh keeper
+  // batch A: keeper, garbage, in-batch exact dup of the keeper, PII
+  // keeper; batch B: cross-batch exact dup of the keeper, plus a
+  // NEAR-dup of it — different text (so a different exact key) whose
+  // 3-gram shingle SET is identical to doc 10's ({aba, bab} from the
+  // alternating alpha/beta run), hence an identical MinHash signature:
+  // only the near-dup stage can catch it
+  // doc 13 shares NO shingle with doc 10 ("alpha alpha beta …" vs the
+  // alternating run — measured n_eq = 0): the former "alpha beta alpha
+  // <EMAIL>" text, a 1/3-Jaccard pair with doc 10, measured n_eq = 9 ≥
+  // minEq under this fixed hash family and would be dragged into the
+  // near-dup stage this test wants to see the PII doc pass
   private val batchA = Seq(
     PDoc(10L, "alpha beta alpha beta"),
     PDoc(11L, "zzz yyy xxx www zzz"),
     PDoc(12L, "alpha beta alpha beta"),
-    PDoc(13L, "alpha beta alpha admin@test.org"))
+    PDoc(13L, "alpha alpha beta admin@test.org"))
   private val batchB = Seq(
     PDoc(20L, "alpha beta alpha beta"),
     PDoc(21L, "beta alpha beta alpha beta"))
 
   /** The batch-kernel equivalent of the whole flow over ALL arriving
     * docs (global first-wins = lowest doc_id — arrival order and id
-    * order coincide here by construction).
+    * order coincide here by construction; the fixture has no near-dup
+    * CHAINS, so the global drop-vs-any-lower-id rule equals the
+    * stream's batch-sequential drop-vs-committed rule).
     */
   private def batchEquivalent(model: String): Set[(Long, Long, Long)] = {
     val scrubbed = (batchA ++ batchB).toDF()
@@ -48,11 +62,33 @@ class StreamingPipelineSpec extends SparkSuite {
     val snap = Lm.loadModel(spark, model)
     val th = spark.read.parquet(s"$model/threshold").head().getLong(0)
     val w = Window.partitionBy(col("key_hash")).orderBy(col("doc_id"))
-    Lm.scoreUnigramFrozen(scrubbed, snap)
+    val exact = Lm.scoreUnigramFrozen(scrubbed, snap)
       .filter(col("ppl_bits_q") <= th)
       .join(scrubbed, "doc_id")
       .withColumn("key_hash", md5(substring(lower(col("text")), 1, 64)))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "text", "n_tokens", "ppl_bits_q")
+    // near-dup stage, batch kernels: band-sharing candidates (the same
+    // LSH candidate rule the stream probes with) verified by signature
+    // agreement; the higher-id member of a matching pair drops
+    val sigs = Dedup.minhashSignatures(
+      exact.select("doc_id", "text"), "doc_id", "text")
+    val bands = Dedup.bandKeys(sigs).join(Dedup.sigArray(sigs), "doc_id")
+    val cand = bands.select(col("doc_id").as("new_doc"),
+        col("band"), col("band_key"), col("sig"))
+      .join(bands.select(col("doc_id").as("old_doc"), col("band"),
+        col("band_key"), col("sig").as("old_sig")), Seq("band", "band_key"))
+      .filter(col("old_doc") < col("new_doc"))
+      .groupBy("new_doc", "old_doc")
+      .agg(first(col("sig")).as("sig"), first(col("old_sig")).as("old_sig"))
+    val nEq = aggregate(
+      zip_with(col("sig"), col("old_sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val dropped = cand.withColumn("n_eq", nEq)
+      .filter(col("n_eq") >= MinEq)
+      .select(col("new_doc").as("doc_id")).distinct()
+    exact.join(dropped, Seq("doc_id"), "left_anti")
       .select("doc_id", "n_tokens", "ppl_bits_q")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
@@ -60,13 +96,14 @@ class StreamingPipelineSpec extends SparkSuite {
   test("stream equals batch kernels; stages compose; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("spipe").toString
-    val (model, out, keys) = (s"$base/model", s"$base/out", s"$base/keys")
+    val (model, out, keys, sigs) =
+      (s"$base/model", s"$base/out", s"$base/keys", s"$base/sigs")
     StreamingPipeline.trainAndFreeze(corpus.toDF(), model)
 
     val in = MemoryStream[PDoc]
     // small bucket count + aggressive compaction so the LSM fold runs
     // WITHIN this test, not just in theory
-    val q = StreamingPipeline.start(in.toDF(), model, out, keys,
+    val q = StreamingPipeline.start(in.toDF(), model, out, keys, sigs,
       s"$base/ckpt", numBuckets = 8, compactThreshold = 2)
     try {
       in.addData(batchA: _*); q.processAllAvailable()
@@ -75,8 +112,10 @@ class StreamingPipelineSpec extends SparkSuite {
 
     val streamed = StreamingPipeline.readOut(spark, out)
     val ids = streamed.select("doc_id").as[Long].collect().toSet
-    // quality gate dropped the garbage, dedup dropped BOTH dup arrivals
-    assert(ids == Set(10L, 13L, 21L), s"unexpected survivors: $ids")
+    // quality gate dropped the garbage; exact dedup dropped BOTH exact
+    // dup arrivals; the near-dup stage dropped doc 21 (same signature
+    // as committed doc 10 under a different exact key)
+    assert(ids == Set(10L, 13L), s"unexpected survivors: $ids")
     // the PII doc survived WITH redaction (scrub ran before everything)
     val piiText = streamed.filter(col("doc_id") === 13L)
       .select("text").as[String].head()
@@ -90,35 +129,137 @@ class StreamingPipelineSpec extends SparkSuite {
 
     // replay world (b): output committed, checkpoint lost — the batch
     // replays under the same id twice; the committed survivors are
-    // authoritative and the key re-append is file-level idempotent
+    // authoritative and the key/signature re-appends are file-level
+    // idempotent
     StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys,
-      numBuckets = 8, compactThreshold = 2)
+      sigs, numBuckets = 8, compactThreshold = 2)
     StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys,
-      numBuckets = 8, compactThreshold = 2)
+      sigs, numBuckets = 8, compactThreshold = 2)
     val afterReplay = StreamingPipeline.readOut(spark, out)
       .select("doc_id").as[Long].collect().toSet
-    assert(afterReplay == Set(10L, 13L, 21L),
+    assert(afterReplay == Set(10L, 13L),
       s"replay changed the output: $afterReplay")
 
-    // the worst window: outputs committed but the ENTIRE key index lost
-    // (crash between commit and append, every batch). Replaying both
-    // ids must leave the outputs untouched and rebuild the index whole —
-    // proven by a NEW batch whose dup of doc 10 is still dropped.
+    // the worst window: outputs committed but BOTH indexes lost (crash
+    // between commit and the two appends, every batch). Replaying both
+    // ids must leave the outputs untouched and rebuild the indexes
+    // whole — proven by a NEW batch whose exact dup of doc 10 and
+    // near-dup of doc 10 are both still dropped.
     val fs = new org.apache.hadoop.fs.Path(keys)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(keys), true)
+    fs.delete(new org.apache.hadoop.fs.Path(sigs), true)
     StreamingPipeline.processBatch(batchA.toDF(), 0L, model, out, keys,
-      numBuckets = 8, compactThreshold = 2)
+      sigs, numBuckets = 8, compactThreshold = 2)
     StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys,
-      numBuckets = 8, compactThreshold = 2)
+      sigs, numBuckets = 8, compactThreshold = 2)
     val batchC = Seq(
-      PDoc(30L, "alpha beta alpha beta"),   // dup of doc 10 — must drop
-      PDoc(31L, "alpha alpha beta alpha"))  // fresh — must survive
+      PDoc(30L, "alpha beta alpha beta"), // exact dup of 10 — drop
+      PDoc(31L, "beta alpha beta alpha"), // near-dup of 10 (same shingle
+      //   SET as the alternating run ⇒ identical signature) — drop
+      // candidate-but-not-duplicate: shares bands with docs 10/13 but
+      // measured n_eq = 7/6 < minEq — the VERIFY step must keep it
+      PDoc(32L, "alpha beta alpha beta admin@c.org"))
     StreamingPipeline.processBatch(batchC.toDF(), 2L, model, out, keys,
-      numBuckets = 8, compactThreshold = 2)
+      sigs, numBuckets = 8, compactThreshold = 2)
     val finalIds = StreamingPipeline.readOut(spark, out)
       .select("doc_id").as[Long].collect().toSet
-    assert(finalIds == Set(10L, 13L, 21L, 31L),
-      s"rebuilt index missed history: $finalIds")
+    assert(finalIds == Set(10L, 13L, 32L),
+      s"rebuilt indexes missed history: $finalIds")
+  }
+
+  test("fresh batch probes the key-store history exactly once, bucket-pruned") {
+    val base = Files.createTempDirectory("sprobe").toString
+    val (model, out, keys, sigs) =
+      (s"$base/model", s"$base/out", s"$base/keys", s"$base/sigs")
+    StreamingPipeline.trainAndFreeze(corpus.toDF(), model)
+    // seed the store so the history probe is a real file scan (an empty
+    // store short-circuits to a LocalRelation and nothing is counted);
+    // compaction off (threshold 0) — its bucket reads are not probes
+    StreamingPipeline.processBatch(batchA.toDF(), 0L, model, out, keys,
+      sigs, numBuckets = 64, compactThreshold = 0)
+
+    // The history probe's keys scan hides under TWO layers the plain
+    // optimizedPlan/executedPlan walks can't see through: the anti-join
+    // subtree is persisted (so every query shows InMemoryRelation, even
+    // the one that materializes it), and the cached plan may be AQE-
+    // wrapped. So count by SQL METRICS: hunt every keys-path
+    // FileSourceScanExec instance — direct, or nested inside an
+    // InMemoryRelation's cachedPlan — identity-deduped, and compare its
+    // accumulated `numFiles` to the store's real file count. The metric
+    // accumulates once per EXECUTION: one probe ⇒ F files read; the
+    // double-anti-join regression ⇒ 2F (or a second direct scan).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    val keyScans = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[FileSourceScanExec, java.lang.Boolean]())
+    val directScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    def huntPhys(p: SparkPlan): Unit = p match {
+      case f: FileSourceScanExec =>
+        if (f.relation.location.rootPaths.exists(_.toString.contains("/keys/")))
+          keyScans.add(f)
+      case s: InMemoryTableScanExec => huntPhys(s.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        huntPhys(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        huntPhys(q.plan)
+      case other => other.children.foreach(huntPhys)
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        directScans.addAndGet(qe.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if r.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                r.relation.asInstanceOf[
+                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.exists(_.toString.contains("/keys/")) => r
+        }.size)
+        qe.optimizedPlan.foreach {
+          case imr: InMemoryRelation => huntPhys(imr.cachedPlan)
+          case _ => ()
+        }
+        seen.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pr = StreamingPipeline.processBatch(batchB.toDF(), 1L, model,
+        out, keys, sigs, numBuckets = 64, compactThreshold = 0)
+      // listener delivery is async: wait until the event count is quiescent
+      var last = -1; var now = seen.get
+      val deadline = System.currentTimeMillis + 20000
+      while ((now != last || now == 0) && System.currentTimeMillis < deadline) {
+        last = now; Thread.sleep(250); now = seen.get
+      }
+      val hfs = new org.apache.hadoop.fs.Path(keys)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val storeFiles = hfs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$keys/bucket=*/*.parquet")).length
+      assert(storeFiles > 0, "seed batch left no key-store files")
+      import scala.jdk.CollectionConverters._
+      val filesRead = keyScans.asScala.toSeq
+        .map(_.metrics("numFiles").value).sum
+      // the regression shape this pins: deriving the key append from the
+      // anti-join's lineage re-ran the history probe inside appendDelta
+      // (a second scan of all F store files); reading the committed
+      // output back makes it exactly one pass over the store
+      assert(directScans.get == 0 && filesRead == storeFiles,
+        s"expected ONE key-store probe ($storeFiles files): " +
+          s"direct=${directScans.get}, filesRead=$filesRead")
+      // and the signature probe was bucket-PRUNED: batch B carries ≤ 2
+      // docs × NumBands band keys, so of 64 buckets it reads at most the
+      // ≤ 10 it touches — probe I/O bounded by the batch, not the index
+      val stats = pr.getOrElse(fail("fresh batch returned no probe stats"))
+      assert(stats.bucketsProbed <= 10,
+        s"probe read ${stats.bucketsProbed} buckets for a ≤10-key batch")
+      assert(stats.bucketsProbed <= stats.bucketsOccupied)
+    } finally spark.listenerManager.unregister(listener)
   }
 }
