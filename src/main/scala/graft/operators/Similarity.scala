@@ -317,6 +317,26 @@ object Similarity {
   def autoKmeansK(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(((n + 1) / 2).toDouble)).toInt)
 
+  /** Coarse cluster count for [[semanticDedupHier]]: the smallest k with
+    * k³ ≥ n (≈ n^(1/3)). Cells are then ~n^(2/3), so coarse assignment is
+    * n·k = n^(4/3) and the per-cell auto-k pass is Σ m^1.5 = k·(n/k)^1.5 =
+    * n^(4/3) — total ~n^(4/3), below the single-level n^1.5.
+    *
+    * INTEGER-EXACT like [[autoLshBits]]: fp cbrt can sit 1 ulp either
+    * side of an exact cube (the log(128)/log(2) class of flip), so the
+    * fp estimate is corrected by direct k³ ≥ n integer probes — the same
+    * two-branch correction the oracle SQL applies to ITS ceil(pow(n,
+    * 1/3)), making the rule reproducible across engines.
+    */
+  def autoCoarseK(n: Long): Int = {
+    val k0 = math.ceil(math.cbrt(n.toDouble)).toLong max 1L
+    val k =
+      if ((k0 - 1) >= 1 && (k0 - 1) * (k0 - 1) * (k0 - 1) >= n) k0 - 1
+      else if (k0 * k0 * k0 >= n) k0
+      else k0 + 1
+    math.max(1L, k).toInt
+  }
+
   /** Resolve a bits knob: positive = pinned by the caller (declared
     * queries pin their config for oracle-hash stability); 0 = auto-size
     * from the corpus count via [[autoLshBits]]. The chosen configuration
@@ -994,6 +1014,109 @@ object Similarity {
       .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
     Caching.materializeAndRelease(res, (Seq(unit, assign) ++ owned): _*)
+  }
+
+  /** Hierarchical SemDeDup — the past-10⁹-vectors form of
+    * [[semanticDedup]]: a coarse k₁ = [[autoCoarseK]] ≈ n^(1/3) k-means
+    * partition, then an auto-k₂ = [[autoKmeansK]](cell size) k-means
+    * WITHIN each cell (seeds = the k₂ lowest vec_ids in the cell, one
+    * integer-exact Lloyd update, final assignment — the same pipeline
+    * shape as [[kmeansAssign]], run distributively per cell with NO
+    * driver-side centroid collect, so the Σ k₂ centroid table scales with
+    * the data, not the driver). Near-dup scoring happens only within a
+    * (cell, subcluster) block under the [[DefaultMaxCluster]] rep-link
+    * cap. Total work ~n^(4/3) versus single-level auto-k's n^1.5
+    * (SCALE_r11 §12's own bound).
+    *
+    * Every step is integer-exact on the [[quantized]] lattice and the
+    * whole chain — coarse CTEs, per-cell seeds, floor-average update,
+    * argmin tie-to-lowest-id, capped block dedup — is reproduced
+    * verbatim in the `emb_semantic_dedup_hier` oracle SQL, with k₁ and
+    * each cell's k₂ derived from COUNT(*) inside the query, so the
+    * sizing rules themselves are under the oracle hash.
+    */
+  def semanticDedupHier(vectors: DataFrame, threshold: Double,
+      maxCluster: Int = DefaultMaxCluster): DataFrame = {
+    val n = vectors.count()
+    val k1 = autoCoarseK(n)
+    val coarse = kmeansAssign(vectors, k1, 1) // checkpointed (vec_id, cluster)
+    val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
+    val withCell = quant.join(coarse, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def sqDist(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+    // per-cell k₂ from the cell's own size (integer-exact: DIV then an
+    // exact sqrt+ceil below 2^52 — the autoKmeansK argument)
+    val k2 = withCell.groupBy("cluster")
+      .agg(count(lit(1)).as("m"))
+      .select(col("cluster"),
+        expr("CAST(ceil(sqrt(CAST((m + 1) DIV 2 AS DOUBLE))) AS BIGINT)").as("k2"))
+    // seeds: the k₂ lowest vec_ids in each cell (reproducible "sampling",
+    // the kmeansAssign init convention applied per cell)
+    val seeds = withCell
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+      .join(k2, "cluster")
+      .filter(col("rn") <= col("k2"))
+      .select(col("cluster"), col("vec_id").as("cid"), col("q").as("cq"))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val a0 = withCell.join(seeds, "cluster")
+      .select(col("vec_id"), col("cluster"), col("cid"),
+        sqDist(col("q"), col("cq")).as("dist"))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select("vec_id", "cluster", "cid")
+    // floor-average update per (cell, seed, dim), reassembled to arrays
+    val c1 = withCell.join(a0.select("vec_id", "cid"), "vec_id")
+      .select(col("cluster"), col("cid"), posexplode(col("q")))
+      .toDF("cluster", "cid", "dim", "qv")
+      .groupBy("cluster", "cid", "dim")
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long")
+        .as("cd"))
+      .groupBy("cluster", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
+        s => s.getField("cd")).as("cq"))
+    val a1 = withCell.join(c1, "cluster")
+      .select(col("vec_id"), col("cluster"), col("cid"),
+        sqDist(col("q"), col("cq")).as("dist"))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("cid").as("sub"))
+    // capped dedup within (cell, subcluster) blocks — the semanticDedup
+    // tail keyed by the composite block id
+    val unit = unitVectors(vectors)
+    val both = a1.join(unit, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = both.groupBy("cluster", "sub")
+      .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val small = both.join(
+      sizes.filter(col("cluster_n") <= maxCluster).select("cluster", "sub"),
+      Seq("cluster", "sub"), "left_semi")
+    val a = small.select(col("cluster"), col("sub"),
+      col("vec_id").as("id_a"), col("uv").as("va"))
+    val b = small.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
+      col("vec_id").as("id_b"), col("uv").as("vb"))
+    val smallPairs = a.join(b,
+      col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "va", "id_b", "vb")
+    val hot = sizes.filter(col("cluster_n") > maxCluster)
+      .select(col("cluster"), col("sub"), col("rep"))
+      .join(unit.select(col("vec_id").as("rep"), col("uv").as("va")), "rep")
+    val bigPairs = both.join(hot, Seq("cluster", "sub"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("va"),
+        col("vec_id").as("id_b"), col("uv").as("vb"))
+    val dropped = cosinePairs(smallPairs.unionByName(bigPairs),
+        "id_a", "va", "id_b", "vb")
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
+      .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+    val out = Caching.materializeAndRelease(res, coarse, withCell, unit,
+      both, sizes)
+    if (ownsQuant) quant.unpersist(blocking = false)
+    out
   }
 
   /** Exact near-duplicate pairs over a similarity threshold — the O(n²)

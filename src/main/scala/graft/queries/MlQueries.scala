@@ -409,6 +409,18 @@ object MlQueries {
       Similarity.semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
     }),
 
+    // Hierarchical SemDeDup — the past-10⁹-vectors scale path: coarse
+    // k₁ = ceil∛N cells, auto-k₂ = ceil√(m/2) k-means WITHIN each cell
+    // (seeds = the cell's k₂ lowest ids, one integer-exact Lloyd
+    // update), near-dup scoring only inside a (cell, subcluster) block
+    // under the rep-link cap. Total work ~N^(4/3) vs single-level
+    // auto-k's N^1.5. The oracle re-derives k₁ AND every per-cell k₂
+    // from its own COUNT(*)s and replays both k-means levels
+    // integer-for-integer.
+    "emb_semantic_dedup_hier" -> ((s, dir) =>
+      Similarity.semanticDedupHier(tbl(s, dir, "embeddings"),
+        threshold = 0.4)),
+
     // Per-label centroid SUMS over integer-quantized embeddings — the
     // aggregation step of class-centroid workflows (k-means init,
     // classifier prototypes, cluster quality). Summing the exact
@@ -627,6 +639,22 @@ object MlQueries {
     */
   private val autoKSql =
     "SELECT CAST(ceil(sqrt(CAST((COUNT(*) + 1) // 2 AS DOUBLE))) AS BIGINT) FROM quant"
+
+  /** COUNT(*)-derived coarse cluster count for the hierarchical SemDeDup
+    * oracle — mirrors [[Similarity.autoCoarseK]]: fp ceil(n^(1/3))
+    * corrected to the exact smallest k with k³ ≥ n by integer cube
+    * probes (fp cbrt is within ±1 of the true ceiling on both engines,
+    * and the correction maps every value in that window to the same k).
+    */
+  private val autoK1Sql =
+    """SELECT CASE
+         WHEN (k0 - 1) >= 1 AND (k0 - 1) * (k0 - 1) * (k0 - 1) >= n THEN k0 - 1
+         WHEN k0 * k0 * k0 >= n THEN k0
+         ELSE k0 + 1 END
+       FROM (SELECT GREATEST(CAST(ceil(pow(CAST(COUNT(*) AS DOUBLE), 1.0/3.0))
+                               AS BIGINT), 1) AS k0,
+                    COUNT(*) AS n
+             FROM quant)"""
 
   /** One PQ subspace's CTE block: the [[kmeansA1Ctes]] pipeline (init =
     * first k ids, one Lloyd update, final assignment) restricted to the
@@ -972,6 +1000,91 @@ object MlQueries {
     "emb_semantic_dedup_auto" ->
       s"""WITH ${kmeansCtes(autoKSql)},
           $semDedupTailSql""",
+    // coarse level = the shared kmeansCtes chain at k₁ = ceil∛N; fine
+    // level = per-cell k-means at k₂ = ceil√((m+1) div 2) with seeds =
+    // the cell's k₂ lowest ids, one floor-average update, argmin ties to
+    // the lowest seed id; dedup inside (cell, subcluster) blocks with the
+    // DefaultMaxCluster rep-link guard — step-for-step what
+    // Similarity.semanticDedupHier executes
+    "emb_semantic_dedup_hier" ->
+      s"""WITH ${kmeansCtes(autoK1Sql)},
+          csz AS (SELECT cluster, COUNT(*) AS m FROM a1 GROUP BY cluster),
+          ck AS (
+            SELECT cluster,
+                   CAST(ceil(sqrt(CAST((m + 1) // 2 AS DOUBLE))) AS BIGINT)
+                     AS k2
+            FROM csz),
+          seed AS (
+            SELECT r.cluster, r.vec_id AS cid, q.q AS cq
+            FROM (SELECT cluster, vec_id,
+                         row_number() OVER (PARTITION BY cluster
+                                            ORDER BY vec_id) AS rn
+                  FROM a1) r
+            JOIN ck ON ck.cluster = r.cluster AND r.rn <= ck.k2
+            JOIN quant q ON q.vec_id = r.vec_id),
+          fd0 AS (
+            SELECT v.vec_id, s.cluster, s.cid,
+                   SUM((v.q[d+1] - s.cq[d+1]) * (v.q[d+1] - s.cq[d+1]))
+                     AS dist
+            FROM quant v JOIN a1 av ON av.vec_id = v.vec_id
+            JOIN seed s ON s.cluster = av.cluster,
+                 generate_series(0, 63) t(d)
+            WHERE d < len(v.q)
+            GROUP BY 1, 2, 3),
+          fa0 AS (
+            SELECT vec_id, cluster, cid FROM (
+              SELECT vec_id, cluster, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM fd0) WHERE rn = 1),
+          fc1 AS (
+            SELECT f.cluster, f.cid, d AS dim,
+                   CAST(floor(CAST(SUM(v.q[d+1]) AS DOUBLE) / COUNT(*))
+                     AS BIGINT) AS cd
+            FROM quant v JOIN fa0 f ON f.vec_id = v.vec_id,
+                 generate_series(0, 63) t(d)
+            WHERE d < len(v.q)
+            GROUP BY 1, 2, 3),
+          fd1 AS (
+            SELECT v.vec_id, c.cluster, c.cid,
+                   SUM((v.q[CAST(c.dim AS INTEGER)+1] - c.cd)
+                     * (v.q[CAST(c.dim AS INTEGER)+1] - c.cd)) AS dist
+            FROM quant v JOIN a1 av ON av.vec_id = v.vec_id
+            JOIN fc1 c ON c.cluster = av.cluster AND c.dim < len(v.q)
+            GROUP BY 1, 2, 3),
+          fa1 AS (
+            SELECT vec_id, cluster, cid AS sub FROM (
+              SELECT vec_id, cluster, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM fd1) WHERE rn = 1),
+          hsizes AS (
+            SELECT cluster, sub, COUNT(*) AS cluster_n, MIN(vec_id) AS rep
+            FROM fa1 GROUP BY cluster, sub),
+          hpairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM fa1 a
+            JOIN hsizes s ON s.cluster = a.cluster AND s.sub = a.sub
+                         AND s.cluster_n <= ${Similarity.DefaultMaxCluster}
+            JOIN fa1 b ON a.cluster = b.cluster AND a.sub = b.sub
+                      AND a.vec_id < b.vec_id
+            UNION ALL
+            SELECT s.rep AS id_a, m.vec_id AS id_b
+            FROM fa1 m
+            JOIN hsizes s ON s.cluster = m.cluster AND s.sub = m.sub
+                         AND s.cluster_n > ${Similarity.DefaultMaxCluster}
+            WHERE m.vec_id <> s.rep),
+          dropped AS (
+            SELECT DISTINCT p.id_b AS vec_id
+            FROM hpairs p
+            JOIN embeddings ea ON ea.vec_id = p.id_a
+            JOIN embeddings eb ON eb.vec_id = p.id_b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4)
+          SELECT e.vec_id,
+                 CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_dup
+          FROM embeddings e LEFT JOIN dropped d USING (vec_id)""",
     "emb_label_centroid" ->
       s"""SELECT CAST(label AS BIGINT) AS label, d AS dim,
                  CAST(SUM(q[CAST(d AS INTEGER)+1]) AS BIGINT) AS q_sum,

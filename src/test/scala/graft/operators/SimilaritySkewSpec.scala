@@ -74,4 +74,22 @@ class SimilaritySkewSpec extends SparkSuite {
     assert(capped(1L) == 0L)
     assert((301L to 1000L).forall(i => capped(i) == 0L))
   }
+
+  test("semanticDedupHier: viral block rep-linked, flags unchanged") {
+    // a 30% identical family makes BOTH k-means levels collapse (the
+    // seeds are family members, so every centroid is the same point and
+    // all mass lands on the lowest seed id): one giant block, the exact
+    // shape the rep-link cap exists for
+    val uncapped = Similarity
+      .semanticDedupHier(vecs, threshold = 0.99, maxCluster = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = Similarity
+      .semanticDedupHier(vecs, threshold = 0.99, maxCluster = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == uncapped)
+    assert(capped.size == 1000)
+    assert((2L to 300L).forall(i => capped(i) == 1L))
+    assert(capped(1L) == 0L)
+    assert((301L to 1000L).forall(i => capped(i) == 0L))
+  }
 }

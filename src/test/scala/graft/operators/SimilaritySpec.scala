@@ -170,4 +170,34 @@ class SimilaritySpec extends SparkSuite {
     // the auto k must differ from the pinned 8 here, or this proves nothing
     assert(k != 8, s"fixture too small to distinguish auto from pinned: k=$k")
   }
+
+  test("autoCoarseK is the exact smallest k with k^3 >= n, incl. cube edges") {
+    // exact cubes are where the fp cbrt correction earns its keep
+    assert(Similarity.autoCoarseK(1) == 1)
+    assert(Similarity.autoCoarseK(8) == 2)
+    assert(Similarity.autoCoarseK(9) == 3)
+    assert(Similarity.autoCoarseK(27) == 3)
+    assert(Similarity.autoCoarseK(28) == 4)
+    assert(Similarity.autoCoarseK(1000000) == 100)
+    assert(Similarity.autoCoarseK(1000001) == 101)
+    // measured anchors: sf0.01 500 vecs -> 8 cells, gen_sf 10 200k -> 59
+    assert(Similarity.autoCoarseK(500) == 8)
+    assert(Similarity.autoCoarseK(200000) == 59)
+  }
+
+  test("semanticDedupHier flags exactly the copies; distinct vectors survive") {
+    // same contract as single-level semanticDedup: an exact copy lands in
+    // its original's cell AND subcluster (distance 0 to the same seeds at
+    // both levels) and must be flagged; every distinct vector survives
+    val base = (0L until 30L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 37 + d * 11) % 101) - 50).toFloat / 51f))
+    }
+    val dupped = base ++ Seq(100L -> base(3)._2, 101L -> base(17)._2)
+    val df = dupped.toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedupHier(df, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.size == 32)
+    assert(res(100L) == 1L && res(101L) == 1L)
+    assert(res.filter(_._2 == 1L).keySet == Set(100L, 101L))
+  }
 }
