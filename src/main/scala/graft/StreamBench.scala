@@ -2,7 +2,7 @@ package graft
 
 import graft.core.GunCell
 import graft.sources.{GunWebSocketServer, GunWire, InMemoryPeerConn, PeerConn, WebSocketPeerConn, WireCodec}
-import graft.streaming.{HamStream, StreamingPipeline}
+import graft.streaming.{HamStream, StreamingLineDedup, StreamingPipeline}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import java.nio.file.{Files, Paths}
@@ -497,10 +497,53 @@ object StreamBench {
       val df = docs.toDF("doc_id", "text")
       val bt0 = System.nanoTime()
       StreamingPipeline.processBatch(df, b.toLong, s"$base/model",
-        s"$base/out", s"$base/keys", numBuckets, compactThreshold)
+        s"$base/out", s"$base/keys", s"$base/sigs", numBuckets, compactThreshold)
       (System.nanoTime() - bt0) / 1000000
     }
     val kept = spark.read.parquet(s"$base/out").count()
+    PipeStats(batches, docsPerBatch, kept,
+      (System.nanoTime() - t0) / 1e9, times)
+  }
+
+  /** Drive the at-ingest line dedup ([[StreamingLineDedup]]: 12-token
+    * segment verdicts against the persistent segment-hash index) over a
+    * growing store — the last at-ingest maintainer without a throughput
+    * record (VERDICT r11 #8). Same latency-curve signal as
+    * [[runPipeline]]: compaction bounds the per-bucket file count, so
+    * the last quartile of batches should cost about what the first did.
+    * Workload: 36-token docs (3 segments each), 10% of each batch
+    * re-sending an earlier doc (the dedup branch stays live); `kept`
+    * counts surviving segments.
+    */
+  def runLineDedup(spark: SparkSession, batches: Int, docsPerBatch: Int,
+      numBuckets: Int, compactThreshold: Int): PipeStats = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("linededup-bench").toString
+    val vocab = ("spark line column order small sort fast value scan hash " +
+      "slow group batch part query agg table key stream filter").split(" ")
+    val rnd = new scala.util.Random(43)
+    def docText(): String =
+      (1 to 36).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    var nextId = 1000L
+    var seen = Vector.empty[String]
+    val t0 = System.nanoTime()
+    val times = (0 until batches).map { b =>
+      val docs = (1 to docsPerBatch).map { _ =>
+        nextId += 1
+        val t =
+          if (seen.nonEmpty && rnd.nextInt(10) == 0)
+            seen(rnd.nextInt(seen.length)) // 10% dup of history
+          else { val t = docText(); seen :+= t; t }
+        (nextId, t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val bt0 = System.nanoTime()
+      StreamingLineDedup.processBatch(df, b.toLong,
+        s"$base/out", s"$base/segs", numBuckets, compactThreshold)
+      (System.nanoTime() - bt0) / 1000000
+    }
+    val kept = spark.read.parquet(s"$base/out")
+      .filter(org.apache.spark.sql.functions.col("kept") === 1L).count()
     PipeStats(batches, docsPerBatch, kept,
       (System.nanoTime() - t0) / 1e9, times)
   }
@@ -648,6 +691,21 @@ object StreamBench {
       finally spark.stop()
     }
 
+    // line-dedup A/B: same compaction on/off latency-curve drive over
+    // the growing segment-hash index
+    val lineOn = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runLineDedup(spark, pipeBatches, pipeDocs, numBuckets = 64,
+        compactThreshold = 8)
+      finally spark.stop()
+    }
+    val lineOff = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runLineDedup(spark, pipeBatches, pipeDocs, numBuckets = 64,
+        compactThreshold = 0)
+      finally spark.stop()
+    }
+
     val walOverheadPct =
       if (ingestNoWal.rate > 0)
         (ingestNoWal.rate - ingest.rate) / ingestNoWal.rate * 100.0
@@ -674,7 +732,9 @@ object StreamBench {
         ndJs("emb_neardup_pruned", endPruned) + "," +
         ndJs("emb_neardup_full_probe", endFull) + "," +
         pipeJs("pipeline_compact_on", pipeOn) + "," +
-        pipeJs("pipeline_compact_off", pipeOff) + "}"
+        pipeJs("pipeline_compact_off", pipeOff) + "," +
+        pipeJs("linededup_compact_on", lineOn) + "," +
+        pipeJs("linededup_compact_off", lineOff) + "}"
     println(json)
     try Files.writeString(Paths.get(outFile), json)
     catch { case e: Exception => System.err.println(s"[stream-bench] write failed: $e") }
