@@ -64,10 +64,16 @@ object GraphProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // optional leg selection: `runMain graft.GraphProbe leg1 leg2` probes
+    // only the named legs (a dup-pair-only probe at a scale where the
+    // relational tables were not generated must not touch them — edge
+    // builds are by-name lazy below)
+    val only = args.toSet
+
     // the same edge constructions the declared queries use
-    val forestEdges = queries.GunQueries.relationCells(spark, sfDir)
+    lazy val forestEdges = queries.GunQueries.relationCells(spark, sfDir)
       .select(col("soul").as("src"), col("field"), col("dst"))
-    val generalEdges = {
+    lazy val generalEdges = {
       import org.apache.spark.sql.expressions.Window
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(
@@ -92,6 +98,7 @@ object GraphProbe {
         val df = kind match {
           case "pagerank" => graph.Analytics.pageRankLattice(spark, edges, iters = 5)
           case "label_prop" => graph.Analytics.labelPropagation(spark, edges, iters = 4)
+          case "triangles" => graph.Analytics.triangleCounts(spark, edges)
           case _ => graph.Analytics.connectedComponents(spark, edges)
         }
         if (kind == "pagerank")
@@ -100,6 +107,8 @@ object GraphProbe {
           // the declared query's terminal shape: community histogram
           df.groupBy(col("lab")).agg(count(lit(1)).as("n"))
             .agg(count(lit(1)), max(col("n"))).first()
+        else if (kind == "triangles")
+          df.agg(count(lit(1)), max(col("n_triangles"))).first()
         else df.agg(count(lit(1)), lit(0L)).first()
       }
       Thread.sleep(1000) // listener events drain async after the last task
@@ -116,14 +125,41 @@ object GraphProbe {
         s""""shuffle_records":${shufRecs.get},"shuffle_mb":${f"$sMb%.1f"}}"""
     }
 
-    val parts = Seq(
-      leg("pagerank_forest", forestEdges, "pagerank"),
-      leg("pagerank_general", generalEdges, "pagerank"),
-      leg("components", forestEdges, "components"),
+    // VERDICT_r12 Missing #4: the dedup end-products' input — the
+    // MinHash-LSH candidate-pair graph backing doc_dup_clusters /
+    // doc_dup_triangles. Its density is set by the corpus's duplicate
+    // structure (gen_sf: 3% exact + 7% near dups) plus band collisions,
+    // the one graph input the gen_sf sweep didn't exercise; the guard
+    // rails are Dedup.DefaultMaxBucket (band side) and the edge list
+    // itself (one row per candidate pair, doc_a < doc_b canonical).
+    lazy val dupEdges = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.operators.Dedup.minhashCandidates(
+        graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"))
+        .select(
+          concat(lit("d"), lpad(col("doc_a").cast("string"), 9, "0")).as("src"),
+          lit("dup").as("field"),
+          concat(lit("d"), lpad(col("doc_b").cast("string"), 9, "0")).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    val legs: Seq[(String, () => String)] = Seq(
+      ("pagerank_forest", () => leg("pagerank_forest", forestEdges, "pagerank")),
+      ("pagerank_general", () => leg("pagerank_general", generalEdges, "pagerank")),
+      ("components", () => leg("components", forestEdges, "components")),
       // VERDICT_r10 #4: the bench's most expensive query — 4-step
       // synchronous LPA over the undirected relation graph, terminal
       // histogram agg exactly as graph_label_prop declares it.
-      leg("label_prop", forestEdges.select(col("src"), col("dst")), "label_prop"))
+      ("label_prop", () =>
+        leg("label_prop", forestEdges.select(col("src"), col("dst")), "label_prop")),
+      // the two dedup end-product legs (doc_dup_clusters /
+      // doc_dup_triangles terminal shapes over the same edge build)
+      ("dup_pair_components", () =>
+        leg("dup_pair_components", dupEdges, "components")),
+      ("dup_pair_triangles", () =>
+        leg("dup_pair_triangles", dupEdges.select(col("src"), col("dst")),
+          "triangles")))
+    val parts = legs.filter(l => only.isEmpty || only(l._1)).map(_._2())
     val json = s"""{"sf_dir":"$sfDir","cpus":$cpus,""" +
       parts.mkString(",") + s""","peak_heap_mb":$peakHeapMb}"""
     println(json)
