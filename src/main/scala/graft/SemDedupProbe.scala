@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-variant headroom probe (round-13 scale evidence): times ONE
+  * variant — `pinned` (k=8, the oracle anchor), `auto` (k=√(N/2),
+  * single-level optimum), or `hier` (coarse ∛N cells + per-cell auto-k,
+  * ~N^(4/3) total) — over the embeddings at SPARK_GRAFT_SF_DIR, in its
+  * own JVM so variants never share cache warmth. Reports corpus size,
+  * the derived sizing, wall seconds, and the dup-flag count (the
+  * variants legitimately differ in flags — coarser blocking scores
+  * fewer cross-cell pairs; what's compared across variants is COST).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf10 runMain graft.SemDedupProbe hier
+  */
+object SemDedupProbe {
+  def main(args: Array[String]): Unit = {
+    val variant = args.headOption.getOrElse("hier")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val sizing = variant match {
+      case "pinned" => "k=8"
+      case "auto"   => s"k=${operators.Similarity.autoKmeansK(n)}"
+      case _        => s"k1=${operators.Similarity.autoCoarseK(n)},k2=auto-per-cell"
+    }
+    val t0 = System.nanoTime()
+    val res = variant match {
+      case "pinned" =>
+        operators.Similarity.semanticDedup(emb, k = 8, iters = 1, threshold = 0.4)
+      case "auto" =>
+        operators.Similarity.semanticDedup(emb,
+          k = operators.Similarity.autoKmeansK(n), iters = 1, threshold = 0.4)
+      case _ =>
+        operators.Similarity.semanticDedupHier(emb, threshold = 0.4)
+    }
+    val dups = res.agg(sum(col("is_dup"))).first().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"probe":"semdedup","variant":"$variant","sf":"$sfDir","n":$n,"sizing":"$sizing","dups":$dups,"sec":${f"$sec%.1f"}}""")
+    spark.stop()
+  }
+}
