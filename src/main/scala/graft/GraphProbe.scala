@@ -108,7 +108,9 @@ object GraphProbe {
           df.groupBy(col("lab")).agg(count(lit(1)).as("n"))
             .agg(count(lit(1)), max(col("n"))).first()
         else if (kind == "triangles")
-          df.agg(count(lit(1)), max(col("n_triangles"))).first()
+          // triangleCounts returns only vertices in >=1 triangle, so a
+          // triangle-free graph yields max(...) = null — coalesce to 0
+          df.agg(count(lit(1)), coalesce(max(col("n_triangles")), lit(0L))).first()
         else df.agg(count(lit(1)), lit(0L)).first()
       }
       Thread.sleep(1000) // listener events drain async after the last task
@@ -159,7 +161,11 @@ object GraphProbe {
       ("dup_pair_triangles", () =>
         leg("dup_pair_triangles", dupEdges.select(col("src"), col("dst")),
           "triangles")))
+    val unknown = only -- legs.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"unknown leg name(s): ${unknown.mkString(", ")} — valid: ${legs.map(_._1).mkString(", ")}")
     val parts = legs.filter(l => only.isEmpty || only(l._1)).map(_._2())
+    require(parts.nonEmpty, "no legs selected")
     val json = s"""{"sf_dir":"$sfDir","cpus":$cpus,""" +
       parts.mkString(",") + s""","peak_heap_mb":$peakHeapMb}"""
     println(json)

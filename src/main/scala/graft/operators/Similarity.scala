@@ -274,8 +274,38 @@ object Similarity {
     * Mirrored in the oracle SQL (MlQueries), so the hash moves WITH the
     * cap. `maxBucket = 0` disables the guard (exact banding, quadratic
     * per bucket — unit-test / verification use only).
+    *
+    * RECALL CAVEAT: in a capped bucket only member-vs-rep pairs are
+    * scored, so two non-rep members that are near-dups of EACH OTHER but
+    * below threshold vs the rep are missed. For identical-vector floods
+    * (the pile-up case the cap exists for) recall is unchanged — every
+    * member still pairs with the rep; for diffuse families that happen to
+    * share a bucket, recall within the capped bucket drops to the star.
+    * Capped runs are visible: [[logHotGroups]] logs every run in which
+    * any group rep-links, with counts.
     */
   val DefaultMaxLshBucket = 64
+
+  /** Cap telemetry (VERDICT_r13 #8): count + log the rep-linked groups so
+    * a pinned config running in degraded-recall star mode at scale is
+    * VISIBLE, not silent. One aggregate over the persisted group-size
+    * table (shared with the candidate build, so the marginal cost is a
+    * scan of a ≤(tables·2^bits | k)-row table). Returns the hot count so
+    * probes can surface it as a ride-along metric.
+    */
+  private[graft] def logHotGroups(sizes: DataFrame, sizeCol: String,
+                                  cap: Int, op: String, unit: String): Long = {
+    val row = sizes.agg(
+      count(lit(1)),
+      coalesce(sum(when(col(sizeCol) > cap, 1L).otherwise(0L)), lit(0L)),
+      coalesce(max(col(sizeCol)), lit(0L))).first()
+    val (total, hot, mx) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    if (hot > 0) System.err.println(
+      s"[similarity] $op: $hot of $total ${unit}s over cap=$cap " +
+        s"(largest $mx) rep-linked — star mode; recall within those " +
+        s"${unit}s is member-vs-rep only")
+    hot
+  }
 
   /** The SCALE_r4.md scale rule as code: bits = ceil(log₂(n / occupancy)),
     * i.e. hold per-bucket occupancy — and therefore candidate-join work per
@@ -963,6 +993,14 @@ object Similarity {
     * where the pinned config is already the wrong one at that scale.
     * Mirrored in the oracle SQL, so the hash moves WITH the cap;
     * `maxCluster = 0` disables (exact within-cluster pairs).
+    *
+    * RECALL CAVEAT (same as [[DefaultMaxLshBucket]]): a capped cluster
+    * scores member-vs-rep only, so member-member near-dups that are not
+    * near the rep go undetected inside that cluster. Note this binds for
+    * any corpus past ~k·1024 vectors under a PINNED k (k=8 ⇒ ~8k), which
+    * is exactly when the pinned config is undersized — prefer the auto /
+    * hierarchical variants there. Rep-linked runs log via
+    * [[logHotGroups]].
     */
   val DefaultMaxCluster = 1024
 
@@ -988,6 +1026,7 @@ object Similarity {
         val sizes = both.groupBy("cluster")
           .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("rep"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        logHotGroups(sizes, "cluster_n", maxCluster, "semanticDedup", "cluster")
         val small = both.join(
           sizes.filter(col("cluster_n") <= maxCluster).select("cluster"),
           Seq("cluster"), "left_semi")
@@ -1088,6 +1127,7 @@ object Similarity {
     val sizes = both.groupBy("cluster", "sub")
       .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    logHotGroups(sizes, "cluster_n", maxCluster, "semanticDedupHier", "block")
     val small = both.join(
       sizes.filter(col("cluster_n") <= maxCluster).select("cluster", "sub"),
       Seq("cluster", "sub"), "left_semi")
@@ -1265,6 +1305,7 @@ object Similarity {
         val sizes = tb.groupBy("t", "tbucket")
           .agg(count(lit(1)).as("bucket_n"), min(col("vec_id")).as("rep"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        logHotGroups(sizes, "bucket_n", maxBucket, "nearDupPairsLsh", "bucket")
         val small = tb.join(
           sizes.filter(col("bucket_n") <= maxBucket).select("t", "tbucket"),
           Seq("t", "tbucket"), "left_semi")

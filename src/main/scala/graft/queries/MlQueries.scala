@@ -270,6 +270,17 @@ object MlQueries {
       Similarity.nearDupPairsLsh(tbl(s, dir, "embeddings"), threshold = 0.3,
         tables = 16, bits = 8)), // pinned for oracle-hash stability
 
+    // Guard-branch anchor (ADVICE_r13): the SAME operator with a tiny
+    // pinned config (tables=4, bits=6, maxBucket=4) chosen so the
+    // hot-bucket rep-link branch BINDS at every verification scale —
+    // at sf0.01, 500 vectors over 64 buckets ≈ 8/bucket > 4, so most
+    // buckets run in star mode. This keeps the capped candidate path
+    // itself under the DuckDB oracle hash in every round's correctness
+    // gate, not only at sf1+ where the production cap first binds.
+    "emb_neardup_capped" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(tbl(s, dir, "embeddings"), threshold = 0.3,
+        tables = 4, bits = 6, maxBucket = 4)),
+
     // IVF ANN — the inverted-file index family (vs emb_lsh_ann's
     // hyperplane family): deterministic integer coarse quantizer
     // (centroids = first 16 vectors, inner-product argmax assignment),
@@ -395,6 +406,14 @@ object MlQueries {
     "emb_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(tbl(s, dir, "embeddings"),
         k = 8, iters = 1, threshold = 0.4)),
+
+    // Guard-branch anchor (ADVICE_r13): pinned k=8 with maxCluster=16,
+    // which binds at sf0.01 (≈62 vectors/cluster > 16) — every cluster
+    // rep-links, so the hot-cluster star path is hash-checked against
+    // DuckDB in every round, mirroring emb_neardup_capped.
+    "emb_semantic_dedup_capped" -> ((s, dir) =>
+      Similarity.semanticDedup(tbl(s, dir, "embeddings"),
+        k = 8, iters = 1, threshold = 0.4, maxCluster = 16)),
 
     // SemDeDup with the cluster count auto-sized from the corpus —
     // k = ceil(√((N+1) div 2)) balances assignment (N·k) against
@@ -533,9 +552,12 @@ object MlQueries {
     * oversized cells rep-link every member to the bucket-min vec_id (a
     * star — same discipline as the MinHash band oracle). Shared verbatim
     * by `emb_neardup` and `emb_neardup_auto` so both anchors check the
-    * SAME guard the Spark operator applies.
+    * SAME guard the Spark operator applies. The cap is a parameter
+    * (ADVICE_r13) so `emb_neardup_capped` can pin a tiny cap that BINDS
+    * at every verification scale, keeping the rep-link branch itself
+    * under the oracle hash.
     */
-  private val lshCandSql =
+  private def lshCandSql(cap: Int = Similarity.DefaultMaxLshBucket): String =
     s"""bsizes AS (
             SELECT t, tbucket, COUNT(*) AS bucket_n, MIN(vec_id) AS rep
             FROM tb GROUP BY t, tbucket),
@@ -544,14 +566,14 @@ object MlQueries {
               SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
               FROM tb a
               JOIN bsizes s ON s.t = a.t AND s.tbucket = a.tbucket
-                           AND s.bucket_n <= ${Similarity.DefaultMaxLshBucket}
+                           AND s.bucket_n <= $cap
               JOIN tb c ON a.t = c.t AND a.tbucket = c.tbucket
                        AND a.vec_id < c.vec_id
               UNION ALL
               SELECT s.rep AS vec_a, m.vec_id AS vec_b
               FROM tb m
               JOIN bsizes s ON s.t = m.t AND s.tbucket = m.tbucket
-                           AND s.bucket_n > ${Similarity.DefaultMaxLshBucket}
+                           AND s.bucket_n > $cap
               WHERE m.vec_id <> s.rep))"""
 
   /** The one-update k-means assignment as a reusable CTE chain (init =
@@ -604,9 +626,10 @@ object MlQueries {
     * clusters score members against the cluster-min representative only
     * (star). Shared by `emb_semantic_dedup` and `emb_semantic_dedup_auto`
     * so pinned-k and auto-k check the SAME guard the Spark operator
-    * applies.
+    * applies. Cap parameterized (ADVICE_r13) for the
+    * `emb_semantic_dedup_capped` guard-branch anchor.
     */
-  private val semDedupTailSql =
+  private def semDedupTailSql(cap: Int = Similarity.DefaultMaxCluster): String =
     s"""csizes AS (
             SELECT cluster, COUNT(*) AS cluster_n, MIN(vec_id) AS rep
             FROM a1 GROUP BY cluster),
@@ -614,13 +637,13 @@ object MlQueries {
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM a1 a
             JOIN csizes s ON s.cluster = a.cluster
-                         AND s.cluster_n <= ${Similarity.DefaultMaxCluster}
+                         AND s.cluster_n <= $cap
             JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
             UNION ALL
             SELECT s.rep AS id_a, m.vec_id AS id_b
             FROM a1 m
             JOIN csizes s ON s.cluster = m.cluster
-                         AND s.cluster_n > ${Similarity.DefaultMaxCluster}
+                         AND s.cluster_n > $cap
             WHERE m.vec_id <> s.rep),
           dropped AS (
             SELECT DISTINCT p.id_b AS vec_id
@@ -883,7 +906,7 @@ object MlQueries {
                         THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
                      AS tbucket
             FROM dots GROUP BY vec_id, t),
-          $lshCandSql
+          ${lshCandSql()}
           SELECT vec_a, vec_b FROM cand
           JOIN embeddings ea ON ea.vec_id = vec_a
           JOIN embeddings eb ON eb.vec_id = vec_b
@@ -985,7 +1008,28 @@ object MlQueries {
                         THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
                      AS tbucket
             FROM dots GROUP BY vec_id, t),
-          $lshCandSql
+          ${lshCandSql()}
+          SELECT vec_a, vec_b FROM cand
+          JOIN embeddings ea ON ea.vec_id = vec_a
+          JOIN embeddings eb ON eb.vec_id = vec_b
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.3""",
+    // tables=4, bits=6 (plane index t*6+p), cap=4 — the binding-guard
+    // anchor: same CTE chain, tiny cap threaded through lshCandSql
+    "emb_neardup_capped" ->
+      s"""WITH quant AS ($quantSql),
+          dots AS (
+            SELECT vec_id, t, p, SUM(q[d+1] * ${weightSql("t*6 + p")}) AS dotp
+            FROM quant, generate_series(0, 3) tt(t), generate_series(0, 5) tp(p),
+                 generate_series(0, 63) td(d)
+            WHERE d < len(q)
+            GROUP BY vec_id, t, p),
+          tb AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN dotp > 0
+                        THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
+                     AS tbucket
+            FROM dots GROUP BY vec_id, t),
+          ${lshCandSql(4)}
           SELECT vec_a, vec_b FROM cand
           JOIN embeddings ea ON ea.vec_id = vec_a
           JOIN embeddings eb ON eb.vec_id = vec_b
@@ -996,10 +1040,14 @@ object MlQueries {
     "emb_pq_ann" -> pqAnnSql,
     "emb_semantic_dedup" ->
       s"""WITH $kmeansA1Ctes,
-          $semDedupTailSql""",
+          ${semDedupTailSql()}""",
+    // binding-guard anchor: same k=8 chain, cap=16 threaded through
+    "emb_semantic_dedup_capped" ->
+      s"""WITH $kmeansA1Ctes,
+          ${semDedupTailSql(16)}""",
     "emb_semantic_dedup_auto" ->
       s"""WITH ${kmeansCtes(autoKSql)},
-          $semDedupTailSql""",
+          ${semDedupTailSql()}""",
     // coarse level = the shared kmeansCtes chain at k₁ = ceil∛N; fine
     // level = per-cell k-means at k₂ = ceil√((m+1) div 2) with seeds =
     // the cell's k₂ lowest ids, one floor-average update, argmin ties to

@@ -115,6 +115,12 @@ object StreamingNearDup {
     * lands); `idx` is the pruned index scan when any bucket was probed
     * (for telemetry counts).
     */
+  /** `matches` and `idx` are LAZY plans whose scan paths are fixed at
+    * probe time: consume (or checkpoint) them BEFORE any
+    * [[appendIndexDelta]] on the same index — compaction deletes the
+    * delta files they reference. [[StreamingPipeline.processBatch]]
+    * returns a checkpointed copy for exactly this reason.
+    */
   private[graft] final case class ProbeResult(
       matches: DataFrame,
       bucketsProbed: Int,

@@ -144,7 +144,15 @@ object StreamingPipeline {
         val rows = StreamingNearDup
           .bandRows(fresh.select("doc_id", "text"), numBuckets)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pr = StreamingNearDup.probeMatches(rows, sigsPath, numBuckets, minEq)
+        val pr0 = StreamingNearDup.probeMatches(rows, sigsPath, numBuckets, minEq)
+        // pin the probe's matches BEFORE the index appends below:
+        // appendIndexDelta may compact (delete) the delta files the lazy
+        // `matches`/`idx` scans reference, so a caller evaluating the
+        // returned ProbeResult afterwards would hit missing files or a
+        // mutated index (ADVICE_r13). One eager localCheckpoint, shared
+        // with the dup filter, so the probe still evaluates exactly once.
+        val pr = pr0.copy(
+          matches = pr0.matches.localCheckpoint(true), idx = None)
         val dupIds = pr.matches.select(col("new_doc").as("doc_id")).distinct()
         fresh.join(dupIds, Seq("doc_id"), "left_anti")
           .select("doc_id", "text", "n_tokens", "ppl_bits_q")
