@@ -158,9 +158,11 @@ object GraphProbe {
       // doc_dup_triangles terminal shapes over the same edge build)
       ("dup_pair_components", () =>
         leg("dup_pair_components", dupEdges, "components")),
+      // keep `field`: triangleCounts goes through fromEdges, which reads
+      // (src, field, dst) — dropping it was an AnalysisException found on
+      // this leg's first real run
       ("dup_pair_triangles", () =>
-        leg("dup_pair_triangles", dupEdges.select(col("src"), col("dst")),
-          "triangles")))
+        leg("dup_pair_triangles", dupEdges, "triangles")))
     val unknown = only -- legs.map(_._1).toSet
     require(unknown.isEmpty,
       s"unknown leg name(s): ${unknown.mkString(", ")} — valid: ${legs.map(_._1).mkString(", ")}")

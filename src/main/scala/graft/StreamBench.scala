@@ -472,7 +472,8 @@ object StreamBench {
     * batch duplicating earlier history (the dedup branch stays live).
     */
   def runPipeline(spark: SparkSession, batches: Int, docsPerBatch: Int,
-      numBuckets: Int, compactThreshold: Int): PipeStats = {
+      numBuckets: Int, compactThreshold: Int,
+      reuseSigs: Boolean = true): PipeStats = {
     import spark.implicits._
     val base = Files.createTempDirectory("pipe-bench").toString
     val vocab = ("spark line column order small sort fast value scan hash " +
@@ -497,7 +498,8 @@ object StreamBench {
       val df = docs.toDF("doc_id", "text")
       val bt0 = System.nanoTime()
       StreamingPipeline.processBatch(df, b.toLong, s"$base/model",
-        s"$base/out", s"$base/keys", s"$base/sigs", numBuckets, compactThreshold)
+        s"$base/out", s"$base/keys", s"$base/sigs", numBuckets,
+        compactThreshold, reuseProbeSigs = reuseSigs)
       (System.nanoTime() - bt0) / 1000000
     }
     val kept = spark.read.parquet(s"$base/out").count()
@@ -690,6 +692,16 @@ object StreamBench {
         compactThreshold = 0)
       finally spark.stop()
     }
+    // signature-reuse A/B (VERDICT_r13 #3): one MinHash pass per batch
+    // (probe rows semi-joined to survivors, the default) vs the old
+    // recompute-from-commit second pass — same compaction config as
+    // pipeline_compact_on, so the pair isolates the shingle+hash cost
+    val pipeSigOff = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try runPipeline(spark, pipeBatches, pipeDocs, numBuckets = 64,
+        compactThreshold = 8, reuseSigs = false)
+      finally spark.stop()
+    }
 
     // line-dedup A/B: same compaction on/off latency-curve drive over
     // the growing segment-hash index
@@ -733,6 +745,7 @@ object StreamBench {
         ndJs("emb_neardup_full_probe", endFull) + "," +
         pipeJs("pipeline_compact_on", pipeOn) + "," +
         pipeJs("pipeline_compact_off", pipeOff) + "," +
+        pipeJs("pipeline_sig_reuse_off", pipeSigOff) + "," +
         pipeJs("linededup_compact_on", lineOn) + "," +
         pipeJs("linededup_compact_off", lineOff) + "}"
     println(json)

@@ -97,10 +97,22 @@ object StreamingPipeline {
   private def keyOf(text: org.apache.spark.sql.Column) =
     md5(substring(lower(text), 1, 64))
 
+  /** `reuseProbeSigs` (default on, VERDICT_r13 #3): the fresh world
+    * appends the probe-side [[StreamingNearDup.bandRows]] rows
+    * semi-joined to the committed survivor ids instead of re-shingling
+    * the committed text — one MinHash pass per batch instead of two.
+    * The appended CONTENT is identical either way (bandRows is a pure
+    * function of (doc_id, text), and a survivor's text is byte-equal in
+    * both derivations), so fresh and replay worlds still converge to the
+    * same index — StreamingPipelineSpec proves it. `false` keeps the
+    * recompute-from-commit path (the replay world always uses it); the
+    * StreamBench pipeline A/B prices the difference.
+    */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       modelPath: String, outPath: String, keysPath: String,
       sigsPath: String, numBuckets: Int = 64, compactThreshold: Int = 8,
-      minEq: Int = 8): Option[StreamingNearDup.ProbeResult] = {
+      minEq: Int = 8,
+      reuseProbeSigs: Boolean = true): Option[StreamingNearDup.ProbeResult] = {
     val spark = batch.sparkSession
     val storeDir = new Path(keysPath)
     val fs = storeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,12 +123,15 @@ object StreamingPipeline {
     StreamingNearDup.checkIndexLayout(fs, sigsDir, numBuckets)
     val outDir = new Path(s"$outPath/batch=$batchId")
 
-    val (survivors: DataFrame, probe: Option[StreamingNearDup.ProbeResult]) =
+    val (survivors: DataFrame,
+         probe: Option[StreamingNearDup.ProbeResult],
+         probeRows: Option[DataFrame]) =
       if (fs.exists(new Path(outDir, "_SUCCESS"))) {
         // replay world (b): committed output is authoritative — do NOT
         // re-run the anti-join or the probe (the indexes may already
         // hold these keys/signatures)
-        (spark.read.parquet(outDir.toString).select("doc_id", "text"), None)
+        (spark.read.parquet(outDir.toString).select("doc_id", "text"),
+          None, None)
       } else {
         val scrubbed = batch
           .select(col("doc_id"), Pii.scrub(col("text")).as("text"))
@@ -157,14 +172,17 @@ object StreamingPipeline {
         fresh.join(dupIds, Seq("doc_id"), "left_anti")
           .select("doc_id", "text", "n_tokens", "ppl_bits_q")
           .write.mode("overwrite").parquet(outDir.toString)
-        rows.unpersist(blocking = false)
         fresh.unpersist(blocking = false)
         // the just-committed parquet is the ONE evaluation of the
         // anti-join + probe pipeline: deriving survivors from `fresh`'s
         // lineage would re-run the whole history probe inside
         // appendDelta (measured double key-store scan per batch) — read
-        // the commit back instead, exactly as the replay branch does
-        (spark.read.parquet(outDir.toString).select("doc_id", "text"), Some(pr))
+        // the commit back instead, exactly as the replay branch does.
+        // `rows` stays persisted when reuseProbeSigs: the sig append
+        // below filters it to survivors instead of re-shingling.
+        if (!reuseProbeSigs) rows.unpersist(blocking = false)
+        (spark.read.parquet(outDir.toString).select("doc_id", "text"),
+          Some(pr), if (reuseProbeSigs) Some(rows) else None)
       }
 
     val keyed = survivors.select(keyOf(col("text")).as("key_hash"))
@@ -177,13 +195,19 @@ object StreamingPipeline {
       schema = KeySchema, dedupCols = Seq("key_hash"),
       sortCols = Seq("key_hash"), fs, storeDir)
     // signature-index append LAST, survivors only (a dropped doc never
-    // indexes), recomputed from the committed text so fresh and replay
-    // worlds share one path; same-batchId re-appends are file-level
-    // idempotent, so any crash window between the three writes replays
-    // clean
+    // indexes); same-batchId re-appends are file-level idempotent, so
+    // any crash window between the three writes replays clean. Fresh
+    // world with reuseProbeSigs: reuse the probe's band rows filtered to
+    // the committed survivor ids (bandRows is pure in (doc_id, text), so
+    // the content equals the replay world's recompute-from-commit).
+    val sigRows = probeRows match {
+      case Some(rows) =>
+        rows.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => StreamingNearDup.bandRows(survivors, numBuckets)
+    }
     StreamingNearDup.appendIndexDelta(
-      StreamingNearDup.bandRows(survivors, numBuckets),
-      batchId, sigsPath, numBuckets, compactThreshold, fs, sigsDir)
+      sigRows, batchId, sigsPath, numBuckets, compactThreshold, fs, sigsDir)
+    probeRows.foreach(_.unpersist(blocking = false))
     probe
   }
 

@@ -168,6 +168,34 @@ class StreamingPipelineSpec extends SparkSuite {
       s"rebuilt indexes missed history: $finalIds")
   }
 
+  test("sig-reuse and recompute paths commit identical signature indexes") {
+    // VERDICT_r13 #3: the fresh world's reuseProbeSigs=true append (probe
+    // band rows semi-joined to survivors, one MinHash pass) must leave
+    // index contents byte-equal to the recompute-from-commit path —
+    // two worlds, same batches, compare the sig stores row-for-row
+    def runWorld(reuse: Boolean): (String, Set[Long]) = {
+      val base = Files.createTempDirectory(s"spipe-sig-$reuse").toString
+      val (model, out, keys, sigs) =
+        (s"$base/model", s"$base/out", s"$base/keys", s"$base/sigs")
+      StreamingPipeline.trainAndFreeze(corpus.toDF(), model)
+      StreamingPipeline.processBatch(batchA.toDF(), 0L, model, out, keys,
+        sigs, numBuckets = 8, compactThreshold = 2, reuseProbeSigs = reuse)
+      StreamingPipeline.processBatch(batchB.toDF(), 1L, model, out, keys,
+        sigs, numBuckets = 8, compactThreshold = 2, reuseProbeSigs = reuse)
+      val ids = StreamingPipeline.readOut(spark, out)
+        .select("doc_id").as[Long].collect().toSet
+      (sigs, ids)
+    }
+    val (sigsReuse, idsReuse) = runWorld(reuse = true)
+    val (sigsRecompute, idsRecompute) = runWorld(reuse = false)
+    assert(idsReuse == idsRecompute, s"$idsReuse vs $idsRecompute")
+    def indexRows(path: String): Set[String] =
+      spark.read.parquet(s"$path/bucket=*")
+        .collect().map(_.toString).toSet
+    assert(indexRows(sigsReuse) == indexRows(sigsRecompute),
+      "sig-reuse changed the committed signature index")
+  }
+
   test("fresh batch probes the key-store history exactly once, bucket-pruned") {
     val base = Files.createTempDirectory("sprobe").toString
     val (model, out, keys, sigs) =
