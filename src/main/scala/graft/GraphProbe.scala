@@ -99,6 +99,7 @@ object GraphProbe {
           case "pagerank" => graph.Analytics.pageRankLattice(spark, edges, iters = 5)
           case "label_prop" => graph.Analytics.labelPropagation(spark, edges, iters = 4)
           case "triangles" => graph.Analytics.triangleCounts(spark, edges)
+          case "triangles_graphx" => graph.Analytics.triangleCountsGraphx(spark, edges)
           case _ => graph.Analytics.connectedComponents(spark, edges)
         }
         if (kind == "pagerank")
@@ -107,7 +108,7 @@ object GraphProbe {
           // the declared query's terminal shape: community histogram
           df.groupBy(col("lab")).agg(count(lit(1)).as("n"))
             .agg(count(lit(1)), max(col("n"))).first()
-        else if (kind == "triangles")
+        else if (kind.startsWith("triangles"))
           // triangleCounts returns only vertices in >=1 triangle, so a
           // triangle-free graph yields max(...) = null — coalesce to 0
           df.agg(count(lit(1)), coalesce(max(col("n_triangles")), lit(0L))).first()
@@ -162,7 +163,12 @@ object GraphProbe {
       // (src, field, dst) — dropping it was an AnalysisException found on
       // this leg's first real run
       ("dup_pair_triangles", () =>
-        leg("dup_pair_triangles", dupEdges, "triangles")))
+        leg("dup_pair_triangles", dupEdges, "triangles")),
+      // A/B: the GraphX neighbor-set-intersection formulation the
+      // DataFrame wedge-join replaced (SCALE_r13 §3 measured it at
+      // 2.0 GB adjacency shuffle / 124 s on the sf10 dup-pair graph)
+      ("dup_pair_triangles_graphx", () =>
+        leg("dup_pair_triangles_graphx", dupEdges, "triangles_graphx")))
     val unknown = only -- legs.map(_._1).toSet
     require(unknown.isEmpty,
       s"unknown leg name(s): ${unknown.mkString(", ")} — valid: ${legs.map(_._1).mkString(", ")}")

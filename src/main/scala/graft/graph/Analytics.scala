@@ -242,13 +242,75 @@ object Analytics {
     labels
   }
 
-  /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
-    * `run` canonicalizes: self-edges dropped, one edge per unordered
-    * pair). Returns only vertices in ≥1 triangle (soul, n_triangles).
-    * The standard neighbor-set-intersection message-passing algorithm —
-    * EdgePartition2D keeps the replication factor at √numParts at scale.
+  /** Per-vertex triangle counts, undirected (self-edges dropped, one
+    * edge per unordered pair — the same canonicalization GraphX
+    * TriangleCount applies). Returns only vertices in ≥1 triangle
+    * (soul, n_triangles).
+    *
+    * Degree-oriented wedge enumeration ("compact-forward") on
+    * DataFrames: orient every canonical edge from its (degree, id)-
+    * smaller endpoint to the larger, self-join the oriented edges on the
+    * source to enumerate wedges, and close each wedge against the
+    * oriented edge set — each triangle is produced exactly once, at its
+    * order-minimal apex. The orientation bounds every self-join key's
+    * fan-out by the graph degeneracy (≤√(2m) out-edges per vertex, vs
+    * raw max degree for an unoriented join), and every shuffled row is
+    * three hashed longs. The GraphX formulation
+    * ([[triangleCountsGraphx]]) instead replicates whole neighbor-id
+    * sets along each edge — 2.0 GB of adjacency shuffle on the sf10
+    * dup-pair graph (SCALE_r13 §3) where this plan ships flat rows
+    * through whole-stage codegen.
     */
   def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val (e, owns) = persistEdges(edges)
+    // hashed 64-bit vertex ids, as fromEdges (souls rejoined post-agg)
+    val verts = e.select(col("src").as("soul"))
+      .unionByName(e.select(col("dst").as("soul")))
+      .distinct()
+      .select(xxhash64(col("soul")).as("id"), col("soul"))
+    val canon = e.select(
+        least(xxhash64(col("src")), xxhash64(col("dst"))).as("a"),
+        greatest(xxhash64(col("src")), xxhash64(col("dst"))).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("v"))
+      .unionByName(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // (d, id) is a strict total order (ids distinct), so orientation is
+    // acyclic and each triangle has one apex
+    val oriented = canon
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count() // pin before the three downstream scans race
+    // wedges at apex u, (v, w) in orientation order — so the closing
+    // v–w edge, if present, is oriented v→w
+    val wedges = oriented
+      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")), Seq("u"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val counts = wedges.join(closing, Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val res = counts.join(verts, Seq("id"))
+      .select(col("soul"), col("n_triangles"))
+    val out = materializeAndRelease(res, e, owns)
+    oriented.unpersist(blocking = false)
+    out
+  }
+
+  /** The GraphX neighbor-set-intersection formulation of
+    * [[triangleCounts]] — kept for the probe A/B (GraphProbe
+    * `dup_pair_triangles_graphx` leg) and the equivalence spec.
+    */
+  def triangleCountsGraphx(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     val (e, owns) = persistEdges(edges)
     val g = fromEdges(e)

@@ -62,6 +62,37 @@ class AnalyticsSpec extends SparkSuite {
     assert(counts == Set(("a", 1L), ("b", 1L), ("c", 1L)))
   }
 
+  test("triangle counts: 5-clique — every vertex in C(4,2)=6 triangles") {
+    import spark.implicits._
+    val vs = Seq("a", "b", "c", "d", "e")
+    val clique = (for { x <- vs; y <- vs if x < y } yield (x, "r", y))
+      .toDF("src", "field", "dst")
+    val counts = Analytics.triangleCounts(spark, clique)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(counts == vs.map(_ -> 6L).toSet)
+  }
+
+  test("triangle counts: triangle-free graph returns no rows") {
+    import spark.implicits._
+    val path = Seq(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
+      .toDF("src", "field", "dst")
+    assert(Analytics.triangleCounts(spark, path).count() == 0L)
+  }
+
+  test("triangle counts: wedge-join equals GraphX on a random graph") {
+    import spark.implicits._
+    // seeded G(40, 140) with duplicate edges, both directions, and
+    // self-loops mixed in — the canonicalization surface
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(140)((s"v${rnd.nextInt(40)}", "r", s"v${rnd.nextInt(40)}"))
+      .toDF("src", "field", "dst")
+    val df = Analytics.triangleCounts(spark, raw)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gx = Analytics.triangleCountsGraphx(spark, raw)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(df.nonEmpty && df == gx)
+  }
+
   test("label propagation: sync mode label with min-label tie-break") {
     import spark.implicits._
     // triangle a-b-c plus pendant a-d (undirected). By hand:
