@@ -99,7 +99,7 @@ object GraphProbe {
           case "pagerank" => graph.Analytics.pageRankLattice(spark, edges, iters = 5)
           case "label_prop" => graph.Analytics.labelPropagation(spark, edges, iters = 4)
           case "triangles" => graph.Analytics.triangleCounts(spark, edges)
-          case "triangles_graphx" => graph.Analytics.triangleCountsGraphx(spark, edges)
+          case "triangles_wedge" => graph.Analytics.triangleCountsWedge(spark, edges)
           case _ => graph.Analytics.connectedComponents(spark, edges)
         }
         if (kind == "pagerank")
@@ -164,11 +164,11 @@ object GraphProbe {
       // this leg's first real run
       ("dup_pair_triangles", () =>
         leg("dup_pair_triangles", dupEdges, "triangles")),
-      // A/B: the GraphX neighbor-set-intersection formulation the
-      // DataFrame wedge-join replaced (SCALE_r13 §3 measured it at
-      // 2.0 GB adjacency shuffle / 124 s on the sf10 dup-pair graph)
-      ("dup_pair_triangles_graphx", () =>
-        leg("dup_pair_triangles_graphx", dupEdges, "triangles_graphx")))
+      // A/B: the degree-oriented DataFrame wedge join — wins on sparse
+      // graphs, loses 3.7× on the dup graph's near-clique families
+      // (it must materialize every triangle; SCALE_r13 §3a)
+      ("dup_pair_triangles_wedge", () =>
+        leg("dup_pair_triangles_wedge", dupEdges, "triangles_wedge")))
     val unknown = only -- legs.map(_._1).toSet
     require(unknown.isEmpty,
       s"unknown leg name(s): ${unknown.mkString(", ")} — valid: ${legs.map(_._1).mkString(", ")}")

@@ -242,26 +242,45 @@ object Analytics {
     labels
   }
 
-  /** Per-vertex triangle counts, undirected (self-edges dropped, one
-    * edge per unordered pair — the same canonicalization GraphX
-    * TriangleCount applies). Returns only vertices in ≥1 triangle
-    * (soul, n_triangles).
-    *
-    * Degree-oriented wedge enumeration ("compact-forward") on
-    * DataFrames: orient every canonical edge from its (degree, id)-
-    * smaller endpoint to the larger, self-join the oriented edges on the
-    * source to enumerate wedges, and close each wedge against the
-    * oriented edge set — each triangle is produced exactly once, at its
-    * order-minimal apex. The orientation bounds every self-join key's
-    * fan-out by the graph degeneracy (≤√(2m) out-edges per vertex, vs
-    * raw max degree for an unoriented join), and every shuffled row is
-    * three hashed longs. The GraphX formulation
-    * ([[triangleCountsGraphx]]) instead replicates whole neighbor-id
-    * sets along each edge — 2.0 GB of adjacency shuffle on the sf10
-    * dup-pair graph (SCALE_r13 §3) where this plan ships flat rows
-    * through whole-stage codegen.
+  /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
+    * `run` canonicalizes: self-edges dropped, one edge per unordered
+    * pair). Returns only vertices in ≥1 triangle (soul, n_triangles).
+    * Neighbor-set intersection counts triangles WITHOUT materializing
+    * them — on the dup-pair graph, whose duplicate families are
+    * near-cliques (a k-clique holds C(k,3) triangles), that beats wedge
+    * enumeration by 3.7× at sf10: the measured A/B (SCALE_r13 §3a) has
+    * this plan at 21.1 s / 2.0 GB vs [[triangleCountsWedge]]'s
+    * 78.4 s / 3.6 GB (364M materialized wedge rows). EdgePartition2D
+    * keeps the adjacency replication factor at √numParts at scale.
     */
   def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (e, owns) = persistEdges(edges)
+    val g = fromEdges(e)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    val tc = org.apache.spark.graphx.lib.TriangleCount.run(g)
+    val res = tc.vertices.filter(_._2 > 0)
+      .join(g.vertices.map(identity))
+      .map { case (_, (n, soul)) => (soul, n.toLong) }
+      .toDF("soul", "n_triangles")
+    materializeAndRelease(res, e, owns, g, tc)
+  }
+
+  /** Degree-oriented wedge enumeration ("compact-forward") on
+    * DataFrames — same contract as [[triangleCounts]], bit-identical
+    * output (equivalence spec). Orients every canonical edge from its
+    * (degree, id)-smaller endpoint, self-joins oriented edges on the
+    * apex to enumerate wedges, closes each wedge against the oriented
+    * edge set: one row per triangle at its order-minimal apex, join-key
+    * fan-out bounded by the graph degeneracy, every shuffled row three
+    * hashed longs through whole-stage codegen. The right plan for
+    * SPARSE / low-degeneracy graphs; on dense near-clique families it
+    * must materialize every triangle (O(k³) rows per k-clique) and
+    * loses to the set-intersection form — measured 78.4 s / 3.6 GB vs
+    * 21.1 s / 2.0 GB on the sf10 dup-pair graph (SCALE_r13 §3a), which
+    * is why it is not the default for the dedup queries.
+    */
+  def triangleCountsWedge(spark: SparkSession, edges: DataFrame): DataFrame = {
     val (e, owns) = persistEdges(edges)
     // hashed 64-bit vertex ids, as fromEdges (souls rejoined post-agg)
     val verts = e.select(col("src").as("soul"))
@@ -306,22 +325,6 @@ object Analytics {
     out
   }
 
-  /** The GraphX neighbor-set-intersection formulation of
-    * [[triangleCounts]] — kept for the probe A/B (GraphProbe
-    * `dup_pair_triangles_graphx` leg) and the equivalence spec.
-    */
-  def triangleCountsGraphx(spark: SparkSession, edges: DataFrame): DataFrame = {
-    import spark.implicits._
-    val (e, owns) = persistEdges(edges)
-    val g = fromEdges(e)
-      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-    val tc = org.apache.spark.graphx.lib.TriangleCount.run(g)
-    val res = tc.vertices.filter(_._2 > 0)
-      .join(g.vertices.map(identity))
-      .map { case (_, (n, soul)) => (soul, n.toLong) }
-      .toDF("soul", "n_triangles")
-    materializeAndRelease(res, e, owns, g, tc)
-  }
 
   /** Multi-hop reachability from a set of source souls along edge
     * direction, via Pregel BFS. Returns (soul, hops) for every reached

@@ -77,20 +77,21 @@ class AnalyticsSpec extends SparkSuite {
     val path = Seq(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
       .toDF("src", "field", "dst")
     assert(Analytics.triangleCounts(spark, path).count() == 0L)
+    assert(Analytics.triangleCountsWedge(spark, path).count() == 0L)
   }
 
-  test("triangle counts: wedge-join equals GraphX on a random graph") {
+  test("triangle counts: wedge-join variant equals GraphX default on a random graph") {
     import spark.implicits._
     // seeded G(40, 140) with duplicate edges, both directions, and
     // self-loops mixed in — the canonicalization surface
     val rnd = new scala.util.Random(7)
     val raw = Seq.fill(140)((s"v${rnd.nextInt(40)}", "r", s"v${rnd.nextInt(40)}"))
       .toDF("src", "field", "dst")
-    val df = Analytics.triangleCounts(spark, raw)
+    val wedge = Analytics.triangleCountsWedge(spark, raw)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val gx = Analytics.triangleCountsGraphx(spark, raw)
+    val gx = Analytics.triangleCounts(spark, raw)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(df.nonEmpty && df == gx)
+    assert(wedge.nonEmpty && wedge == gx)
   }
 
   test("label propagation: sync mode label with min-label tie-break") {
