@@ -550,21 +550,21 @@ object StreamBench {
       (System.nanoTime() - t0) / 1e9, times)
   }
 
-  private def pipeJs(key: String, p: PipeStats): String =
-    s""""$key":{"batches":${p.batches},"docs_per_batch":${p.docsPerBatch},""" +
+  private def pipeJs(p: PipeStats): String =
+    s"""{"batches":${p.batches},"docs_per_batch":${p.docsPerBatch},""" +
       s""""kept":${p.keptTotal},"docs_per_sec":${f"${p.docsPerSec}%.1f"},""" +
       s""""batch_ms_first_quartile":${f"${p.firstQuartileMs}%.0f"},""" +
       s""""batch_ms_last_quartile":${f"${p.lastQuartileMs}%.0f"}}"""
 
-  private def raJs(key: String, r: ReadAmpStats): String = {
+  private def raJs(r: ReadAmpStats): String = {
     val pts = r.probes.map { case (b, ms) => s"[$b,${f"$ms%.1f"}]" }.mkString(",")
-    s""""$key":{"batches":${r.batches},"max_files_end":${r.maxFilesEnd},""" +
+    s"""{"batches":${r.batches},"max_files_end":${r.maxFilesEnd},""" +
       s""""read_ms_first_quartile":${f"${r.firstQuartileMs}%.1f"},""" +
       s""""read_ms_last_quartile":${f"${r.lastQuartileMs}%.1f"},"probes":[$pts]}"""
   }
 
-  private def ndJs(key: String, r: NearDupStats): String =
-    s""""$key":{"batches":${r.batches},"docs":${r.docs},"matches":${r.matches},""" +
+  private def ndJs(r: NearDupStats): String =
+    s"""{"batches":${r.batches},"docs":${r.docs},"matches":${r.matches},""" +
       s""""batch_ms_p50_first_third":${r.firstThirdMsP50},""" +
       s""""batch_ms_p50_last_third":${r.lastThirdMsP50},""" +
       s""""rows_scanned_first_third_max":${r.rowsScannedFirst},""" +
@@ -575,6 +575,23 @@ object StreamBench {
       s""""cells_per_sec":${f"${r.rate}%.1f"},"batches":${r.batches},""" +
       s""""batch_ms_p50":${r.batchMsP50},"batch_ms_p95":${r.batchMsP95},""" +
       s""""batch_ms_max":${r.batchMsMax}}"""
+
+  /** Overlay `updates` (top-level key -> raw JSON value text) onto an
+    * optional existing JSON object, preserving the existing key order for
+    * keys already present and appending new keys in `updates` order. Lets a
+    * filtered re-run refresh only its legs' readings in the out-file.
+    */
+  private[graft] def mergedJson(existing: Option[String],
+                                updates: Seq[(String, String)]): String = {
+    val merged = scala.collection.mutable.LinkedHashMap[String, String]()
+    existing.foreach { text =>
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      val it = root.fields()
+      while (it.hasNext) { val e = it.next(); merged += e.getKey -> e.getValue.toString }
+    }
+    updates.foreach { case (k, v) => merged += k -> v }
+    merged.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -592,164 +609,170 @@ object StreamBench {
       try run(spark) finally spark.stop()
     }
 
-    val ingest = pass(runIngest(_, souls, fields, waves, msgsPerFrame, chunkFrames,
-      wal = true)).maxBy(_.rate)
-    val ingestNoWal = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
-      chunkFrames, wal = false)).maxBy(_.rate)
+    // Leg selection: SPARK_GRAFT_STREAM_LEGS="pipeline_compact_on,..." runs
+    // only the named legs and MERGES their fresh readings into the existing
+    // out-file, leaving every other leg's recorded numbers untouched — the
+    // re-run-one-leg-on-a-quiet-box workflow. Unknown names fail fast (a
+    // typo must not silently select zero legs). Empty/unset = all legs.
+    val knownLegs = Seq(
+      "ingest", "ingest_nowal", "ingest_delta", "ingest_delta_buf4",
+      "ingest_ws_delta", "ingest_nostore", "publish", "publish_p4",
+      "readamp_trigger_on", "readamp_trigger_off",
+      "neardup_pruned", "neardup_full_probe",
+      "neardup_hot_capped", "neardup_hot_uncapped",
+      "emb_neardup_pruned", "emb_neardup_full_probe",
+      "pipeline_compact_on", "pipeline_compact_off", "pipeline_sig_reuse_off",
+      "linededup_compact_on", "linededup_compact_off")
+    val legFilter: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_LEGS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val unknownLegs = legFilter -- knownLegs.toSet
+    require(unknownLegs.isEmpty,
+      s"unknown stream legs: ${unknownLegs.mkString(",")} " +
+        s"(known: ${knownLegs.mkString(",")})")
+    def want(name: String): Boolean = legFilter.isEmpty || legFilter(name)
+    def one[A](run: SparkSession => A): A = {
+      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
+      try run(spark) finally spark.stop()
+    }
+
+    // top-level key -> raw JSON value text, in execution order
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var ingestStats: Option[RunStats] = None
+    var ingestNoWalStats: Option[RunStats] = None
+
+    if (want("ingest")) {
+      val r = pass(runIngest(_, souls, fields, waves, msgsPerFrame, chunkFrames,
+        wal = true)).maxBy(_.rate)
+      ingestStats = Some(r); out += "ingest" -> js(r)
+    }
+    if (want("ingest_nowal")) {
+      val r = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
+        chunkFrames, wal = false)).maxBy(_.rate)
+      ingestNoWalStats = Some(r); out += "ingest_nowal" -> js(r)
+    }
     // delta-store leg: LSM append instead of read-merge-rewrite
-    val ingestDelta = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
-      chunkFrames, wal = true, sink = "delta")).maxBy(_.rate)
+    if (want("ingest_delta"))
+      out += "ingest_delta" -> js(pass(runIngest(_, souls, fields, waves,
+        msgsPerFrame, chunkFrames, wal = true, sink = "delta")).maxBy(_.rate))
     // buffered delta leg: 4 micro-batches per delta write — amortizes the
     // fixed write-job floor the un-buffered leg pays every batch
-    val ingestDeltaBuf = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
-      chunkFrames, wal = true, sink = "delta-buf4")).maxBy(_.rate)
+    if (want("ingest_delta_buf4"))
+      out += "ingest_delta_buf4" -> js(pass(runIngest(_, souls, fields, waves,
+        msgsPerFrame, chunkFrames, wal = true, sink = "delta-buf4")).maxBy(_.rate))
     // real-socket leg: same pipeline over an RFC 6455 loopback websocket
     // (server accept + JDK client), delta sink — prices the wire path
-    val ingestWs = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
-      chunkFrames, wal = true, sink = "delta", transport = "ws")).maxBy(_.rate)
+    if (want("ingest_ws_delta"))
+      out += "ingest_ws_delta" -> js(pass(runIngest(_, souls, fields, waves,
+        msgsPerFrame, chunkFrames, wal = true, sink = "delta",
+        transport = "ws")).maxBy(_.rate))
     // no-store leg: source + codec + CRDT state machine only — the gap
     // vs ingest_nowal attributes the per-batch cost to the store merge
-    val ingestNoStore = pass(runIngest(_, souls, fields, waves, msgsPerFrame,
-      chunkFrames, wal = false, sink = "none")).maxBy(_.rate)
-    val publish = pass(runPublish(_, souls, fields, waves,
-      chunkSouls = souls / 4 max 1)).maxBy(_.rate)
+    if (want("ingest_nostore"))
+      out += "ingest_nostore" -> js(pass(runIngest(_, souls, fields, waves,
+        msgsPerFrame, chunkFrames, wal = false, sink = "none")).maxBy(_.rate))
+    // WAL overhead needs both ingest legs from THIS run; a partial re-run
+    // keeps the recorded value
+    for (i <- ingestStats; n <- ingestNoWalStats)
+      out += "wal_overhead_pct" ->
+        f"${if (n.rate > 0) (n.rate - i.rate) / n.rate * 100.0 else 0.0}%.1f"
+    if (want("publish"))
+      out += "publish" -> js(pass(runPublish(_, souls, fields, waves,
+        chunkSouls = souls / 4 max 1)).maxBy(_.rate))
     // all-peers fan-out: every frame to each of 4 peers (wire throughput
     // = 4× the reported pipeline rate)
-    val publishP4 = pass(runPublish(_, souls, fields, waves,
-      chunkSouls = souls / 4 max 1, peers = 4)).maxBy(_.rate)
+    if (want("publish_p4"))
+      out += "publish_p4" -> js(pass(runPublish(_, souls, fields, waves,
+        chunkSouls = souls / 4 max 1, peers = 4)).maxBy(_.rate))
     // read-amplification A/B: same long append run, compaction trigger
     // on (default threshold) vs off — the LSM's read-side evidence
     val raBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_RA_BATCHES", "120").toInt
-    val raOn = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runReadAmp(spark, raBatches, cellsPerBatch = 500, buckets = 8,
-        compactThreshold = HamStream.DefaultCompactThreshold, probeEvery = 10)
-      finally spark.stop()
-    }
-    val raOff = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runReadAmp(spark, raBatches, cellsPerBatch = 500, buckets = 8,
-        compactThreshold = 0, probeEvery = 10)
-      finally spark.stop()
-    }
+    if (want("readamp_trigger_on"))
+      out += "readamp_trigger_on" -> raJs(one(runReadAmp(_, raBatches,
+        cellsPerBatch = 500, buckets = 8,
+        compactThreshold = HamStream.DefaultCompactThreshold, probeEvery = 10)))
+    if (want("readamp_trigger_off"))
+      out += "readamp_trigger_off" -> raJs(one(runReadAmp(_, raBatches,
+        cellsPerBatch = 500, buckets = 8, compactThreshold = 0, probeEvery = 10)))
 
     // streaming near-dup A/B: bucket-pruned probe vs naive full-index
     // probe over the same growing corpus
     val ndBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_ND_BATCHES", "40").toInt
     val ndDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_ND_DOCS", "10").toInt
-    val ndPruned = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = false)
-      finally spark.stop()
-    }
-    val ndFull = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = true)
-      finally spark.stop()
-    }
+    if (want("neardup_pruned"))
+      out += "neardup_pruned" -> ndJs(one(runNearDup(_, ndBatches, ndDocs,
+        numBuckets = 256, probeAll = false)))
+    if (want("neardup_full_probe"))
+      out += "neardup_full_probe" -> ndJs(one(runNearDup(_, ndBatches, ndDocs,
+        numBuckets = 256, probeAll = true)))
     // hammered band key A/B: every batch re-sends 10 copies of one
     // boilerplate text. Uncapped, the probe's per-key fan-out (and
     // rows_scanned) grows with the family; with the per-key cap the old
     // side is clamped to the family representatives
-    val ndHotCapped = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256,
-        probeAll = false, hotCopies = 10, maxKeyRows = 32)
-      finally spark.stop()
-    }
-    val ndHotUncapped = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runNearDup(spark, ndBatches, ndDocs, numBuckets = 256,
-        probeAll = false, hotCopies = 10, maxKeyRows = 0)
-      finally spark.stop()
-    }
+    if (want("neardup_hot_capped"))
+      out += "neardup_hot_capped" -> ndJs(one(runNearDup(_, ndBatches, ndDocs,
+        numBuckets = 256, probeAll = false, hotCopies = 10, maxKeyRows = 32)))
+    if (want("neardup_hot_uncapped"))
+      out += "neardup_hot_uncapped" -> ndJs(one(runNearDup(_, ndBatches, ndDocs,
+        numBuckets = 256, probeAll = false, hotCopies = 10, maxKeyRows = 0)))
     // embedding-side near-dup A/B: same growing-corpus drive over the
     // LSH-table index, pruned vs full probe
-    val endPruned = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runEmbNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = false)
-      finally spark.stop()
-    }
-    val endFull = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runEmbNearDup(spark, ndBatches, ndDocs, numBuckets = 256, probeAll = true)
-      finally spark.stop()
-    }
+    if (want("emb_neardup_pruned"))
+      out += "emb_neardup_pruned" -> ndJs(one(runEmbNearDup(_, ndBatches,
+        ndDocs, numBuckets = 256, probeAll = false)))
+    if (want("emb_neardup_full_probe"))
+      out += "emb_neardup_full_probe" -> ndJs(one(runEmbNearDup(_, ndBatches,
+        ndDocs, numBuckets = 256, probeAll = true)))
 
     // composed-pipeline A/B: compaction on (default) vs off over the
     // same growing key index — the per-batch latency-curve evidence
     val pipeBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPE_BATCHES", "40").toInt
     val pipeDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPE_DOCS", "200").toInt
-    val pipeOn = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runPipeline(spark, pipeBatches, pipeDocs, numBuckets = 64,
-        compactThreshold = 8)
-      finally spark.stop()
-    }
-    val pipeOff = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runPipeline(spark, pipeBatches, pipeDocs, numBuckets = 64,
-        compactThreshold = 0)
-      finally spark.stop()
-    }
+    if (want("pipeline_compact_on"))
+      out += "pipeline_compact_on" -> pipeJs(one(runPipeline(_, pipeBatches,
+        pipeDocs, numBuckets = 64, compactThreshold = 8)))
+    if (want("pipeline_compact_off"))
+      out += "pipeline_compact_off" -> pipeJs(one(runPipeline(_, pipeBatches,
+        pipeDocs, numBuckets = 64, compactThreshold = 0)))
     // signature-reuse A/B (VERDICT_r13 #3): one MinHash pass per batch
     // (probe rows semi-joined to survivors, the default) vs the old
     // recompute-from-commit second pass — same compaction config as
     // pipeline_compact_on, so the pair isolates the shingle+hash cost
-    val pipeSigOff = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runPipeline(spark, pipeBatches, pipeDocs, numBuckets = 64,
-        compactThreshold = 8, reuseSigs = false)
-      finally spark.stop()
-    }
+    if (want("pipeline_sig_reuse_off"))
+      out += "pipeline_sig_reuse_off" -> pipeJs(one(runPipeline(_, pipeBatches,
+        pipeDocs, numBuckets = 64, compactThreshold = 8, reuseSigs = false)))
 
     // line-dedup A/B: same compaction on/off latency-curve drive over
     // the growing segment-hash index
-    val lineOn = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runLineDedup(spark, pipeBatches, pipeDocs, numBuckets = 64,
-        compactThreshold = 8)
-      finally spark.stop()
-    }
-    val lineOff = {
-      val spark = Bench.newSession(cpus); spark.sparkContext.setLogLevel("WARN")
-      try runLineDedup(spark, pipeBatches, pipeDocs, numBuckets = 64,
-        compactThreshold = 0)
-      finally spark.stop()
-    }
+    if (want("linededup_compact_on"))
+      out += "linededup_compact_on" -> pipeJs(one(runLineDedup(_, pipeBatches,
+        pipeDocs, numBuckets = 64, compactThreshold = 8)))
+    if (want("linededup_compact_off"))
+      out += "linededup_compact_off" -> pipeJs(one(runLineDedup(_, pipeBatches,
+        pipeDocs, numBuckets = 64, compactThreshold = 0)))
 
-    val walOverheadPct =
-      if (ingestNoWal.rate > 0)
-        (ingestNoWal.rate - ingest.rate) / ingestNoWal.rate * 100.0
-      else 0.0
-    val json =
-      s"""{"metric":"stream_ingest_cells_per_sec","value":${f"${ingest.rate}%.1f"},""" +
-        s""""unit":"cells/sec","souls":$souls,"fields":$fields,"waves":$waves,""" +
-        s""""msgs_per_frame":$msgsPerFrame,"chunk_frames":$chunkFrames,""" +
-        s""""passes":$passes,"ingest":${js(ingest)},""" +
-        s""""ingest_nowal":${js(ingestNoWal)},""" +
-        s""""ingest_delta":${js(ingestDelta)},""" +
-        s""""ingest_delta_buf4":${js(ingestDeltaBuf)},""" +
-        s""""ingest_ws_delta":${js(ingestWs)},""" +
-        s""""ingest_nostore":${js(ingestNoStore)},""" +
-        s""""wal_overhead_pct":${f"$walOverheadPct%.1f"},""" +
-        s""""publish":${js(publish)},""" +
-        s""""publish_p4":${js(publishP4)},""" +
-        raJs("readamp_trigger_on", raOn) + "," +
-        raJs("readamp_trigger_off", raOff) + "," +
-        ndJs("neardup_pruned", ndPruned) + "," +
-        ndJs("neardup_full_probe", ndFull) + "," +
-        ndJs("neardup_hot_capped", ndHotCapped) + "," +
-        ndJs("neardup_hot_uncapped", ndHotUncapped) + "," +
-        ndJs("emb_neardup_pruned", endPruned) + "," +
-        ndJs("emb_neardup_full_probe", endFull) + "," +
-        pipeJs("pipeline_compact_on", pipeOn) + "," +
-        pipeJs("pipeline_compact_off", pipeOff) + "," +
-        pipeJs("pipeline_sig_reuse_off", pipeSigOff) + "," +
-        pipeJs("linededup_compact_on", lineOn) + "," +
-        pipeJs("linededup_compact_off", lineOff) + "}"
+    // Header scalars describe the ingest leg's config; refresh them only
+    // when that leg ran. On a filtered run, start from the recorded file so
+    // untouched legs keep their numbers (and their key positions).
+    val outPath = Paths.get(outFile)
+    val existing =
+      if (legFilter.nonEmpty && Files.exists(outPath))
+        Some(Files.readString(outPath))
+      else None
+    val header = ingestStats.toSeq.flatMap { r =>
+      Seq(
+        "metric" -> "\"stream_ingest_cells_per_sec\"",
+        "value" -> f"${r.rate}%.1f",
+        "unit" -> "\"cells/sec\"",
+        "souls" -> souls.toString,
+        "fields" -> fields.toString,
+        "waves" -> waves.toString,
+        "msgs_per_frame" -> msgsPerFrame.toString,
+        "chunk_frames" -> chunkFrames.toString,
+        "passes" -> passes.toString)
+    }
+    val json = mergedJson(existing, header ++ out)
     println(json)
-    try Files.writeString(Paths.get(outFile), json)
+    try Files.writeString(outPath, json + "\n")
     catch { case e: Exception => System.err.println(s"[stream-bench] write failed: $e") }
   }
 }
