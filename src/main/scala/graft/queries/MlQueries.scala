@@ -769,6 +769,33 @@ object MlQueries {
     s"(${strHashSql(s"'pw:' || CAST(($pg) AS VARCHAR) || ':' || CAST(d AS VARCHAR)")}" +
       " % 2147483648 - 1073741824)"
 
+  /** Hyperplane dot-product CTEs with the md5-derived weight factored into
+    * a small `(t, p, d)`-keyed relation `w`. The weight depends only on
+    * the plane coordinates (≤ tables·planes·64 distinct values), so the
+    * previous form — [[weightSql]] inlined inside the vec_id × t × p × d
+    * explode — re-evaluated the 15-md5 varchar expression once per DATA
+    * row: ~10¹⁰ md5 calls and a measured >170 GB DuckDB working set at
+    * sf3 (the round-14 oracle disk-kill). Joining `w` instead computes
+    * each weight exactly once and leaves the explode pure bigint
+    * arithmetic; every summed value is bit-identical, so result hashes
+    * are unchanged. `pFilter` carries the auto variant's `p < bits`
+    * restriction into `w` (same rows as filtering the explode).
+    */
+  private def weightedDotsCtes(tables: Int, planes: Int, pg: String,
+                               pFilter: String = ""): String = {
+    val where = if (pFilter.isEmpty) "" else s"\n            WHERE $pFilter"
+    s"""w AS (
+            SELECT t, p, d, ${weightSql(pg)} AS wt
+            FROM generate_series(0, ${tables - 1}) tt(t),
+                 generate_series(0, ${planes - 1}) tp(p),
+                 generate_series(0, 63) td(d)$where),
+          dots AS (
+            SELECT vec_id, t, p, SUM(q[d+1] * wt) AS dotp
+            FROM quant, w
+            WHERE d < len(q)
+            GROUP BY vec_id, t, p)"""
+  }
+
   private val directOracles: Map[String, String] = Map(
     "minhash_sig" -> sigSql,
     "minhash_lsh_pairs" ->
@@ -848,12 +875,7 @@ object MlQueries {
           WHERE bit_count(xor(sim_a, sim_b)) <= 16""",
     "emb_decontaminate" ->
       s"""WITH quant AS ($quantSql),
-          dots AS (
-            SELECT vec_id, t, p, SUM(q[d+1] * ${weightSql("t*8 + p")}) AS dotp
-            FROM quant, generate_series(0, 15) tt(t), generate_series(0, 7) tp(p),
-                 generate_series(0, 63) td(d)
-            WHERE d < len(q)
-            GROUP BY vec_id, t, p),
+          ${weightedDotsCtes(16, 8, "t*8 + p")},
           tb AS (
             SELECT vec_id, t,
                    CAST(SUM(CASE WHEN dotp > 0
@@ -891,15 +913,8 @@ object MlQueries {
             FROM generate_series(${Similarity.NumPlanes}, 48) s(b)
             WHERE (1::BIGINT << CAST(b AS INTEGER))
                   >= ((SELECT COUNT(*) FROM embeddings) + 4) // 5),
-          dots AS (
-            SELECT vec_id, t, p,
-                   SUM(q[d+1] * ${weightSql("t * (SELECT bits FROM params) + p")})
-                     AS dotp
-            FROM quant, generate_series(0, 15) tt(t),
-                 generate_series(0, 47) tp(p),
-                 generate_series(0, 63) td(d)
-            WHERE d < len(q) AND p < (SELECT bits FROM params)
-            GROUP BY vec_id, t, p),
+          ${weightedDotsCtes(16, 48, "t * (SELECT bits FROM params) + p",
+                             pFilter = "p < (SELECT bits FROM params)")},
           tb AS (
             SELECT vec_id, t,
                    CAST(SUM(CASE WHEN dotp > 0
@@ -943,12 +958,7 @@ object MlQueries {
          WHERE rank <= 5""",
     "emb_lsh_ann" ->
       s"""WITH quant AS ($quantSql),
-          dots AS (
-            SELECT vec_id, p, SUM(q[d+1] * ${weightSql("p")}) AS dotp
-            FROM quant, generate_series(0, ${Similarity.NumPlanes - 1}) tp(p),
-                 generate_series(0, 63) td(d)
-            WHERE d < len(q)
-            GROUP BY vec_id, p),
+          ${weightedDotsCtes(1, Similarity.NumPlanes, "p")},
           b AS (
             SELECT vec_id,
                    CAST(SUM(CASE WHEN dotp > 0
@@ -996,12 +1006,7 @@ object MlQueries {
           WHERE rank <= 5""",
     "emb_neardup" ->
       s"""WITH quant AS ($quantSql),
-          dots AS (
-            SELECT vec_id, t, p, SUM(q[d+1] * ${weightSql("t*8 + p")}) AS dotp
-            FROM quant, generate_series(0, 15) tt(t), generate_series(0, 7) tp(p),
-                 generate_series(0, 63) td(d)
-            WHERE d < len(q)
-            GROUP BY vec_id, t, p),
+          ${weightedDotsCtes(16, 8, "t*8 + p")},
           tb AS (
             SELECT vec_id, t,
                    CAST(SUM(CASE WHEN dotp > 0
@@ -1017,12 +1022,7 @@ object MlQueries {
     // anchor: same CTE chain, tiny cap threaded through lshCandSql
     "emb_neardup_capped" ->
       s"""WITH quant AS ($quantSql),
-          dots AS (
-            SELECT vec_id, t, p, SUM(q[d+1] * ${weightSql("t*6 + p")}) AS dotp
-            FROM quant, generate_series(0, 3) tt(t), generate_series(0, 5) tp(p),
-                 generate_series(0, 63) td(d)
-            WHERE d < len(q)
-            GROUP BY vec_id, t, p),
+          ${weightedDotsCtes(4, 6, "t*6 + p")},
           tb AS (
             SELECT vec_id, t,
                    CAST(SUM(CASE WHEN dotp > 0

@@ -36,6 +36,15 @@ def main(sf_dir, out_dir):
     import os
     if os.environ.get("PARITY_THREADS"):
         con.execute(f"SET threads = {int(os.environ['PARITY_THREADS'])}")
+    # Heavy sf3+ oracles (minhash/simhash shingle explodes, LSH self-joins)
+    # can exceed DuckDB's default 80%-of-RAM cap on a contended box; a hard
+    # limit + an explicit spill dir makes them spill instead of dying with
+    # "Out of Memory Error" / filling the cwd-relative .tmp.
+    if os.environ.get("PARITY_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit = '{os.environ['PARITY_MEMORY_LIMIT']}'")
+    if os.environ.get("PARITY_TEMP_DIR"):
+        os.makedirs(os.environ["PARITY_TEMP_DIR"], exist_ok=True)
+        con.execute(f"SET temp_directory = '{os.environ['PARITY_TEMP_DIR']}'")
     only = set(filter(None, os.environ.get("PARITY_ONLY", "").split(",")))
     skip = set(filter(None, os.environ.get("PARITY_SKIP", "").split(",")))
     for t in TABLES:
