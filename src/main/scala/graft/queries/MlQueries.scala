@@ -964,17 +964,26 @@ object MlQueries {
                    CAST(SUM(CASE WHEN dotp > 0
                         THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT)
                      AS bucket
-            FROM dots GROUP BY vec_id)
-          SELECT query_id, neighbor_id, rank FROM (
+            FROM dots GROUP BY vec_id),
+          pairs AS MATERIALIZED (
             SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   row_number() OVER (
-                     PARTITION BY a.vec_id
-                     ORDER BY list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])) DESC,
-                              c.vec_id) AS rank
+                   list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(ec.embedding AS DOUBLE[])) AS cs
             FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id <> a.vec_id
             JOIN embeddings ea ON ea.vec_id = a.vec_id
             JOIN embeddings ec ON ec.vec_id = c.vec_id)
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cs DESC, neighbor_id) AS rank
+            FROM pairs)
           WHERE rank <= 5""",
+    // ^ pairs is MATERIALIZED (execution hint only — same values) so the
+    // 256-bucket self-join's ~n²/256 candidate rows enter the top-k window
+    // as (id, id, cosine) scalars; inlined, DuckDB's window sort kept both
+    // 64-dim arrays alive per pair row — a ~160 GB working set at 200k
+    // vectors that out-spilled the box (round-14 sf10 reading).
     "emb_ivf_ann" ->
       s"""WITH quant AS ($quantSql),
           cents AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < 16),
