@@ -784,15 +784,24 @@ object MlQueries {
   private def weightedDotsCtes(tables: Int, planes: Int, pg: String,
                                pFilter: String = ""): String = {
     val where = if (pFilter.isEmpty) "" else s"\n            WHERE $pFilter"
-    s"""w AS (
+    // Both feeder CTEs are MATERIALIZED (execution hints, same values):
+    // inlined, DuckDB re-expands the md5 into the join and drags the full
+    // 64-element list column through every exploded row — the spill that
+    // killed the sf3 pass survives the factoring unless the join sides
+    // are narrowed first. qd = n·64 (vec_id, d, qv) bigint rows; the
+    // t × p fan-out then streams narrow arithmetic into the aggregate.
+    s"""w AS MATERIALIZED (
             SELECT t, p, d, ${weightSql(pg)} AS wt
             FROM generate_series(0, ${tables - 1}) tt(t),
                  generate_series(0, ${planes - 1}) tp(p),
                  generate_series(0, 63) td(d)$where),
+          qd AS MATERIALIZED (
+            SELECT vec_id, d, q[d+1] AS qv
+            FROM quant, generate_series(0, 63) td(d)
+            WHERE d < len(q)),
           dots AS (
-            SELECT vec_id, t, p, SUM(q[d+1] * wt) AS dotp
-            FROM quant, w
-            WHERE d < len(q)
+            SELECT vec_id, t, p, SUM(qv * wt) AS dotp
+            FROM qd JOIN w USING (d)
             GROUP BY vec_id, t, p)"""
   }
 
