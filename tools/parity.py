@@ -45,6 +45,11 @@ def main(sf_dir, out_dir):
     if os.environ.get("PARITY_TEMP_DIR"):
         os.makedirs(os.environ["PARITY_TEMP_DIR"], exist_ok=True)
         con.execute(f"SET temp_directory = '{os.environ['PARITY_TEMP_DIR']}'")
+    # Row order is irrelevant here (norm() sorts before comparing), and
+    # preserving insertion order forces DuckDB to buffer far more of a
+    # large pipeline — another documented memory lever for heavy oracles.
+    if os.environ.get("PARITY_NO_ORDER"):
+        con.execute("SET preserve_insertion_order = false")
     only = set(filter(None, os.environ.get("PARITY_ONLY", "").split(",")))
     skip = set(filter(None, os.environ.get("PARITY_SKIP", "").split(",")))
     for t in TABLES:
