@@ -134,4 +134,47 @@ class PlanHygieneSpec extends SparkSuite {
       }
     }
   }
+
+  /** Per-group top-k queries that must plan a WindowGroupLimit: the
+    * `row_number().over(partitionBy…orderBy…) <= k` shape is only
+    * 100 TB-viable when Spark pushes the rank filter into a group-limit
+    * operator (per-partition top-k heaps before/after the exchange —
+    * usually a Partial/Final pair) instead of fully sorting every
+    * partition's candidate set under a plain Window. For the ANN family
+    * this is the difference between shuffling k rows per query and
+    * shuffling the whole ~n²/buckets candidate pair set (emb_lsh_ann at
+    * sf10 generates ~156M pairs for 1M kept rows). Verified present in
+    * every plan below this round (graft.Explain probe); this test
+    * freezes it — a refactor that breaks the pushdown (e.g. filtering a
+    * derived column, or a non-rank-like function) fails here, not in a
+    * scale run.
+    */
+  private val TopKQueries = Seq(
+    "emb_lsh_ann", "emb_knn", "emb_ivf_ann", "emb_ivf_ann_stored",
+    "emb_pq_ann", "emb_pq_ann_stored", "emb_mrl_ann", "emb_mrl_ann_stored",
+    "q_topk_brand", "doc_sample_stratified", "doc_bm25_topk",
+    "doc_top_terms")
+
+  test("per-group top-k plans push the rank filter into WindowGroupLimit") {
+    val prev = spark.conf.getOption(operators.Caching.EagerReleaseKey)
+    spark.conf.set(operators.Caching.EagerReleaseKey, "false")
+    try {
+      val offenders = TopKQueries.flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        if (plan.contains("WindowGroupLimit")) None
+        else Some(name)
+      }
+      assert(offenders.isEmpty,
+        s"top-k plans without WindowGroupLimit: ${offenders.mkString(", ")}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(operators.Caching.EagerReleaseKey, v)
+        case None    => spark.conf.unset(operators.Caching.EagerReleaseKey)
+      }
+    }
+  }
 }
