@@ -203,6 +203,23 @@ def main():
         gen_relational(sf, rnd, out, hot)
         return
 
+    # Embeddings-only fixture for ANN/dedup completion probes at scales
+    # where generating 50000*sf documents would dominate the wall. NOTE:
+    # the random stream is NOT the docs+embeddings stream (docs normally
+    # draw first), so this fixture is for completion/shuffle probes, not
+    # for extending a hash record generated the standard way.
+    if len(sys.argv) > 3 and sys.argv[3] == "--embeddings-only":
+        import os
+        os.makedirs(out, exist_ok=True)
+        vecs = gen_embeddings(n_vecs, rnd)
+        pq.write_table(pa.table({
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }), f"{out}/embeddings.parquet")
+        print(f"wrote {n_vecs} embeddings to {out}")
+        return
+
     docs = gen_documents(n_docs, rnd)
     t = pa.table({
         "doc_id": pa.array([d[0] for d in docs], pa.int64()),
