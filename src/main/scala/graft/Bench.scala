@@ -26,6 +26,41 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_ISOLATE=0 restores the round-4 shared-context mode.
   */
 object Bench {
+  /** Per-query shuffle-write tally (VERDICT_r14 #6): shuffle records/bytes
+    * are PLAN properties — stable across repeats while wall time swings up
+    * to 1.8x with box noise (BENCH_STABILITY.md) — so recording them next
+    * to each query's wall seconds makes a plan regression separable from a
+    * noisy box at a glance. Registered per fresh context; snapshots are
+    * best-effort (the listener bus is async — `stable()` polls until two
+    * consecutive reads agree, which the post-query quiesce makes near-
+    * certain) and telemetry-only, never a gate.
+    */
+  private final class ShuffleTally
+      extends org.apache.spark.scheduler.SparkListener {
+    private val recs = new java.util.concurrent.atomic.AtomicLong
+    private val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { recs.set(0L); bytes.set(0L) }
+    def stable(): (Long, Long) = {
+      var prev = (recs.get(), bytes.get())
+      var tries = 0
+      while (tries < 20) {
+        Thread.sleep(50)
+        val cur = (recs.get(), bytes.get())
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
+    }
+  }
+
   def newSession(cpus: String): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -68,10 +103,15 @@ object Bench {
 
     var spark = newSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    var tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
     // Warm the JVM/codegen paths so the first measured query doesn't pay
     // one-time session machinery.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // per query -> shuffle write (records, bytes) from the query's FIRST
+    // repeat — a plan-cost signal, not a timing (see ShuffleTally)
+    val shuffles = scala.collection.mutable.Map[String, (Long, Long)]()
     // per query -> (firstRun, minOfN)
     val perPass = (1 to passes).map { _ =>
       selected.map { case (name, fn) =>
@@ -81,12 +121,16 @@ object Bench {
           spark.stop()
           spark = newSession(cpus)
           spark.sparkContext.setLogLevel("WARN")
+          tally = new ShuffleTally
+          spark.sparkContext.addSparkListener(tally)
         }
-        val times = (1 to repeat).map { _ =>
+        val times = (1 to repeat).zipWithIndex.map { case (_, i) =>
+          if (i == 0) tally.reset()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val elapsed = (System.nanoTime() - t0) / 1e9
           quiesce(spark) // outside the timed region: measure the query, not GC
+          if (i == 0 && !shuffles.contains(name)) shuffles(name) = tally.stable()
           elapsed
         }
         name -> ((times.head, times.min))
@@ -112,7 +156,12 @@ object Bench {
       try Seq("git", "rev-parse", "--short", "HEAD").!!.trim
       catch { case _: Exception => "unknown" }
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_first":${jsonMap(firsts)},"repeat":$repeat,"isolation":"$mode","sf":"$sfDir","provenance":"$who@$commit"$passesJson}"""
+    def jsonLongMap(m: scala.collection.Map[String, Long]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val shufRecs = shuffles.map { case (k, v) => k -> v._1 }
+    val shufBytes = shuffles.map { case (k, v) => k -> v._2 }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_first":${jsonMap(firsts)},"shuffle_records":${jsonLongMap(shufRecs)},"shuffle_bytes":${jsonLongMap(shufBytes)},"repeat":$repeat,"isolation":"$mode","sf":"$sfDir","provenance":"$who@$commit"$passesJson}"""
     // newline-terminated: line-oriented tooling (wc -l, tail, jq -c
     // pipelines) miscounts a file whose last line has no terminator
     try Files.writeString(Paths.get(outFile), json + "\n")

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Star-mode detection-recall probe (VERDICT_r14 #3): at a scale where the
+  * hot-bucket / hot-cluster caps BIND, quantify what the rep-link trade
+  * actually costs. The caps turn over-cap groups from all-pairs enumeration
+  * into member-vs-representative star links, so the capped output is a
+  * SUBSET of the uncapped one (rep-member pairs are themselves members of
+  * the full enumeration) — precision is 1.0 by construction and recall is
+  * the whole question. Two numbers per operator:
+  *
+  *   - detection recall: of the vectors the UNCAPPED run detects as
+  *     near-dups (member of >=1 scored pair / is_dup=1), the fraction the
+  *     capped default still detects — the "detection stays" claim in the
+  *     [[graft.operators.Similarity.DefaultMaxLshBucket]] scaladoc;
+  *   - pair recall: of the uncapped pair list, the fraction the capped run
+  *     still enumerates — expected LOW where the caps bind (enumeration is
+  *     star-shaped by design); recorded so the trade is a number, not an
+  *     adjective.
+  *
+  * Runs BOTH sides in one JVM (recall is a set comparison, not a timing —
+  * box noise is irrelevant, cache sharing is not a confound). The uncapped
+  * side is the reason this probe cannot run at sf10: it is exactly the
+  * measured >50 GB spill-kill the guards close; sf1/sf3 are the scales
+  * where the caps bind AND the ground truth still fits the box.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1 tools/run.sh graft.RecallProbe [neardup|semdedup|both]
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("both")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+
+    if (which == "neardup" || which == "both") {
+      // the declared emb_neardup config (pinned tables=16, bits=8) with the
+      // production cap vs maxBucket=0 ground truth
+      val ground = operators.Similarity
+        .nearDupPairsLsh(emb, threshold = 0.3, tables = 16, bits = 8,
+          maxBucket = 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val capped = operators.Similarity
+        .nearDupPairsLsh(emb, threshold = 0.3, tables = 16, bits = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def detected(p: DataFrame): DataFrame =
+        p.select(col("vec_a").as("vec_id"))
+          .unionByName(p.select(col("vec_b").as("vec_id"))).distinct()
+      val dg = detected(ground).persist()
+      val dc = detected(capped)
+      val nDg = dg.count()
+      val nDet = dg.join(dc, Seq("vec_id"), "left_semi").count()
+      val nPg = ground.count()
+      val nPc = capped.join(ground, Seq("vec_a", "vec_b"), "left_semi").count()
+      emit("neardup", sfDir, n, nDg, nDet, nPg, nPc,
+        s"tables=16,bits=8,cap=${operators.Similarity.DefaultMaxLshBucket}")
+      Seq(ground, capped, dg).foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+
+    // semanticDedup recall, one leg per k-sizing: `semdedup` = the pinned
+    // k=8 oracle anchor (at sf1 that is 2,500 vectors/cluster — every
+    // cluster far over the cap, the worst case for star mode), and
+    // `semdedup_auto` = the autoKmeansK deployment sizing, whose whole
+    // point is keeping clusters near sqrt(2N), i.e. at or under the cap
+    // until N ~ 500k. Detection = is_dup; pair-level numbers have no
+    // analogue (the output IS the verdict), so the pair fields mirror the
+    // detection fields.
+    val semLegs = which match {
+      case "semdedup"      => Seq("semdedup")
+      case "semdedup_auto" => Seq("semdedup_auto")
+      case "both"          => Seq("semdedup", "semdedup_auto")
+      case _               => Seq.empty
+    }
+    semLegs.foreach { leg =>
+      val k = if (leg == "semdedup") 8
+              else operators.Similarity.autoKmeansK(n)
+      val ground = operators.Similarity
+        .semanticDedup(emb, k = k, iters = 1, threshold = 0.4, maxCluster = 0)
+        .filter(col("is_dup") === 1L).select("vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val capped = operators.Similarity
+        .semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
+        .filter(col("is_dup") === 1L).select("vec_id")
+      val nDg = ground.count()
+      val nDet = ground.join(capped, Seq("vec_id"), "left_semi").count()
+      emit(leg, sfDir, n, nDg, nDet, nDg, nDet,
+        s"k=$k,cap=${operators.Similarity.DefaultMaxCluster}")
+      ground.unpersist(blocking = true)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+
+  private def emit(op: String, sfDir: String, n: Long, detGround: Long,
+      detKept: Long, pairsGround: Long, pairsKept: Long,
+      config: String): Unit = {
+    val dr = if (detGround > 0) detKept.toDouble / detGround else 1.0
+    val pr = if (pairsGround > 0) pairsKept.toDouble / pairsGround else 1.0
+    println(s"""{"probe":"recall","op":"$op","sf":"$sfDir","n":$n,""" +
+      s""""config":"$config","detected_uncapped":$detGround,""" +
+      s""""detected_kept":$detKept,"detection_recall":${f"$dr%.4f"},""" +
+      s""""pairs_uncapped":$pairsGround,"pairs_kept":$pairsKept,""" +
+      s""""pair_recall":${f"$pr%.4f"}}""")
+  }
+}

@@ -473,15 +473,57 @@ object StreamBench {
     */
   def runPipeline(spark: SparkSession, batches: Int, docsPerBatch: Int,
       numBuckets: Int, compactThreshold: Int,
-      reuseSigs: Boolean = true): PipeStats = {
+      reuseSigs: Boolean = true, tokensPerDoc: Int = 20,
+      prodMix: Boolean = false): PipeStats = {
     import spark.implicits._
     val base = Files.createTempDirectory("pipe-bench").toString
     val vocab = ("spark line column order small sort fast value scan hash " +
       "slow group batch part query agg table key stream filter").split(" ")
     val rnd = new scala.util.Random(42)
+    // Production-shape mix (VERDICT_r14 #4): the default fixture draws
+    // every token uniformly, so a doc's bits-per-token under the frozen
+    // model sits AT the training mean and the <=mean gate is a coin flip
+    // (~62% of each batch dropped once dedup stacks on top). Real curation
+    // streams are majority-surviving. To get that shape without touching
+    // the pipeline itself: train the model on Zipf(1.0)-skewed text, then
+    // stream 85% "good" docs drawn Zipf(2.0) — mass concentrated on the
+    // model's COMMON (low-surprisal) tokens, so a long doc's mean
+    // surprisal concentrates strictly below the training mean and passes
+    // deterministically — and 15% uniform "junk", which over-weights rare
+    // tokens and lands above the mean, i.e. fails. Doc length jitters
+    // 0.5x-2x around tokensPerDoc with a 1% x16 long tail (the KB-class
+    // spread of a web-scale corpus).
+    def zipfCumul(exp: Double): Array[Double] = {
+      val w = vocab.indices.map(i => 1.0 / math.pow(i + 1.0, exp)).toArray
+      val s = w.sum
+      var acc = 0.0
+      w.map { x => acc += x / s; acc }
+    }
+    val corpusCumul = zipfCumul(1.0)
+    val goodCumul = zipfCumul(2.0)
+    def zipfTok(cumul: Array[Double]): String = {
+      val r = rnd.nextDouble()
+      var i = 0
+      while (i < cumul.length - 1 && cumul(i) < r) i += 1
+      vocab(i)
+    }
+    def prodLen(): Int = {
+      val base = tokensPerDoc / 2 + rnd.nextInt(tokensPerDoc * 3 / 2 max 1)
+      if (rnd.nextInt(100) == 0) base * 16 else base
+    }
     def docText(): String =
-      (1 to 20).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
-    val corpus = (1L to 500L).map(i => (i, docText())).toDF("doc_id", "text")
+      if (!prodMix)
+        (1 to tokensPerDoc).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      else if (rnd.nextInt(100) < 85)
+        (1 to prodLen()).map(_ => zipfTok(goodCumul)).mkString(" ")
+      else
+        (1 to prodLen()).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+    def corpusText(): String =
+      if (!prodMix) docText()
+      else (1 to tokensPerDoc).map(_ => zipfTok(corpusCumul)).mkString(" ")
+    val corpus = (1L to 500L).map(i => (i, corpusText())).toDF("doc_id", "text")
     StreamingPipeline.trainAndFreeze(corpus, s"$base/model")
     var nextId = 1000L
     var seen = Vector.empty[String]
@@ -585,7 +627,15 @@ object StreamBench {
                                 updates: Seq[(String, String)]): String = {
     val merged = scala.collection.mutable.LinkedHashMap[String, String]()
     existing.foreach { text =>
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      // USE_BIG_DECIMAL_FOR_FLOATS: floats parse to DecimalNode, whose
+      // toString preserves the source digits — default DoubleNode would
+      // reformat untouched legs' numbers (e.g. to scientific notation) on
+      // a filtered re-run that was supposed to leave them byte-identical
+      // (ADVICE_r14).
+      val root = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .enable(com.fasterxml.jackson.databind.DeserializationFeature
+          .USE_BIG_DECIMAL_FOR_FLOATS)
+        .build().readTree(text)
       val it = root.fields()
       while (it.hasNext) { val e = it.next(); merged += e.getKey -> e.getValue.toString }
     }
@@ -622,6 +672,8 @@ object StreamBench {
       "neardup_hot_capped", "neardup_hot_uncapped",
       "emb_neardup_pruned", "emb_neardup_full_probe",
       "pipeline_compact_on", "pipeline_compact_off", "pipeline_sig_reuse_off",
+      "pipeline_prod_on", "pipeline_prod_sig_reuse_off",
+      "pipeline_prod_compact_off",
       "linededup_compact_on", "linededup_compact_off")
     val legFilter: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_LEGS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
@@ -740,6 +792,25 @@ object StreamBench {
     if (want("pipeline_sig_reuse_off"))
       out += "pipeline_sig_reuse_off" -> pipeJs(one(runPipeline(_, pipeBatches,
         pipeDocs, numBuckets = 64, compactThreshold = 8, reuseSigs = false)))
+    // production-shape legs (VERDICT_r14 #4): thousand-doc batches,
+    // KB-class texts, majority-surviving mix — the shape the sig-reuse
+    // text-volume argument was made for. Same A/B structure as the tiny
+    // fixture so the two shapes are directly comparable.
+    val prodBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_PROD_BATCHES", "12").toInt
+    val prodDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_PROD_DOCS", "2000").toInt
+    val prodTokens = sys.env.getOrElse("SPARK_GRAFT_STREAM_PROD_TOKENS", "300").toInt
+    if (want("pipeline_prod_on"))
+      out += "pipeline_prod_on" -> pipeJs(one(runPipeline(_, prodBatches,
+        prodDocs, numBuckets = 64, compactThreshold = 8,
+        tokensPerDoc = prodTokens, prodMix = true)))
+    if (want("pipeline_prod_sig_reuse_off"))
+      out += "pipeline_prod_sig_reuse_off" -> pipeJs(one(runPipeline(_,
+        prodBatches, prodDocs, numBuckets = 64, compactThreshold = 8,
+        reuseSigs = false, tokensPerDoc = prodTokens, prodMix = true)))
+    if (want("pipeline_prod_compact_off"))
+      out += "pipeline_prod_compact_off" -> pipeJs(one(runPipeline(_,
+        prodBatches, prodDocs, numBuckets = 64, compactThreshold = 0,
+        tokensPerDoc = prodTokens, prodMix = true)))
 
     // line-dedup A/B: same compaction on/off latency-curve drive over
     // the growing segment-hash index
@@ -758,6 +829,13 @@ object StreamBench {
       if (legFilter.nonEmpty && Files.exists(outPath))
         Some(Files.readString(outPath))
       else None
+    // A filtered run that omits the ingest leg writes no header scalars; if
+    // there is also no existing file to inherit them from, the out-file
+    // would lack the metric/value/unit keys downstream consumers expect —
+    // fail fast instead of writing a headless record (ADVICE_r14).
+    require(legFilter.isEmpty || legFilter("ingest") || existing.nonEmpty,
+      s"filtered run without the ingest leg needs an existing $outFile " +
+        "to inherit the metric/value/unit header from")
     val header = ingestStats.toSeq.flatMap { r =>
       Seq(
         "metric" -> "\"stream_ingest_cells_per_sec\"",

@@ -33,6 +33,16 @@ class StreamBenchMergeSpec extends AnyFunSuite {
     assert(json == """{"a":3,"b":2}""")
   }
 
+  test("untouched float values survive byte-identical (no reformatting)") {
+    // ADVICE_r14: default Jackson parses floats to DoubleNode, whose
+    // toString can rewrite e.g. 12345678.9 as 1.23456789E7 — an untouched
+    // leg's reading must come back with its source digits
+    val existing =
+      """{"big":12345678.9,"rate":103.9,"tiny":0.0001,"n":42}"""
+    val json = StreamBench.mergedJson(Some(existing), Seq("n" -> "43"))
+    assert(json == """{"big":12345678.9,"rate":103.9,"tiny":0.0001,"n":43}""")
+  }
+
   test("merged output is itself mergeable (round-trip)") {
     val first = StreamBench.mergedJson(None,
       Seq("a" -> """{"x":[1,2],"y":"s"}""", "b" -> "2.0"))

@@ -5,7 +5,7 @@
 # Usage: tools/run.sh <MainClass> [args...]
 #   env: SPARK_DRIVER_MEM (default 8g), SPARK_GRAFT_* as usual
 set -euo pipefail
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+CP="$(cd "$(dirname "$0")/.." && pwd)/target/scala-2.13/classes:/opt/spark/jars/*"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
