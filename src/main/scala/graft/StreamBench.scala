@@ -486,26 +486,33 @@ object StreamBench {
     // (~62% of each batch dropped once dedup stacks on top). Real curation
     // streams are majority-surviving. To get that shape without touching
     // the pipeline itself: train the model on Zipf(1.0)-skewed text, then
-    // stream 85% "good" docs drawn Zipf(2.0) — mass concentrated on the
+    // stream 85% "good" docs drawn Zipf(1.5) — mass concentrated on the
     // model's COMMON (low-surprisal) tokens, so a long doc's mean
     // surprisal concentrates strictly below the training mean and passes
     // deterministically — and 15% uniform "junk", which over-weights rare
-    // tokens and lands above the mean, i.e. fails. Doc length jitters
-    // 0.5x-2x around tokensPerDoc with a 1% x16 long tail (the KB-class
-    // spread of a web-scale corpus).
+    // tokens and lands above the mean, i.e. fails. The prod vocabulary is
+    // 500 synthetic words, NOT the 20-word fixture vocab: the exact-dedup
+    // key is the first 64 CHARS, and a heavy skew over 20 words makes
+    // thousands of distinct docs share a top-word prefix (measured: 64%
+    // of a Zipf(2.0)/20-word stream died to key collisions, inverting the
+    // mix this fixture exists to provide). 500 words keeps the expected
+    // incidental key collision count ~1 across a 24k-doc run. Doc length
+    // jitters 0.5x-2x around tokensPerDoc with a 1% x16 long tail (the
+    // KB-class spread of a web-scale corpus).
+    val prodVocab = Array.tabulate(500)(i => f"w${i}%03d")
     def zipfCumul(exp: Double): Array[Double] = {
-      val w = vocab.indices.map(i => 1.0 / math.pow(i + 1.0, exp)).toArray
+      val w = prodVocab.indices.map(i => 1.0 / math.pow(i + 1.0, exp)).toArray
       val s = w.sum
       var acc = 0.0
       w.map { x => acc += x / s; acc }
     }
     val corpusCumul = zipfCumul(1.0)
-    val goodCumul = zipfCumul(2.0)
+    val goodCumul = zipfCumul(1.5)
     def zipfTok(cumul: Array[Double]): String = {
       val r = rnd.nextDouble()
       var i = 0
       while (i < cumul.length - 1 && cumul(i) < r) i += 1
-      vocab(i)
+      prodVocab(i)
     }
     def prodLen(): Int = {
       val base = tokensPerDoc / 2 + rnd.nextInt(tokensPerDoc * 3 / 2 max 1)
@@ -518,7 +525,7 @@ object StreamBench {
       else if (rnd.nextInt(100) < 85)
         (1 to prodLen()).map(_ => zipfTok(goodCumul)).mkString(" ")
       else
-        (1 to prodLen()).map(_ => vocab(rnd.nextInt(vocab.length)))
+        (1 to prodLen()).map(_ => prodVocab(rnd.nextInt(prodVocab.length)))
           .mkString(" ")
     def corpusText(): String =
       if (!prodMix) docText()
