@@ -44,6 +44,22 @@ object RecallProbe {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
 
+    // The PLANTED near-dup class: the fixture perturbs ~5% of vectors off
+    // an earlier one by ±0.01/dim, so true near-identical partners sit at
+    // cos ≈ 1. Members of any cos>=0.95 pair (uncapped LSH — at that
+    // similarity the 16-table sketch is effectively exhaustive) are the
+    // flags a dedup user cannot afford to lose; each leg below reports
+    // detection recall RESTRICTED to this class next to the overall one.
+    val planted = {
+      val p = operators.Similarity
+        .nearDupPairsLsh(emb, threshold = 0.95, tables = 16, bits = 8,
+          maxBucket = 0)
+      p.select(col("vec_a").as("vec_id"))
+        .unionByName(p.select(col("vec_b").as("vec_id"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nPlanted = planted.count()
+
     if (which == "neardup" || which == "both") {
       // the declared emb_neardup config (pinned tables=16, bits=8) with the
       // production cap vs maxBucket=0 ground truth
@@ -58,13 +74,17 @@ object RecallProbe {
         p.select(col("vec_a").as("vec_id"))
           .unionByName(p.select(col("vec_b").as("vec_id"))).distinct()
       val dg = detected(ground).persist()
-      val dc = detected(capped)
+      val dc = detected(capped).persist()
       val nDg = dg.count()
       val nDet = dg.join(dc, Seq("vec_id"), "left_semi").count()
       val nPg = ground.count()
       val nPc = capped.join(ground, Seq("vec_a", "vec_b"), "left_semi").count()
+      val plG = dg.join(planted, Seq("vec_id"), "left_semi").count()
+      val plC = dc.join(planted, Seq("vec_id"), "left_semi")
+        .join(dg, Seq("vec_id"), "left_semi").count()
       emit("neardup", sfDir, n, nDg, nDet, nPg, nPc,
-        s"tables=16,bits=8,cap=${operators.Similarity.DefaultMaxLshBucket}")
+        s"tables=16,bits=8,cap=${operators.Similarity.DefaultMaxLshBucket}",
+        nPlanted, plG, plC)
       Seq(ground, capped, dg).foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
@@ -93,11 +113,17 @@ object RecallProbe {
       val capped = operators.Similarity
         .semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
         .filter(col("is_dup") === 1L).select("vec_id")
+      val cappedP = capped
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDg = ground.count()
-      val nDet = ground.join(capped, Seq("vec_id"), "left_semi").count()
+      val nDet = ground.join(cappedP, Seq("vec_id"), "left_semi").count()
+      val plG = ground.join(planted, Seq("vec_id"), "left_semi").count()
+      val plC = cappedP.join(planted, Seq("vec_id"), "left_semi")
+        .join(ground, Seq("vec_id"), "left_semi").count()
       emit(leg, sfDir, n, nDg, nDet, nDg, nDet,
-        s"k=$k,cap=${operators.Similarity.DefaultMaxCluster}")
-      ground.unpersist(blocking = true)
+        s"k=$k,cap=${operators.Similarity.DefaultMaxCluster}",
+        nPlanted, plG, plC)
+      Seq(ground, cappedP).foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
     spark.stop()
@@ -105,13 +131,18 @@ object RecallProbe {
 
   private def emit(op: String, sfDir: String, n: Long, detGround: Long,
       detKept: Long, pairsGround: Long, pairsKept: Long,
-      config: String): Unit = {
+      config: String, planted: Long, plantedGround: Long,
+      plantedKept: Long): Unit = {
     val dr = if (detGround > 0) detKept.toDouble / detGround else 1.0
     val pr = if (pairsGround > 0) pairsKept.toDouble / pairsGround else 1.0
+    val plr = if (plantedGround > 0) plantedKept.toDouble / plantedGround else 1.0
     println(s"""{"probe":"recall","op":"$op","sf":"$sfDir","n":$n,""" +
       s""""config":"$config","detected_uncapped":$detGround,""" +
       s""""detected_kept":$detKept,"detection_recall":${f"$dr%.4f"},""" +
       s""""pairs_uncapped":$pairsGround,"pairs_kept":$pairsKept,""" +
-      s""""pair_recall":${f"$pr%.4f"}}""")
+      s""""pair_recall":${f"$pr%.4f"},"planted_class":$planted,""" +
+      s""""planted_flagged_uncapped":$plantedGround,""" +
+      s""""planted_flagged_kept":$plantedKept,""" +
+      s""""planted_recall":${f"$plr%.4f"}}""")
   }
 }

@@ -287,10 +287,12 @@ object Similarity {
     * MEASURED (graft.RecallProbe, sf1 = 20k vectors, where 256/256 of the
     * pinned config's buckets rep-link): detection recall 0.977 — 19,545
     * of the 20,000 vectors the uncapped run detects as near-dup members
-    * remain detected through their rep links — while pair-listing recall
-    * is 0.178 (72,074 of 405,641 pairs), the star shape by construction.
-    * The capped output is a strict SUBSET of the uncapped one, so
-    * precision is 1.0. SCALE_r15.md §recall has the full table.
+    * remain detected through their rep links — and 0.993 restricted to
+    * the planted near-identical class (cos>=0.95 partners: 1,890 of
+    * 1,903), while pair-listing recall is 0.178 (72,074 of 405,641
+    * pairs), the star shape by construction. The capped output is a
+    * strict SUBSET of the uncapped one, so precision is 1.0.
+    * SCALE_r15.md §1 has the full table.
     */
   val DefaultMaxLshBucket = 64
 
@@ -1012,15 +1014,19 @@ object Similarity {
     *
     * MEASURED (graft.RecallProbe, sf1 = 20k vectors): under the pinned
     * k=8 (2,500 vectors/cluster — every cluster rep-links) detection
-    * recall vs the uncapped ground truth is 0.067: star mode KEEPS the
-    * flags that matter least to miss (near-identical planted dups stay
-    * flagged) but drops most incidental within-cluster cos>=0.4 flags —
-    * the cap materially changes pinned-k semantics at binding scale, it
-    * is not a free lunch. Under the auto sizing (k=100 there) the cap
-    * never binds and recall is exactly 1.0. That asymmetry IS the
+    * recall vs the uncapped ground truth is 0.067 overall and — the
+    * sharper negative — 0.069 even restricted to the planted
+    * near-identical class (cos>=0.95 partners): k-means's cluster-min
+    * rep is generally NOT near a given planted pair, so member-vs-rep
+    * misses it. A pinned-k run in star mode is an oracle ANCHOR (bounded,
+    * hash-checked, crash-free), not a usable dedup at that scale. Under
+    * the auto sizing (k=100 there) the cap never binds and recall —
+    * overall and planted — is exactly 1.0. That asymmetry IS the
     * deployment guidance: pinned k past ~k·cap vectors is the wrong
     * config, use autoKmeansK (under the cap through ~500k vectors) or
-    * the hierarchical variant. SCALE_r15.md §recall has the table.
+    * the hierarchical variant; contrast [[DefaultMaxLshBucket]], whose
+    * similarity-aligned buckets DO keep the planted class through the
+    * star (0.993 measured). SCALE_r15.md §1 has the table.
     */
   val DefaultMaxCluster = 1024
 
