@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Infeasible-oracle ledger stand-in: for a Spark query output that the
+DuckDB oracle cannot re-derive on this box at sf10 (the shingle-explode /
+150M-row class), pin the output with an ORDER-FREE checksum so future
+rounds can detect any drift without re-running the oracle:
+
+  count(*)  +  sum(hash(row-as-text))  over every row, one scan, no sort.
+
+The checksum is not cross-engine validation (the sf3 full-hash PASS is
+the cross-engine evidence for these queries); it is a regression pin at
+the scale the oracle cannot reach.
+
+Usage: python3 tools/ledger.py <verifyOutDir> <name> [<name> ...]
+Prints one JSON line per query: {"name", "rows", "checksum"}.
+"""
+import sys, glob, json
+import duckdb
+
+def main(out_dir, names):
+    con = duckdb.connect()
+    con.execute("SET preserve_insertion_order = false")
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(json.dumps({"name": name, "error": "no spark output"}))
+            continue
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()]
+        row_txt = "concat_ws('|', " + ", ".join(
+            f'CAST("{c}" AS VARCHAR)' for c in cols) + ")"
+        n, h = con.sql(
+            f"SELECT count(*), sum(hash({row_txt})) "
+            f"FROM '{out_dir}/{name}/*.parquet'").fetchone()
+        print(json.dumps({"name": name, "rows": int(n),
+                          "checksum": str(h), "cols": cols}))
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
