@@ -1093,6 +1093,21 @@ object Similarity {
     * cap. Total work ~n^(4/3) versus single-level auto-k's n^1.5
     * (SCALE_r11 §12's own bound).
     *
+    * MEASURED GUIDANCE (SemDedupProbe; SCALE_r13 §2 at 200k, SCALE_r15
+    * §2 at 2M): this form has never beaten single-level auto on this
+    * box — 1.47× slower at 200k vectors and 3.29× slower at 2M, the gap
+    * WIDENING with n. Two reasons the n^(4/3) bound does not cash out:
+    * the [[DefaultMaxCluster]] cap collapses AUTO's pair term to star
+    * links once its clusters cross the cap (measured at 2M: 898/1000
+    * clusters rep-linked) while hier's finer ~(n^(1/3))-sized blocks
+    * stay UNDER the cap and still enumerate all their pairs; and the
+    * per-cell k-means needs centroid JOINS + an extra full-table
+    * shuffle where auto does one broadcast + one codegen'd pass. Use
+    * single-level [[autoKmeansK]] through AT LEAST 2·10⁶ vectors; the
+    * hierarchical form remains for the >10⁸ regime (where a ~10⁴-wide
+    * broadcast k-means is its own bottleneck), but that claim is
+    * untested — measure before deploying it there.
+    *
     * Every step is integer-exact on the [[quantized]] lattice and the
     * whole chain — coarse CTEs, per-cell seeds, floor-average update,
     * argmin tie-to-lowest-id, capped block dedup — is reproduced
