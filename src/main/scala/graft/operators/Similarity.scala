@@ -1008,9 +1008,10 @@ object Similarity {
     * scores member-vs-rep only, so member-member near-dups that are not
     * near the rep go undetected inside that cluster. Note this binds for
     * any corpus past ~k·1024 vectors under a PINNED k (k=8 ⇒ ~8k), which
-    * is exactly when the pinned config is undersized — prefer the auto /
-    * hierarchical variants there. Rep-linked runs log via
-    * [[logHotGroups]].
+    * is exactly when the pinned config is undersized — prefer the auto
+    * sizing there (NOT the hierarchical form: [[semanticDedupHier]]'s
+    * scaladoc carries its measured 2M-vector negative). Rep-linked runs
+    * log via [[logHotGroups]].
     *
     * MEASURED (graft.RecallProbe, sf1 = 20k vectors): under the pinned
     * k=8 (2,500 vectors/cluster — every cluster rep-links) detection
@@ -1023,8 +1024,9 @@ object Similarity {
     * the auto sizing (k=100 there) the cap never binds and recall —
     * overall and planted — is exactly 1.0. That asymmetry IS the
     * deployment guidance: pinned k past ~k·cap vectors is the wrong
-    * config, use autoKmeansK (under the cap through ~500k vectors) or
-    * the hierarchical variant; contrast [[DefaultMaxLshBucket]], whose
+    * config, use autoKmeansK (under the cap through ~500k vectors);
+    * past THAT, the LSH family ([[nearDupPairsLsh]] auto-bits) is the
+    * detection-preserving dedup; contrast [[DefaultMaxLshBucket]], whose
     * similarity-aligned buckets DO keep the planted class through the
     * star (0.993 measured). SCALE_r15.md §1 has the table.
     */
