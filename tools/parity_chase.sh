@@ -1,0 +1,42 @@
+#!/bin/bash
+# Chase graft.Verify at sf10: as each query's _SUCCESS lands, run DuckDB
+# parity on it (one at a time, bounded threads/memory). Monster oracles
+# (shingle-explode class) are deferred to a manual second wave.
+set -u
+OUT=${CHASE_OUT:-/tmp/verify_sf10_full}
+SF=${CHASE_SF:-/tmp/sf10}
+DONEFILE=/tmp/parity_sf10_done.txt
+LOG=/tmp/parity_sf10_chase.log
+DEFER="emb_neardup emb_semantic_dedup_auto graph_pagerank_general emb_semantic_dedup_hier simhash_pairs simhash_sig minhash_est minhash_lsh_pairs minhash_sig emb_neardup_auto doc_dup_clusters doc_dup_triangles doc_winnow doc_substring_dup emb_lsh_ann"
+touch "$DONEFILE"
+LOCK=/tmp/parity_sf10_done.lock
+claim() { flock "$LOCK" bash -c "grep -qx '$1' '$DONEFILE' && exit 1; echo '$1' >> '$DONEFILE'"; }
+# seed with the 29 r14 spot passes? no — re-verify everything in this dir.
+end_by=$(( $(date +%s) + 4*3600 ))
+while [ "$(date +%s)" -lt "$end_by" ]; do
+  progress=0
+  for d in "$OUT"/*/; do
+    n=$(basename "$d")
+    [ -f "$d/_SUCCESS" ] || continue
+    grep -qx "$n" "$DONEFILE" && continue
+    case " $DEFER " in (*" $n "*) claim "$n" && echo "DEFERRED $n" >> "$LOG"; continue;; esac
+    claim "$n" || continue
+    echo "=== $n $(date +%H:%M:%S)" >> "$LOG"
+    PARITY_ONLY="$n" PARITY_THREADS=8 PARITY_NO_ORDER=1 \
+      PARITY_MEMORY_LIMIT=40GB PARITY_TEMP_DIR=/tmp/duck_spill_r15 \
+      timeout 2400 python3 /root/repo/tools/parity.py "$SF" "$OUT" >> "$LOG" 2>&1
+    rc=$?
+    [ $rc -ne 0 ] && echo "PARITY-RC $n: $rc" >> "$LOG"
+    progress=1
+  done
+  # exit when verify has finished (no java) and everything processed
+  if [ "$progress" = 0 ]; then
+    if ! pgrep -f "graft.Verify" > /dev/null; then
+      total=$(ls -d "$OUT"/*/ | wc -l)
+      donect=$(sort -u "$DONEFILE" | wc -l)
+      [ "$donect" -ge "$total" ] && break
+    fi
+    sleep 30
+  fi
+done
+echo "CHASE-DONE $(date +%H:%M:%S)" >> "$LOG"
