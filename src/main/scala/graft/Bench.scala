@@ -125,7 +125,12 @@ object Bench {
           spark.sparkContext.addSparkListener(tally)
         }
         val times = (1 to repeat).zipWithIndex.map { case (_, i) =>
-          if (i == 0) tally.reset()
+          // drain the async listener bus before resetting (ADVICE_r15):
+          // stage-completed events from the warmup query or a previous
+          // query's later repeats can otherwise land AFTER reset() and
+          // pollute this query's first-repeat tally; stable() polls until
+          // the counters stop moving, which empties the in-flight queue
+          if (i == 0) { tally.stable(); tally.reset() }
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val elapsed = (System.nanoTime() - t0) / 1e9

@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   * measured >50 GB spill-kill the guards close; sf1/sf3 are the scales
   * where the caps bind AND the ground truth still fits the box.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1 tools/run.sh graft.RecallProbe [neardup|semdedup|both]
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1 tools/run.sh graft.RecallProbe \
+  *   [neardup|neardup_auto|semdedup|semdedup_auto|semdedup_auto2|both]
+  * (each name runs that one leg standalone; `both` = the round-15 set:
+  * neardup + semdedup + semdedup_auto. SPARK_GRAFT_RECALL_PLANTED_BITS
+  * overrides the planted-class sketch bits — default 8, the sf1-record
+  * config; set 0 = auto-sized for n >> 50k, where 8 pinned bits put
+  * thousands of vectors per bucket and the uncapped planted scan would
+  * enumerate ~n²/256 pairs.)
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -50,10 +57,12 @@ object RecallProbe {
     // similarity the 16-table sketch is effectively exhaustive) are the
     // flags a dedup user cannot afford to lose; each leg below reports
     // detection recall RESTRICTED to this class next to the overall one.
+    val plantedBits =
+      sys.env.getOrElse("SPARK_GRAFT_RECALL_PLANTED_BITS", "8").toInt
     val planted = {
       val p = operators.Similarity
-        .nearDupPairsLsh(emb, threshold = 0.95, tables = 16, bits = 8,
-          maxBucket = 0)
+        .nearDupPairsLsh(emb, threshold = 0.95, tables = 16,
+          bits = plantedBits, maxBucket = 0)
       p.select(col("vec_a").as("vec_id"))
         .unionByName(p.select(col("vec_b").as("vec_id"))).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -89,6 +98,39 @@ object RecallProbe {
       spark.catalog.clearCache()
     }
 
+    if (which == "neardup_auto") {
+      // the DEPLOYMENT LSH config (bits auto-sized from the corpus count,
+      // VERDICT_r15 #5): same cap-vs-uncapped comparison as `neardup`, at
+      // the bits the autoLshBits rule actually picks for this n — the
+      // sf1 0.977 record is for the pinned 16/8 config; this leg checks
+      // the claim where occupancy is held at ~TargetBucketOccupancy.
+      val autoBits = operators.Similarity.autoLshBits(n)
+      val ground = operators.Similarity
+        .nearDupPairsLsh(emb, threshold = 0.3, tables = 16, bits = 0,
+          maxBucket = 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val capped = operators.Similarity
+        .nearDupPairsLsh(emb, threshold = 0.3, tables = 16, bits = 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def detected(p: DataFrame): DataFrame =
+        p.select(col("vec_a").as("vec_id"))
+          .unionByName(p.select(col("vec_b").as("vec_id"))).distinct()
+      val dg = detected(ground).persist()
+      val dc = detected(capped).persist()
+      val nDg = dg.count()
+      val nDet = dg.join(dc, Seq("vec_id"), "left_semi").count()
+      val nPg = ground.count()
+      val nPc = capped.join(ground, Seq("vec_a", "vec_b"), "left_semi").count()
+      val plG = dg.join(planted, Seq("vec_id"), "left_semi").count()
+      val plC = dc.join(planted, Seq("vec_id"), "left_semi")
+        .join(dg, Seq("vec_id"), "left_semi").count()
+      emit("neardup_auto", sfDir, n, nDg, nDet, nPg, nPc,
+        s"tables=16,bits=auto($autoBits),cap=${operators.Similarity.DefaultMaxLshBucket}",
+        nPlanted, plG, plC)
+      Seq(ground, capped, dg).foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+
     // semanticDedup recall, one leg per k-sizing: `semdedup` = the pinned
     // k=8 oracle anchor (at sf1 that is 2,500 vectors/cluster — every
     // cluster far over the cap, the worst case for star mode), and
@@ -98,14 +140,21 @@ object RecallProbe {
     // analogue (the output IS the verdict), so the pair fields mirror the
     // detection fields.
     val semLegs = which match {
-      case "semdedup"      => Seq("semdedup")
-      case "semdedup_auto" => Seq("semdedup_auto")
-      case "both"          => Seq("semdedup", "semdedup_auto")
-      case _               => Seq.empty
+      case "semdedup"       => Seq("semdedup")
+      case "semdedup_auto"  => Seq("semdedup_auto")
+      case "semdedup_auto2" => Seq("semdedup_auto2")
+      case "both"           => Seq("semdedup", "semdedup_auto")
+      case _                => Seq.empty
     }
     semLegs.foreach { leg =>
-      val k = if (leg == "semdedup") 8
-              else operators.Similarity.autoKmeansK(n)
+      val k = leg match {
+        case "semdedup"       => 8
+        case "semdedup_auto"  => operators.Similarity.autoKmeansK(n)
+        // the cap-aware sizing (VERDICT_r15 #1): ground truth is the
+        // UNCAPPED run at the same k, so this leg isolates what the cap
+        // still costs once the sizing keeps avg clusters at cap/4
+        case "semdedup_auto2" => operators.Similarity.autoKmeansKCapAware(n)
+      }
       val ground = operators.Similarity
         .semanticDedup(emb, k = k, iters = 1, threshold = 0.4, maxCluster = 0)
         .filter(col("is_dup") === 1L).select("vec_id")

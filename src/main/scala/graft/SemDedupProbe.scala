@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** SemDeDup-variant headroom probe (round-13 scale evidence): times ONE
   * variant — `pinned` (k=8, the oracle anchor), `auto` (k=√(N/2),
-  * single-level optimum), or `hier` (coarse ∛N cells + per-cell auto-k,
+  * single-level unconstrained optimum), `auto2` (cap-aware
+  * k = max(√(N/2), 4N/cap) — recall-preserving, assignment quadratic
+  * past ~32k), or `hier` (coarse ∛N cells + per-cell auto-k,
   * ~N^(4/3) total) — over the embeddings at SPARK_GRAFT_SF_DIR, in its
   * own JVM so variants never share cache warmth. Reports corpus size,
   * the derived sizing, wall seconds, and the dup-flag count (the
@@ -32,6 +34,7 @@ object SemDedupProbe {
     val sizing = variant match {
       case "pinned" => "k=8"
       case "auto"   => s"k=${operators.Similarity.autoKmeansK(n)}"
+      case "auto2"  => s"k=${operators.Similarity.autoKmeansKCapAware(n)}"
       case _        => s"k1=${operators.Similarity.autoCoarseK(n)},k2=auto-per-cell"
     }
     val t0 = System.nanoTime()
@@ -41,6 +44,13 @@ object SemDedupProbe {
       case "auto" =>
         operators.Similarity.semanticDedup(emb,
           k = operators.Similarity.autoKmeansK(n), iters = 1, threshold = 0.4)
+      // cap-aware sizing (VERDICT_r15 #1): the recall-preserving
+      // single-level form — its assignment term is 4N²/cap past the
+      // ~32k crossover, so its cost race vs `hier` is the decision input
+      case "auto2" =>
+        operators.Similarity.semanticDedup(emb,
+          k = operators.Similarity.autoKmeansKCapAware(n), iters = 1,
+          threshold = 0.4)
       case _ =>
         operators.Similarity.semanticDedupHier(emb, threshold = 0.4)
     }

@@ -638,7 +638,12 @@ object StreamBench {
       // toString preserves the source digits — default DoubleNode would
       // reformat untouched legs' numbers (e.g. to scientific notation) on
       // a filtered re-run that was supposed to leave them byte-identical
-      // (ADVICE_r14).
+      // (ADVICE_r14). PLAIN-DECIMAL ASSUMPTION (ADVICE_r15): BigDecimal
+      // .toString normalizes exponent-formatted tokens (1e10 -> 1E+10),
+      // so byte identity holds only because every number in this file is
+      // written by this object's own %-format emitters (js/pipeJs/...),
+      // which never emit exponent notation. If a leg ever emits one,
+      // keep the raw token instead.
       val root = com.fasterxml.jackson.databind.json.JsonMapper.builder()
         .enable(com.fasterxml.jackson.databind.DeserializationFeature
           .USE_BIG_DECIMAL_FOR_FLOATS)

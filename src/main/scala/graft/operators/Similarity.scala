@@ -357,6 +357,51 @@ object Similarity {
   def autoKmeansK(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(((n + 1) / 2).toDouble)).toInt)
 
+  /** Headroom divisor for [[autoKmeansKCapAware]]: the cap-aware sizing
+    * targets an AVERAGE cluster of `DefaultMaxCluster / CapHeadroom`
+    * (256 at the default cap), because k-means cluster sizes spread
+    * around their mean — at avg ≈ cap half the clusters crossed it
+    * (measured 600k vectors, SCALE_r15 §5) and at avg ≈ 2·cap nearly
+    * all did (898/1000 at 2M). A 4× margin puts the cap at 4× the
+    * average, out in the tail of the measured size distribution.
+    */
+  val CapHeadroom = 4
+
+  /** Cap-aware SemDeDup cluster count (VERDICT_r15 #1): [[autoKmeansK]]'s
+    * √(N/2) optimum balances assignment (N·k) against within-cluster pair
+    * enumeration (N²/2k) — but it drives the average cluster, √(2N),
+    * through [[DefaultMaxCluster]] at N ≈ cap²/2 ≈ 500k, and past that the
+    * guard silently turns the deployment path into rep-link star mode,
+    * whose detection recall measured 0.067 under a pinned k (SCALE_r15
+    * §1). This sizing adds the recall CONSTRAINT to the optimization:
+    *
+    *   k = max( ceil(√((N+1) div 2)),  ceil(CapHeadroom·N / cap) )
+    *
+    * i.e. the unconstrained optimum while it keeps clusters under the cap
+    * (N below ~32k at the defaults), and otherwise the smallest k whose
+    * average cluster is cap/[[CapHeadroom]] — the minimum-cost k
+    * satisfying the constraint, since assignment cost rises with k. The
+    * price is explicit: past the crossover, assignment is N·k =
+    * [[CapHeadroom]]·N²/cap — quadratic, not N^1.5 — so this form's
+    * honest regime is bounded. Measured walls (SemDedupProbe, quiet box,
+    * one JVM each, SCALE_r16): recall-preserving and monotone where the
+    * old rule was non-monotonic (star-links are cheap; the 85.9 s → 40.5 s
+    * drop at 200k→600k under [[autoKmeansK]] was the recall collapsing,
+    * not the operator getting faster), and past ~2M vectors
+    * [[semanticDedupHier]] — whose ~N^(2/3)-sized cells keep blocks under
+    * the cap WITHOUT a quadratic assignment term — becomes the cheaper
+    * recall-preserving form. Both branches are integer-exact (the
+    * [[autoKmeansK]] sqrt argument; ceil-div as `(h·N + cap−1) div cap`)
+    * and the `emb_semantic_dedup_auto2` oracle re-derives the same k from
+    * its own COUNT(*), so the rule itself is under the oracle hash.
+    */
+  def autoKmeansKCapAware(n: Long, cap: Int = DefaultMaxCluster,
+      headroom: Int = CapHeadroom): Int = {
+    val t = headroom.toLong * n
+    val capTerm = t / cap + (if (t % cap == 0L) 0L else 1L)
+    math.max(autoKmeansK(n), capTerm).toInt
+  }
+
   /** Coarse cluster count for [[semanticDedupHier]]: the smallest k with
     * k³ ≥ n (≈ n^(1/3)). Cells are then ~n^(2/3), so coarse assignment is
     * n·k = n^(4/3) and the per-cell auto-k pass is Σ m^1.5 = k·(n/k)^1.5 =

@@ -428,6 +428,21 @@ object MlQueries {
       Similarity.semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
     }),
 
+    // Cap-AWARE auto sizing (VERDICT_r15 #1) — the deployment default
+    // past ~32k vectors: k = max(ceil(√((N+1) div 2)), ceil(4N/1024))
+    // keeps the average cluster at cap/4 so the DefaultMaxCluster guard
+    // stays a guard instead of silently becoming the operator (past
+    // N ≈ 500k the √-rule's clusters cross the cap and detection recall
+    // collapses to the measured 0.067 star mode — SCALE_r15 §1/§5). The
+    // oracle derives the same GREATEST(...) from its own COUNT(*), so
+    // both branches of the rule are under the hash; the √-rule variant
+    // above stays as the round-≤15 anchor (its hash must not move).
+    "emb_semantic_dedup_auto2" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val k = Similarity.autoKmeansKCapAware(emb.count())
+      Similarity.semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
+    }),
+
     // Hierarchical SemDeDup — the past-10⁹-vectors scale path: coarse
     // k₁ = ceil∛N cells, auto-k₂ = ceil√(m/2) k-means WITHIN each cell
     // (seeds = the cell's k₂ lowest ids, one integer-exact Lloyd
@@ -583,33 +598,45 @@ object MlQueries {
     * count as a SQL expression: a literal for the pinned queries, the
     * COUNT(*)-derived [[Similarity.autoKmeansK]] rule for the auto
     * variant (so the rule itself is under the oracle hash).
+    *
+    * NARROW-EXPLODE FORM (round 16): the lists are exploded ONCE into
+    * MATERIALIZED (vec_id, d, value) rows (`qn`) and every distance /
+    * centroid aggregate streams narrow bigints through hash joins —
+    * the round-14 memory lever that made `emb_neardup_auto`'s sf3
+    * oracle fit. The previous form joined the 64-element lists into
+    * every (vector × centroid) row via generate_series, which at the
+    * cap-aware k (235 at sf3) spilled >64 GB in DuckDB before being
+    * killed; the narrow form's d0 is a streaming hash aggregate over
+    * (n·k) groups instead. Same result, same hash — only the oracle's
+    * evaluation shape changed.
     */
   private def kmeansCtes(kSql: String): String =
     s"""quant AS ($quantSql),
-          c0 AS (SELECT vec_id AS cid, q AS cq FROM quant WHERE vec_id < ($kSql)),
+          qn AS MATERIALIZED (
+            SELECT vec_id, d, q[d+1] AS qv
+            FROM quant, generate_series(0, 63) t(d)
+            WHERE d < len(q)),
+          c0n AS MATERIALIZED (
+            SELECT vec_id AS cid, d, qv AS cv FROM qn WHERE vec_id < ($kSql)),
           d0 AS (
             SELECT v.vec_id, c.cid,
-                   SUM((v.q[d+1] - c.cq[d+1]) * (v.q[d+1] - c.cq[d+1])) AS dist
-            FROM quant v, c0 c, generate_series(0, 63) t(d)
-            WHERE d < len(v.q)
+                   SUM((v.qv - c.cv) * (v.qv - c.cv)) AS dist
+            FROM qn v JOIN c0n c ON c.d = v.d
             GROUP BY 1, 2),
           a0 AS (
             SELECT vec_id, cid FROM (
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
               FROM d0) WHERE rn = 1),
-          c1 AS (
-            SELECT a0.cid, d AS dim,
-                   CAST(floor(CAST(SUM(v.q[d+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
-            FROM quant v JOIN a0 ON a0.vec_id = v.vec_id,
-                 generate_series(0, 63) t(d)
-            WHERE d < len(v.q)
+          c1 AS MATERIALIZED (
+            SELECT a0.cid, v.d AS dim,
+                   CAST(floor(CAST(SUM(v.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+            FROM qn v JOIN a0 ON a0.vec_id = v.vec_id
             GROUP BY 1, 2),
           d1 AS (
             SELECT v.vec_id, c.cid,
-                   SUM((v.q[CAST(c.dim AS INTEGER)+1] - c.cd)
-                     * (v.q[CAST(c.dim AS INTEGER)+1] - c.cd)) AS dist
-            FROM quant v JOIN c1 c ON c.dim < len(v.q)
+                   SUM((v.qv - c.cd) * (v.qv - c.cd)) AS dist
+            FROM qn v JOIN c1 c ON c.dim = v.d
             GROUP BY 1, 2),
           a1 AS (
             SELECT vec_id, cid AS cluster FROM (
@@ -662,6 +689,20 @@ object MlQueries {
     */
   private val autoKSql =
     "SELECT CAST(ceil(sqrt(CAST((COUNT(*) + 1) // 2 AS DOUBLE))) AS BIGINT) FROM quant"
+
+  /** COUNT(*)-derived CAP-AWARE SemDeDup cluster count — mirrors
+    * [[Similarity.autoKmeansKCapAware]] integer-for-integer: the √-rule
+    * term (exact below 2^52, the [[autoKSql]] argument) against the
+    * ceil-div cap term `(h·N + cap − 1) // cap`, which is exactly
+    * Similarity's `t/cap + (t%cap != 0)` for non-negative t.
+    */
+  private val autoK2Sql = {
+    val cap = Similarity.DefaultMaxCluster
+    val h = Similarity.CapHeadroom
+    "SELECT GREATEST(" +
+      "CAST(ceil(sqrt(CAST((COUNT(*) + 1) // 2 AS DOUBLE))) AS BIGINT), " +
+      s"($h * COUNT(*) + ${cap - 1}) // $cap) FROM quant"
+  }
 
   /** COUNT(*)-derived coarse cluster count for the hierarchical SemDeDup
     * oracle — mirrors [[Similarity.autoCoarseK]]: fp ceil(n^(1/3))
@@ -1065,6 +1106,11 @@ object MlQueries {
           ${semDedupTailSql(16)}""",
     "emb_semantic_dedup_auto" ->
       s"""WITH ${kmeansCtes(autoKSql)},
+          ${semDedupTailSql()}""",
+    // cap-aware sizing: same CTE chain, k = GREATEST(√-rule, ceil-div
+    // cap term) derived from the oracle's own COUNT(*)
+    "emb_semantic_dedup_auto2" ->
+      s"""WITH ${kmeansCtes(autoK2Sql)},
           ${semDedupTailSql()}""",
     // coarse level = the shared kmeansCtes chain at k₁ = ceil∛N; fine
     // level = per-cell k-means at k₂ = ceil√((m+1) div 2) with seeds =

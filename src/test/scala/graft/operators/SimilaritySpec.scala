@@ -158,6 +158,46 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.autoKmeansK(1) == 1)
   }
 
+  test("autoKmeansKCapAware keeps the average cluster under cap/headroom") {
+    import Similarity.{autoKmeansK, autoKmeansKCapAware, CapHeadroom, DefaultMaxCluster}
+    // below the crossover (n = cap²/(2·h²) = 32768 at the defaults) the
+    // rule IS the unconstrained optimum — the existing anchors' k (and
+    // therefore their oracle hashes) are unchanged
+    for (n <- Seq(1L, 50L, 500L, 2000L, 20000L, 32768L))
+      assert(autoKmeansKCapAware(n) == autoKmeansK(n), s"n=$n")
+    // above it, the cap term wins and the constraint holds at every n:
+    // avg cluster n/k <= cap/headroom (the whole point of the rule)
+    for (n <- Seq(60000L, 200000L, 600000L, 2000000L, 10000000L, 1000000000L)) {
+      val k = autoKmeansKCapAware(n)
+      assert(k > autoKmeansK(n), s"n=$n cap term must dominate")
+      assert(n.toDouble / k <= DefaultMaxCluster.toDouble / CapHeadroom,
+        s"n=$n k=$k avg=${n.toDouble / k}")
+      // minimality: one cluster fewer would break the constraint (k is
+      // the CHEAPEST constraint-satisfying k — assignment cost rises
+      // with k, so any larger k is strictly worse)
+      assert(n.toDouble / (k - 1) > DefaultMaxCluster.toDouble / CapHeadroom,
+        s"n=$n k=$k not minimal")
+    }
+    // exact ceil-div boundary: h·n a multiple of cap must NOT round up
+    // (the t%cap==0 branch — the integer form the oracle mirrors)
+    assert(autoKmeansKCapAware(256 * 1024) == 1024)
+    assert(autoKmeansKCapAware(256 * 1024 + 1) == 1025)
+    // measured anchors for the new-branch scales this round probes
+    assert(autoKmeansKCapAware(60000) == 235)   // sf3
+    assert(autoKmeansKCapAware(600000) == 2344) // the r15 cap-crossing scale
+  }
+
+  test("emb_semantic_dedup_auto2 equals semanticDedup at the cap-aware k") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = Similarity.autoKmeansKCapAware(emb.count())
+    val direct = Similarity.semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto2 = graft.queries.MlQueries.queries("emb_semantic_dedup_auto2")(
+      spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto2 == direct, "auto2 variant must be the derived-k clustering")
+  }
+
   test("emb_semantic_dedup_auto equals semanticDedup at the derived k") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

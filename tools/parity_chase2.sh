@@ -4,10 +4,13 @@
 set -u
 OUT=${CHASE_OUT:-/tmp/verify_sf10_full}
 SF=${CHASE_SF:-/tmp/sf10}
-DONEFILE=/tmp/parity_sf10_done.txt
-LOCK=/tmp/parity_sf10_done.lock
+# claim state lives UNDER $OUT (ADVICE_r15): two chases pointed at
+# different output dirs must not share a done-file/lock
+DONEFILE="$OUT/.parity_done"
+LOCK="$OUT/.parity_done.lock"
 LOG=/tmp/parity_sf10_chase2.log
-DEFER="emb_neardup emb_semantic_dedup_auto graph_pagerank_general emb_semantic_dedup_hier simhash_pairs simhash_sig minhash_est minhash_lsh_pairs minhash_sig emb_neardup_auto doc_dup_clusters doc_dup_triangles doc_winnow doc_substring_dup emb_lsh_ann"
+# monster-oracle defer list: one shared source of truth (ADVICE_r15)
+DEFER=${CHASE_DEFER:-$(cat "$(dirname "$0")/parity_defer.txt")}
 touch "$DONEFILE"
 claim() { # returns 0 if we claimed $1
   flock "$LOCK" bash -c "grep -qx '$1' '$DONEFILE' && exit 1; echo '$1' >> '$DONEFILE'"
