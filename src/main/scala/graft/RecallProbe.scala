@@ -59,15 +59,38 @@ object RecallProbe {
     // detection recall RESTRICTED to this class next to the overall one.
     val plantedBits =
       sys.env.getOrElse("SPARK_GRAFT_RECALL_PLANTED_BITS", "8").toInt
+    // SPARK_GRAFT_RECALL_PLANTED_CAPPED=1: build the planted class with
+    // the production bucket cap instead of maxBucket=0. The uncapped
+    // candidate self-join shuffles >68 GB at 2M vectors (measured, twice
+    // — it does not fit this box's disk), while at 600k the capped
+    // auto-bits run detected the IDENTICAL planted set (57,724 =
+    // 57,724, §1 SCALE_r16), so the capped set is an equally valid
+    // class marker at the scales where uncapped enumeration can't run.
+    val plantedCap =
+      if (sys.env.getOrElse("SPARK_GRAFT_RECALL_PLANTED_CAPPED", "0") == "1")
+        operators.Similarity.DefaultMaxLshBucket
+      else 0
+    // SPARK_GRAFT_RECALL_PLANTED_SKIP=1: skip the planted-class legs
+    // entirely. Even the CAPPED planted sketch shuffles its candidate
+    // join (~45+ GB at 2M vectors, measured — occupancy ~5 means the
+    // cap trims almost nothing), so past ~600k only the overall
+    // detection recall is box-feasible; planted fields then emit -1.
+    val plantedSkip =
+      sys.env.getOrElse("SPARK_GRAFT_RECALL_PLANTED_SKIP", "0") == "1"
     val planted = {
-      val p = operators.Similarity
-        .nearDupPairsLsh(emb, threshold = 0.95, tables = 16,
-          bits = plantedBits, maxBucket = 0)
-      p.select(col("vec_a").as("vec_id"))
-        .unionByName(p.select(col("vec_b").as("vec_id"))).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p =
+        if (plantedSkip)
+          emb.select(col("vec_id")).limit(0)
+        else {
+          val q = operators.Similarity
+            .nearDupPairsLsh(emb, threshold = 0.95, tables = 16,
+              bits = plantedBits, maxBucket = plantedCap)
+          q.select(col("vec_a").as("vec_id"))
+            .unionByName(q.select(col("vec_b").as("vec_id"))).distinct()
+        }
+      p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val nPlanted = planted.count()
+    val nPlanted = if (plantedSkip) -1L else planted.count()
 
     if (which == "neardup" || which == "both") {
       // the declared emb_neardup config (pinned tables=16, bits=8) with the
@@ -184,7 +207,11 @@ object RecallProbe {
       plantedKept: Long): Unit = {
     val dr = if (detGround > 0) detKept.toDouble / detGround else 1.0
     val pr = if (pairsGround > 0) pairsKept.toDouble / pairsGround else 1.0
-    val plr = if (plantedGround > 0) plantedKept.toDouble / plantedGround else 1.0
+    // planted < 0 = the planted legs were skipped (PLANTED_SKIP): -1
+    // marks "not measured", never "perfect"
+    val plr = if (planted < 0) -1.0
+              else if (plantedGround > 0) plantedKept.toDouble / plantedGround
+              else 1.0
     println(s"""{"probe":"recall","op":"$op","sf":"$sfDir","n":$n,""" +
       s""""config":"$config","detected_uncapped":$detGround,""" +
       s""""detected_kept":$detKept,"detection_recall":${f"$dr%.4f"},""" +

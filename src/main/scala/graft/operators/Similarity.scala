@@ -353,6 +353,16 @@ object Similarity {
     * doc_mix_weights isqrt argument) — and the rule is reproduced
     * verbatim in the `emb_semantic_dedup_auto` oracle from its own
     * COUNT(*).
+    *
+    * SCALE CAVEAT (round 16): past N ≈ cap²/2 ≈ 500k vectors this
+    * unconstrained optimum drives the average cluster √(2N) through
+    * [[DefaultMaxCluster]] and the guard star-links the overflow —
+    * detection recall measured 0.386 at 600k (SCALE_r16 §1). For
+    * deployment sizing use [[autoKmeansKCapAware]], which adds the
+    * cap as a constraint; this rule remains the `emb_semantic_dedup_auto`
+    * oracle anchor and the per-cell sizing inside [[semanticDedupHier]]
+    * (whose ~N^(2/3) cells keep its sub-blocks ≈ √2·N^(1/3) under the
+    * cap through N ≈ (cap/√2)³ ≈ 4·10⁸ vectors).
     */
   def autoKmeansK(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(((n + 1) / 2).toDouble)).toInt)
@@ -383,14 +393,16 @@ object Similarity {
     * satisfying the constraint, since assignment cost rises with k. The
     * price is explicit: past the crossover, assignment is N·k =
     * [[CapHeadroom]]·N²/cap — quadratic, not N^1.5 — so this form's
-    * honest regime is bounded. Measured walls (SemDedupProbe, quiet box,
-    * one JVM each, SCALE_r16): recall-preserving and monotone where the
-    * old rule was non-monotonic (star-links are cheap; the 85.9 s → 40.5 s
-    * drop at 200k→600k under [[autoKmeansK]] was the recall collapsing,
-    * not the operator getting faster), and past ~2M vectors
-    * [[semanticDedupHier]] — whose ~N^(2/3)-sized cells keep blocks under
-    * the cap WITHOUT a quadratic assignment term — becomes the cheaper
-    * recall-preserving form. Both branches are integer-exact (the
+    * honest regime is bounded. Measured (SemDedupProbe + RecallProbe,
+    * quiet box, one JVM each, SCALE_r16 §1–2): detection recall exactly
+    * 1.0 at 600k with zero capped clusters (the √-rule: 0.386 there,
+    * 0.362 at 2M), at 1.23× the √-rule's wall at 200k, 3.8× at 600k,
+    * 10.5× at 2M — and from ~600k vectors [[semanticDedupHier]], whose
+    * ~N^(2/3)-sized cells keep blocks under the cap WITHOUT a quadratic
+    * assignment term, is the cheaper recall-preserving form (91.9 vs
+    * 158.4 s at 600k; at 10M hier completes in 2,489 s where this rule's
+    * k=39,063 is a computed ~8-hour wall). Use THIS sizing below ~400k;
+    * hier above. Both branches are integer-exact (the
     * [[autoKmeansK]] sqrt argument; ceil-div as `(h·N + cap−1) div cap`)
     * and the `emb_semantic_dedup_auto2` oracle re-derives the same k from
     * its own COUNT(*), so the rule itself is under the oracle hash.
@@ -1066,14 +1078,23 @@ object Similarity {
     * rep is generally NOT near a given planted pair, so member-vs-rep
     * misses it. A pinned-k run in star mode is an oracle ANCHOR (bounded,
     * hash-checked, crash-free), not a usable dedup at that scale. Under
-    * the auto sizing (k=100 there) the cap never binds and recall —
-    * overall and planted — is exactly 1.0. That asymmetry IS the
-    * deployment guidance: pinned k past ~k·cap vectors is the wrong
-    * config, use autoKmeansK (under the cap through ~500k vectors);
-    * past THAT, the LSH family ([[nearDupPairsLsh]] auto-bits) is the
-    * detection-preserving dedup; contrast [[DefaultMaxLshBucket]], whose
-    * similarity-aligned buckets DO keep the planted class through the
-    * star (0.993 measured). SCALE_r15.md §1 has the table.
+    * the √-rule auto sizing (k=100 there) the cap never binds at 20k and
+    * recall — overall and planted — is exactly 1.0; but at 600k vectors
+    * (SCALE_r16 §1) the √-rule's clusters cross the cap (337/548 over,
+    * avg √(2N) ≈ 1095) and its detection recall falls to 0.386 overall /
+    * 0.373 planted — the same star collapse, reached by the DEPLOYMENT
+    * sizing. That is why [[autoKmeansKCapAware]] exists: its cap/4
+    * average keeps every cluster under the cap at 600k (0 rep-linked)
+    * and both recalls measured exactly 1.0 at the same scale, at a
+    * ~2–3.5% finer-blocking loss vs the √-rule's own uncapped ground
+    * truth (SCALE_r16 §1 prices the wall cost). Deployment guidance:
+    * [[autoKmeansKCapAware]] for SemDeDup semantics wherever its
+    * quadratic assignment term is affordable; past that wall the
+    * [[nearDupPairsLsh]] auto-bits family is the detection-preserving
+    * dedup (recall 1.0 planted / 0.99 pairs at 600k AND 2M, measured),
+    * and [[semanticDedupHier]] the recall-preserving k-means form —
+    * see its scaladoc for the measured race. SCALE_r15.md §1 and
+    * SCALE_r16.md §1 have the tables.
     */
   val DefaultMaxCluster = 1024
 
@@ -1140,20 +1161,26 @@ object Similarity {
     * cap. Total work ~n^(4/3) versus single-level auto-k's n^1.5
     * (SCALE_r11 §12's own bound).
     *
-    * MEASURED GUIDANCE (SemDedupProbe; SCALE_r13 §2 at 200k, SCALE_r15
-    * §2 at 2M): this form has never beaten single-level auto on this
-    * box — 1.47× slower at 200k vectors and 3.29× slower at 2M, the gap
-    * WIDENING with n. Two reasons the n^(4/3) bound does not cash out:
-    * the [[DefaultMaxCluster]] cap collapses AUTO's pair term to star
-    * links once its clusters cross the cap (measured at 2M: 898/1000
-    * clusters rep-linked) while hier's finer ~(n^(1/3))-sized blocks
-    * stay UNDER the cap and still enumerate all their pairs; and the
-    * per-cell k-means needs centroid JOINS + an extra full-table
-    * shuffle where auto does one broadcast + one codegen'd pass. Use
-    * single-level [[autoKmeansK]] through AT LEAST 2·10⁶ vectors; the
-    * hierarchical form remains for the >10⁸ regime (where a ~10⁴-wide
-    * broadcast k-means is its own bottleneck), but that claim is
-    * untested — measure before deploying it there.
+    * MEASURED GUIDANCE (SemDedupProbe; SCALE_r16 §2 — supersedes the
+    * r13/r15 "never beats auto" reading, which compared against
+    * STAR-MODE auto without knowing its recall): against the √-rule
+    * auto this form does lose on wall everywhere measured (272 vs
+    * 111 s at 2M, 2,489 vs 269 s at 10M) — but past ~500k vectors that
+    * auto is in the capped star mode whose detection recall measured
+    * 0.36–0.39, not a usable dedup. Against the RECALL-PRESERVING
+    * single-level sizing ([[autoKmeansKCapAware]]), hier wins from
+    * 600k vectors up: 91.9 vs 158.4 s at 600k (1.7×), 272.1 vs
+    * 1,163.5 s at 2M (4.3×), and it COMPLETES 10M in 2,488.8 s where
+    * auto2's quadratic assignment term is a computed ~8-hour wall.
+    * Its per-cell blocks (≈ √2·n^(1/3), ~305 vectors at 10M) stay
+    * under the cap through n ≈ (cap/√2)³ ≈ 4·10⁸, so it never
+    * star-links in any measured regime; the trade is finer-block
+    * semantics — 75–84% of auto2's flag set on the scale fixture.
+    * Measured scale exponent 600k→10M: ~n^1.33–1.40, the designed
+    * n^(4/3). Deployment ladder: [[autoKmeansKCapAware]] below ~400k,
+    * THIS form from ~600k through at least 10⁷ (beyond ~10⁸,
+    * extrapolation says ~16 h single-box — bring a cluster, which the
+    * distributed per-cell design is for).
     *
     * Every step is integer-exact on the [[quantized]] lattice and the
     * whole chain — coarse CTEs, per-cell seeds, floor-average update,

@@ -421,7 +421,10 @@ object MlQueries {
     // .autoKmeansK]] rule; the pinned-k=8 variant above stays the
     // fixed-config oracle anchor (the emb_neardup / emb_neardup_auto
     // pairing). The oracle derives the same k from its own COUNT(*),
-    // so the auto rule itself is under the hash.
+    // so the auto rule itself is under the hash. NOTE (round 16): this
+    // rule's clusters cross the DefaultMaxCluster cap past ~500k
+    // vectors (recall 0.386 measured at 600k) — it stays as the
+    // round-≤15 hash anchor; the deployment sizing is _auto2 below.
     "emb_semantic_dedup_auto" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val k = Similarity.autoKmeansK(emb.count())
@@ -1126,22 +1129,19 @@ object MlQueries {
                    CAST(ceil(sqrt(CAST((m + 1) // 2 AS DOUBLE))) AS BIGINT)
                      AS k2
             FROM csz),
-          seed AS (
-            SELECT r.cluster, r.vec_id AS cid, q.q AS cq
+          seedn AS MATERIALIZED (
+            SELECT r.cluster, r.vec_id AS cid, q.d, q.qv AS cv
             FROM (SELECT cluster, vec_id,
                          row_number() OVER (PARTITION BY cluster
                                             ORDER BY vec_id) AS rn
                   FROM a1) r
             JOIN ck ON ck.cluster = r.cluster AND r.rn <= ck.k2
-            JOIN quant q ON q.vec_id = r.vec_id),
+            JOIN qn q ON q.vec_id = r.vec_id),
           fd0 AS (
             SELECT v.vec_id, s.cluster, s.cid,
-                   SUM((v.q[d+1] - s.cq[d+1]) * (v.q[d+1] - s.cq[d+1]))
-                     AS dist
-            FROM quant v JOIN a1 av ON av.vec_id = v.vec_id
-            JOIN seed s ON s.cluster = av.cluster,
-                 generate_series(0, 63) t(d)
-            WHERE d < len(v.q)
+                   SUM((v.qv - s.cv) * (v.qv - s.cv)) AS dist
+            FROM qn v JOIN a1 av ON av.vec_id = v.vec_id
+            JOIN seedn s ON s.cluster = av.cluster AND s.d = v.d
             GROUP BY 1, 2, 3),
           fa0 AS (
             SELECT vec_id, cluster, cid FROM (
@@ -1149,20 +1149,17 @@ object MlQueries {
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY dist, cid) AS rn
               FROM fd0) WHERE rn = 1),
-          fc1 AS (
-            SELECT f.cluster, f.cid, d AS dim,
-                   CAST(floor(CAST(SUM(v.q[d+1]) AS DOUBLE) / COUNT(*))
+          fc1 AS MATERIALIZED (
+            SELECT f.cluster, f.cid, v.d AS dim,
+                   CAST(floor(CAST(SUM(v.qv) AS DOUBLE) / COUNT(*))
                      AS BIGINT) AS cd
-            FROM quant v JOIN fa0 f ON f.vec_id = v.vec_id,
-                 generate_series(0, 63) t(d)
-            WHERE d < len(v.q)
+            FROM qn v JOIN fa0 f ON f.vec_id = v.vec_id
             GROUP BY 1, 2, 3),
           fd1 AS (
             SELECT v.vec_id, c.cluster, c.cid,
-                   SUM((v.q[CAST(c.dim AS INTEGER)+1] - c.cd)
-                     * (v.q[CAST(c.dim AS INTEGER)+1] - c.cd)) AS dist
-            FROM quant v JOIN a1 av ON av.vec_id = v.vec_id
-            JOIN fc1 c ON c.cluster = av.cluster AND c.dim < len(v.q)
+                   SUM((v.qv - c.cd) * (v.qv - c.cd)) AS dist
+            FROM qn v JOIN a1 av ON av.vec_id = v.vec_id
+            JOIN fc1 c ON c.cluster = av.cluster AND c.dim = v.d
             GROUP BY 1, 2, 3),
           fa1 AS (
             SELECT vec_id, cluster, cid AS sub FROM (

@@ -35,6 +35,20 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * listings and opens), and stays a plain equi-anti-join, shuffle-
   * joinable at any history size.
   *
+  * COMPACTION DEFAULT, shape-split (measured, SCALE_r15 §4 +
+  * SCALE_r16 §3): at the tiny-doc fixture shape (200 docs/batch) the
+  * on/off latency crossover is OBSERVED by batch ~150 (on's last
+  * quartile 2,198 ms vs off's degrading 3,697 ms). At the
+  * production shape (2,000 KB-class docs/batch) compaction OFF still
+  * wins whole-run throughput at 100 batches (236.8 vs 186.1 docs/s):
+  * threshold-8 pays a ~4 s/batch rewrite tax from the first quartile,
+  * while off's degradation (+3.2 s first→last quartile vs on's +1.3 s)
+  * extrapolates to a crossover only near batch ~200. If your batches
+  * are KB-doc-sized and the run is short-lived, RAISE
+  * `compactThreshold` (fewer, bigger folds); the default favors
+  * long-running small-batch ingest where unbounded delta-file growth
+  * is the known failure mode.
+  *
   * Exactly-once across replays WITHOUT driver state, by WRITE ORDER:
   * survivors are committed (whole-directory overwrite + `_SUCCESS`)
   * BEFORE their keys are appended. A replayed batch id therefore sees
