@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * where the caps bind AND the ground truth still fits the box.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1 tools/run.sh graft.RecallProbe \
-  *   [neardup|neardup_auto|semdedup|semdedup_auto|semdedup_auto2|both]
+  *   [neardup|neardup_auto|semdedup|semdedup_auto|semdedup_auto2|semdedup_hier|both]
   * (each name runs that one leg standalone; `both` = the round-15 set:
   * neardup + semdedup + semdedup_auto. SPARK_GRAFT_RECALL_PLANTED_BITS
   * overrides the planted-class sketch bits — default 8, the sf1-record
@@ -117,7 +117,7 @@ object RecallProbe {
       emit("neardup", sfDir, n, nDg, nDet, nPg, nPc,
         s"tables=16,bits=8,cap=${operators.Similarity.DefaultMaxLshBucket}",
         nPlanted, plG, plC)
-      Seq(ground, capped, dg).foreach(_.unpersist(blocking = true))
+      Seq(ground, capped, dg, dc).foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
 
@@ -150,7 +150,7 @@ object RecallProbe {
       emit("neardup_auto", sfDir, n, nDg, nDet, nPg, nPc,
         s"tables=16,bits=auto($autoBits),cap=${operators.Similarity.DefaultMaxLshBucket}",
         nPlanted, plG, plC)
-      Seq(ground, capped, dg).foreach(_.unpersist(blocking = true))
+      Seq(ground, capped, dg, dc).foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
 
@@ -166,34 +166,59 @@ object RecallProbe {
       case "semdedup"       => Seq("semdedup")
       case "semdedup_auto"  => Seq("semdedup_auto")
       case "semdedup_auto2" => Seq("semdedup_auto2")
+      case "semdedup_hier"  => Seq("semdedup_hier")
       case "both"           => Seq("semdedup", "semdedup_auto")
       case _                => Seq.empty
     }
     semLegs.foreach { leg =>
-      val k = leg match {
-        case "semdedup"       => 8
-        case "semdedup_auto"  => operators.Similarity.autoKmeansK(n)
-        // the cap-aware sizing (VERDICT_r15 #1): ground truth is the
-        // UNCAPPED run at the same k, so this leg isolates what the cap
-        // still costs once the sizing keeps avg clusters at cap/4
-        case "semdedup_auto2" => operators.Similarity.autoKmeansKCapAware(n)
+      // ground truth = the SAME blocking uncapped (maxCluster = 0), so
+      // each leg isolates what the rep-link cap costs under that sizing;
+      // the planted_flagged_uncapped / planted_class fields additionally
+      // give the leg's ABSOLUTE planted coverage (how much of the
+      // cos>=0.95 class this blocking flags at all — the hier finer-block
+      // question, VERDICT_r16 #2)
+      def run(uncapped: Boolean): DataFrame = {
+        val flags = leg match {
+          case "semdedup_hier" =>
+            operators.Similarity.semanticDedupHier(emb, threshold = 0.4,
+              maxCluster = if (uncapped) 0
+                           else operators.Similarity.DefaultMaxCluster)
+          case _ =>
+            val k = leg match {
+              case "semdedup"       => 8
+              case "semdedup_auto"  => operators.Similarity.autoKmeansK(n)
+              // the cap-aware sizing (VERDICT_r15 #1)
+              case "semdedup_auto2" => operators.Similarity.autoKmeansKCapAware(n)
+            }
+            operators.Similarity.semanticDedup(emb, k = k, iters = 1,
+              threshold = 0.4,
+              maxCluster = if (uncapped) 0
+                           else operators.Similarity.DefaultMaxCluster)
+        }
+        flags.filter(col("is_dup") === 1L).select("vec_id")
       }
-      val ground = operators.Similarity
-        .semanticDedup(emb, k = k, iters = 1, threshold = 0.4, maxCluster = 0)
-        .filter(col("is_dup") === 1L).select("vec_id")
+      val config = leg match {
+        case "semdedup_hier" =>
+          s"hier,k1=${operators.Similarity.autoCoarseK(n)}," +
+            s"cap=${operators.Similarity.DefaultMaxCluster}"
+        case "semdedup" => s"k=8,cap=${operators.Similarity.DefaultMaxCluster}"
+        case "semdedup_auto" =>
+          s"k=${operators.Similarity.autoKmeansK(n)}," +
+            s"cap=${operators.Similarity.DefaultMaxCluster}"
+        case "semdedup_auto2" =>
+          s"k=${operators.Similarity.autoKmeansKCapAware(n)}," +
+            s"cap=${operators.Similarity.DefaultMaxCluster}"
+      }
+      val ground = run(uncapped = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val capped = operators.Similarity
-        .semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
-        .filter(col("is_dup") === 1L).select("vec_id")
-      val cappedP = capped
+      val cappedP = run(uncapped = false)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDg = ground.count()
       val nDet = ground.join(cappedP, Seq("vec_id"), "left_semi").count()
       val plG = ground.join(planted, Seq("vec_id"), "left_semi").count()
       val plC = cappedP.join(planted, Seq("vec_id"), "left_semi")
         .join(ground, Seq("vec_id"), "left_semi").count()
-      emit(leg, sfDir, n, nDg, nDet, nDg, nDet,
-        s"k=$k,cap=${operators.Similarity.DefaultMaxCluster}",
+      emit(leg, sfDir, n, nDg, nDet, nDg, nDet, config,
         nPlanted, plG, plC)
       Seq(ground, cappedP).foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
@@ -207,18 +232,23 @@ object RecallProbe {
       plantedKept: Long): Unit = {
     val dr = if (detGround > 0) detKept.toDouble / detGround else 1.0
     val pr = if (pairsGround > 0) pairsKept.toDouble / pairsGround else 1.0
-    // planted < 0 = the planted legs were skipped (PLANTED_SKIP): -1
-    // marks "not measured", never "perfect"
-    val plr = if (planted < 0) -1.0
+    // planted < 0 = the planted legs were skipped (PLANTED_SKIP): ALL
+    // planted fields emit -1 so "not measured" is never readable as
+    // "measured zero" (ADVICE_r16 — the counts used to emit 0 while only
+    // the recall emitted -1)
+    val skipped = planted < 0
+    val plr = if (skipped) -1.0
               else if (plantedGround > 0) plantedKept.toDouble / plantedGround
               else 1.0
+    val plG = if (skipped) -1L else plantedGround
+    val plK = if (skipped) -1L else plantedKept
     println(s"""{"probe":"recall","op":"$op","sf":"$sfDir","n":$n,""" +
       s""""config":"$config","detected_uncapped":$detGround,""" +
       s""""detected_kept":$detKept,"detection_recall":${f"$dr%.4f"},""" +
       s""""pairs_uncapped":$pairsGround,"pairs_kept":$pairsKept,""" +
       s""""pair_recall":${f"$pr%.4f"},"planted_class":$planted,""" +
-      s""""planted_flagged_uncapped":$plantedGround,""" +
-      s""""planted_flagged_kept":$plantedKept,""" +
+      s""""planted_flagged_uncapped":$plG,""" +
+      s""""planted_flagged_kept":$plK,""" +
       s""""planted_recall":${f"$plr%.4f"}}""")
   }
 }

@@ -313,7 +313,9 @@ object Similarity {
     if (hot > 0) System.err.println(
       s"[similarity] $op: $hot of $total ${unit}s over cap=$cap " +
         s"(largest $mx) rep-linked — star mode; recall within those " +
-        s"${unit}s is member-vs-rep only")
+        s"${unit}s is member-vs-rep only. For SemDeDup sizing use " +
+        "semanticDedupAuto / autoKmeansKCapAware (detection recall 1.0 " +
+        "where the sqrt-rule measured 0.386, SCALE_r16 §1)")
     hot
   }
 
@@ -354,13 +356,15 @@ object Similarity {
     * verbatim in the `emb_semantic_dedup_auto` oracle from its own
     * COUNT(*).
     *
-    * SCALE CAVEAT (round 16): past N ≈ cap²/2 ≈ 500k vectors this
-    * unconstrained optimum drives the average cluster √(2N) through
-    * [[DefaultMaxCluster]] and the guard star-links the overflow —
-    * detection recall measured 0.386 at 600k (SCALE_r16 §1). For
-    * deployment sizing use [[autoKmeansKCapAware]], which adds the
-    * cap as a constraint; this rule remains the `emb_semantic_dedup_auto`
-    * oracle anchor and the per-cell sizing inside [[semanticDedupHier]]
+    * ORACLE ANCHOR, NOT THE DEPLOYMENT PATH (round 17): past N ≈
+    * cap²/2 ≈ 500k vectors this unconstrained optimum drives the
+    * average cluster √(2N) through [[DefaultMaxCluster]] and the guard
+    * star-links the overflow — detection recall measured 0.386 at 600k
+    * (SCALE_r16 §1). Deployment goes through [[semanticDedupAuto]],
+    * which dispatches to [[autoKmeansKCapAware]] below the measured
+    * crossover and [[semanticDedupHier]] above it; this rule remains
+    * the `emb_semantic_dedup_auto` hash anchor (its round-≤15 oracle
+    * hash must not move) and the per-cell sizing inside [[semanticDedupHier]]
     * (whose ~N^(2/3) cells keep its sub-blocks ≈ √2·N^(1/3) under the
     * cap through N ≈ (cap/√2)³ ≈ 4·10⁸ vectors).
     */
@@ -1272,6 +1276,65 @@ object Similarity {
       both, sizes)
     if (ownsQuant) quant.unpersist(blocking = false)
     out
+  }
+
+  /** The measured crossover between the two recall-preserving SemDeDup
+    * forms (SCALE_r16 §2, quiet box, one JVM per leg): cap-aware
+    * single-level ([[autoKmeansKCapAware]]) wins at 200k vectors (22.8
+    * vs hier's 86.3 s) but its assignment term is 4N²/cap — quadratic —
+    * once the cap term binds, while [[semanticDedupHier]] holds ~n^(4/3);
+    * hier wins from 600k up (91.9 vs 158.4 s; 272 vs 1,164 s at 2M) and
+    * completes 10M in 2,489 s where the quadratic form is a computed
+    * ~8-hour wall. 400k sits between the measured brackets (auto2 ahead
+    * at 200k, behind at 600k) on the geometric side of caution: at the
+    * crossover both forms cost within ~2× of each other and both hold
+    * recall 1.0, so the dispatch boundary is a cost choice, never a
+    * correctness one.
+    */
+  val LadderCrossover = 400000L
+
+  /** SemDeDup with the measured deployment ladder as CODE (VERDICT_r16
+    * #1 — three rounds of measurement produced the ladder; this function
+    * encodes it the way [[autoLshBits]] already encodes bucket sizing):
+    *
+    *   - n < `crossover` (default [[LadderCrossover]]): single-level
+    *     [[semanticDedup]] at k = [[autoKmeansKCapAware]](n) — the
+    *     √-rule optimum while clusters stay under the cap, the smallest
+    *     recall-preserving k past it (detection recall 1.0 at 600k where
+    *     the unconstrained √-rule measured 0.386);
+    *   - n ≥ `crossover`: [[semanticDedupHier]] — ~n^(4/3), blocks under
+    *     the cap by construction through n ≈ 4·10⁸, measured through 10M
+    *     vectors (2,489 s single box; beyond ~10⁸ bring a cluster, which
+    *     the distributed per-cell design is for).
+    *
+    * The dispatch rule itself sits under the oracle hash: the declared
+    * `emb_semantic_dedup_ladder` / `_ladder_upper` queries re-derive the
+    * branch from COUNT(*) inside the oracle SQL and replay whichever
+    * chain the rule picks (the `_upper` variant pins a tiny crossover so
+    * the hier branch is hash-checked at sf0.01 in every round, the
+    * `emb_*_capped` tiny-cap discipline). `maxCluster ≤ 0` (uncapped
+    * blocks) sizes single-level k by the plain √-rule — with no cap
+    * there is no constraint to respect.
+    */
+  def semanticDedupAuto(vectors: DataFrame, threshold: Double,
+      crossover: Long = LadderCrossover,
+      maxCluster: Int = DefaultMaxCluster): DataFrame = {
+    val n = vectors.count()
+    if (n < crossover) {
+      val k =
+        if (maxCluster > 0) autoKmeansKCapAware(n, maxCluster)
+        else autoKmeansK(n)
+      System.err.println(
+        s"[similarity] semanticDedupAuto: n=$n < crossover=$crossover -> " +
+          s"single-level cap-aware k=$k")
+      semanticDedup(vectors, k = k, iters = 1, threshold = threshold,
+        maxCluster = maxCluster)
+    } else {
+      System.err.println(
+        s"[similarity] semanticDedupAuto: n=$n >= crossover=$crossover -> " +
+          "hierarchical (coarse ceil(cbrt(n)) cells, per-cell auto-k)")
+      semanticDedupHier(vectors, threshold, maxCluster)
+    }
   }
 
   /** Exact near-duplicate pairs over a similarity threshold — the O(n²)

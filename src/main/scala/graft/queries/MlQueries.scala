@@ -421,10 +421,12 @@ object MlQueries {
     // .autoKmeansK]] rule; the pinned-k=8 variant above stays the
     // fixed-config oracle anchor (the emb_neardup / emb_neardup_auto
     // pairing). The oracle derives the same k from its own COUNT(*),
-    // so the auto rule itself is under the hash. NOTE (round 16): this
-    // rule's clusters cross the DefaultMaxCluster cap past ~500k
-    // vectors (recall 0.386 measured at 600k) — it stays as the
-    // round-≤15 hash anchor; the deployment sizing is _auto2 below.
+    // so the auto rule itself is under the hash. ORACLE ANCHOR ONLY
+    // (round 17): this rule's clusters cross the DefaultMaxCluster cap
+    // past ~500k vectors (recall 0.386 measured at 600k) — its hash
+    // must not move, but deployment goes through the
+    // emb_semantic_dedup_ladder dispatcher (Similarity.semanticDedupAuto)
+    // below, which never enters that regime.
     "emb_semantic_dedup_auto" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val k = Similarity.autoKmeansK(emb.count())
@@ -445,6 +447,36 @@ object MlQueries {
       val k = Similarity.autoKmeansKCapAware(emb.count())
       Similarity.semanticDedup(emb, k = k, iters = 1, threshold = 0.4)
     }),
+
+    // Tiny-cap anchor for the cap-aware sizing's GREATEST branch
+    // (ADVICE_r16): at sf0.01 the default constants leave the cap term
+    // dormant (it binds only past 32,768 vectors), so this variant pins
+    // cap=64 — k = ceil(4·N/64), the cap branch — and runs the guard at
+    // the same 64, hash-checked against the identically-parameterized
+    // oracle every round.
+    "emb_semantic_dedup_auto2_capped" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val k = Similarity.autoKmeansKCapAware(emb.count(), cap = 64)
+      Similarity.semanticDedup(emb, k = k, iters = 1, threshold = 0.4,
+        maxCluster = 64)
+    }),
+
+    // The measured deployment ladder as ONE dispatching entry point
+    // (VERDICT_r16 #1): Similarity.semanticDedupAuto picks cap-aware
+    // single-level below the 400k-vector crossover, hierarchical above.
+    // The oracle holds BOTH chains and re-derives the branch from its
+    // own COUNT(*), so the dispatch rule sits under the hash; at sf0.01
+    // this query exercises the single-level rung…
+    "emb_semantic_dedup_ladder" -> ((s, dir) =>
+      Similarity.semanticDedupAuto(tbl(s, dir, "embeddings"),
+        threshold = 0.4)),
+
+    // …and this one pins the crossover tiny (64) so the HIER rung of
+    // the same dispatcher is the branch hash-checked every round (the
+    // emb_*_capped tiny-knob discipline applied to the dispatch rule).
+    "emb_semantic_dedup_ladder_upper" -> ((s, dir) =>
+      Similarity.semanticDedupAuto(tbl(s, dir, "embeddings"),
+        threshold = 0.4, crossover = 64L)),
 
     // Hierarchical SemDeDup — the past-10⁹-vectors scale path: coarse
     // k₁ = ceil∛N cells, auto-k₂ = ceil√(m/2) k-means WITHIN each cell
@@ -613,39 +645,56 @@ object MlQueries {
     * (n·k) groups instead. Same result, same hash — only the oracle's
     * evaluation shape changed.
     */
-  private def kmeansCtes(kSql: String): String =
+  /** The shared narrow-explode input CTEs: integer-quantized embeddings
+    * plus their one-time (vec_id, d, qv) explosion — computed ONCE even
+    * when two k-means chains (the ladder oracle's two branches) share a
+    * query.
+    */
+  private lazy val quantQnCtes: String =
     s"""quant AS ($quantSql),
           qn AS MATERIALIZED (
             SELECT vec_id, d, q[d+1] AS qv
             FROM quant, generate_series(0, 63) t(d)
-            WHERE d < len(q)),
-          c0n AS MATERIALIZED (
+            WHERE d < len(q))"""
+
+  /** One k-means chain (init = first k ids, one Lloyd update, final
+    * assignment) over the shared `qn` rows, every chain-internal CTE name
+    * prefixed with `p` so two chains at different k can coexist in one
+    * oracle query (the `emb_semantic_dedup_ladder` dispatch). `p = ""`
+    * reproduces the historic single-chain names (a1 etc.).
+    */
+  private def kmeansChain(kSql: String, p: String): String =
+    s"""${p}c0n AS MATERIALIZED (
             SELECT vec_id AS cid, d, qv AS cv FROM qn WHERE vec_id < ($kSql)),
-          d0 AS (
+          ${p}d0 AS (
             SELECT v.vec_id, c.cid,
                    SUM((v.qv - c.cv) * (v.qv - c.cv)) AS dist
-            FROM qn v JOIN c0n c ON c.d = v.d
+            FROM qn v JOIN ${p}c0n c ON c.d = v.d
             GROUP BY 1, 2),
-          a0 AS (
+          ${p}a0 AS (
             SELECT vec_id, cid FROM (
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-              FROM d0) WHERE rn = 1),
-          c1 AS MATERIALIZED (
+              FROM ${p}d0) WHERE rn = 1),
+          ${p}c1 AS MATERIALIZED (
             SELECT a0.cid, v.d AS dim,
                    CAST(floor(CAST(SUM(v.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
-            FROM qn v JOIN a0 ON a0.vec_id = v.vec_id
+            FROM qn v JOIN ${p}a0 a0 ON a0.vec_id = v.vec_id
             GROUP BY 1, 2),
-          d1 AS (
+          ${p}d1 AS (
             SELECT v.vec_id, c.cid,
                    SUM((v.qv - c.cd) * (v.qv - c.cd)) AS dist
-            FROM qn v JOIN c1 c ON c.dim = v.d
+            FROM qn v JOIN ${p}c1 c ON c.dim = v.d
             GROUP BY 1, 2),
-          a1 AS (
+          ${p}a1 AS (
             SELECT vec_id, cid AS cluster FROM (
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-              FROM d1) WHERE rn = 1)"""
+              FROM ${p}d1) WHERE rn = 1)"""
+
+  private def kmeansCtes(kSql: String): String =
+    s"""$quantQnCtes,
+          ${kmeansChain(kSql, "")}"""
 
   /** The pinned-k=8 chain (emb_kmeans / emb_semantic_dedup oracles). */
   private lazy val kmeansA1Ctes = kmeansCtes("8")
@@ -697,15 +746,154 @@ object MlQueries {
     * [[Similarity.autoKmeansKCapAware]] integer-for-integer: the √-rule
     * term (exact below 2^52, the [[autoKSql]] argument) against the
     * ceil-div cap term `(h·N + cap − 1) // cap`, which is exactly
-    * Similarity's `t/cap + (t%cap != 0)` for non-negative t.
+    * Similarity's `t/cap + (t%cap != 0)` for non-negative t. Cap and
+    * headroom parameterized (ADVICE_r16): the
+    * `emb_semantic_dedup_auto2_capped` anchor pins the GREATEST cap
+    * branch at sf0.01 with a tiny cap, where the default constants
+    * would leave that branch exercised only by offline sf3 runs.
     */
-  private val autoK2Sql = {
-    val cap = Similarity.DefaultMaxCluster
-    val h = Similarity.CapHeadroom
+  private def autoK2Sql(cap: Int = Similarity.DefaultMaxCluster,
+      h: Int = Similarity.CapHeadroom): String =
     "SELECT GREATEST(" +
       "CAST(ceil(sqrt(CAST((COUNT(*) + 1) // 2 AS DOUBLE))) AS BIGINT), " +
       s"($h * COUNT(*) + ${cap - 1}) // $cap) FROM quant"
-  }
+
+  /** [[semDedupTailSql]] as prefixed CTEs ending in `${p}out (vec_id,
+    * is_dup)` instead of a final SELECT, so the ladder oracle can hold
+    * BOTH branch results and dispatch between them on its own COUNT(*).
+    * Reads the `${p}a1` assignment of the matching [[kmeansChain]].
+    */
+  private def semDedupTailCtes(cap: Int, p: String): String =
+    s"""${p}csizes AS (
+            SELECT cluster, COUNT(*) AS cluster_n, MIN(vec_id) AS rep
+            FROM ${p}a1 GROUP BY cluster),
+          ${p}cpairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM ${p}a1 a
+            JOIN ${p}csizes s ON s.cluster = a.cluster
+                         AND s.cluster_n <= $cap
+            JOIN ${p}a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            UNION ALL
+            SELECT s.rep AS id_a, m.vec_id AS id_b
+            FROM ${p}a1 m
+            JOIN ${p}csizes s ON s.cluster = m.cluster
+                         AND s.cluster_n > $cap
+            WHERE m.vec_id <> s.rep),
+          ${p}dropped AS (
+            SELECT DISTINCT q.id_b AS vec_id
+            FROM ${p}cpairs q
+            JOIN embeddings ea ON ea.vec_id = q.id_a
+            JOIN embeddings eb ON eb.vec_id = q.id_b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4),
+          ${p}out AS (
+            SELECT e.vec_id,
+                   CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                     AS is_dup
+            FROM embeddings e LEFT JOIN ${p}dropped d USING (vec_id))"""
+
+  /** The hierarchical SemDeDup fine level + capped block dedup as
+    * prefixed CTEs ending in `${p}out (vec_id, is_dup)`: per-cell k₂ =
+    * ceil√((m+1) div 2) with seeds = the cell's k₂ lowest ids, one
+    * floor-average Lloyd update, argmin ties to the lowest seed id,
+    * dedup inside (cell, subcluster) blocks under the
+    * [[Similarity.DefaultMaxCluster]] rep-link guard — step-for-step
+    * what `Similarity.semanticDedupHier` executes over the coarse
+    * `${p}a1` assignment of the matching [[kmeansChain]]([[autoK1Sql]]).
+    */
+  private def hierFineCtes(p: String): String =
+    s"""${p}csz AS (SELECT cluster, COUNT(*) AS m FROM ${p}a1 GROUP BY cluster),
+          ${p}ck AS (
+            SELECT cluster,
+                   CAST(ceil(sqrt(CAST((m + 1) // 2 AS DOUBLE))) AS BIGINT)
+                     AS k2
+            FROM ${p}csz),
+          ${p}seedn AS MATERIALIZED (
+            SELECT r.cluster, r.vec_id AS cid, q.d, q.qv AS cv
+            FROM (SELECT cluster, vec_id,
+                         row_number() OVER (PARTITION BY cluster
+                                            ORDER BY vec_id) AS rn
+                  FROM ${p}a1) r
+            JOIN ${p}ck ck ON ck.cluster = r.cluster AND r.rn <= ck.k2
+            JOIN qn q ON q.vec_id = r.vec_id),
+          ${p}fd0 AS (
+            SELECT v.vec_id, s.cluster, s.cid,
+                   SUM((v.qv - s.cv) * (v.qv - s.cv)) AS dist
+            FROM qn v JOIN ${p}a1 av ON av.vec_id = v.vec_id
+            JOIN ${p}seedn s ON s.cluster = av.cluster AND s.d = v.d
+            GROUP BY 1, 2, 3),
+          ${p}fa0 AS (
+            SELECT vec_id, cluster, cid FROM (
+              SELECT vec_id, cluster, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM ${p}fd0) WHERE rn = 1),
+          ${p}fc1 AS MATERIALIZED (
+            SELECT f.cluster, f.cid, v.d AS dim,
+                   CAST(floor(CAST(SUM(v.qv) AS DOUBLE) / COUNT(*))
+                     AS BIGINT) AS cd
+            FROM qn v JOIN ${p}fa0 f ON f.vec_id = v.vec_id
+            GROUP BY 1, 2, 3),
+          ${p}fd1 AS (
+            SELECT v.vec_id, c.cluster, c.cid,
+                   SUM((v.qv - c.cd) * (v.qv - c.cd)) AS dist
+            FROM qn v JOIN ${p}a1 av ON av.vec_id = v.vec_id
+            JOIN ${p}fc1 c ON c.cluster = av.cluster AND c.dim = v.d
+            GROUP BY 1, 2, 3),
+          ${p}fa1 AS (
+            SELECT vec_id, cluster, cid AS sub FROM (
+              SELECT vec_id, cluster, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM ${p}fd1) WHERE rn = 1),
+          ${p}hsizes AS (
+            SELECT cluster, sub, COUNT(*) AS cluster_n, MIN(vec_id) AS rep
+            FROM ${p}fa1 GROUP BY cluster, sub),
+          ${p}hpairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM ${p}fa1 a
+            JOIN ${p}hsizes s ON s.cluster = a.cluster AND s.sub = a.sub
+                         AND s.cluster_n <= ${Similarity.DefaultMaxCluster}
+            JOIN ${p}fa1 b ON a.cluster = b.cluster AND a.sub = b.sub
+                      AND a.vec_id < b.vec_id
+            UNION ALL
+            SELECT s.rep AS id_a, m.vec_id AS id_b
+            FROM ${p}fa1 m
+            JOIN ${p}hsizes s ON s.cluster = m.cluster AND s.sub = m.sub
+                         AND s.cluster_n > ${Similarity.DefaultMaxCluster}
+            WHERE m.vec_id <> s.rep),
+          ${p}hdropped AS (
+            SELECT DISTINCT q.id_b AS vec_id
+            FROM ${p}hpairs q
+            JOIN embeddings ea ON ea.vec_id = q.id_a
+            JOIN embeddings eb ON eb.vec_id = q.id_b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4),
+          ${p}out AS (
+            SELECT e.vec_id,
+                   CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                     AS is_dup
+            FROM embeddings e LEFT JOIN ${p}hdropped d USING (vec_id))"""
+
+  /** The ladder dispatch oracle (VERDICT_r16 #1): BOTH branch chains in
+    * one query over the shared quant/qn rows, the branch picked by the
+    * oracle's own COUNT(*) against `crossover` — so the dispatch rule
+    * itself, not just each branch, sits under the result hash. Mirrors
+    * `Similarity.semanticDedupAuto` exactly: below the crossover the
+    * cap-aware single-level chain, at or above it the hierarchical
+    * chain.
+    */
+  private def ladderSql(crossover: Long): String =
+    s"""WITH $quantQnCtes,
+          ${kmeansChain(autoK2Sql(), "lo_")},
+          ${semDedupTailCtes(Similarity.DefaultMaxCluster, "lo_")},
+          ${kmeansChain(autoK1Sql, "hi_")},
+          ${hierFineCtes("hi_")}
+          SELECT vec_id, is_dup FROM lo_out
+          WHERE (SELECT COUNT(*) FROM quant) < $crossover
+          UNION ALL
+          SELECT vec_id, is_dup FROM hi_out
+          WHERE (SELECT COUNT(*) FROM quant) >= $crossover"""
 
   /** COUNT(*)-derived coarse cluster count for the hierarchical SemDeDup
     * oracle — mirrors [[Similarity.autoCoarseK]]: fp ceil(n^(1/3))
@@ -1113,8 +1301,26 @@ object MlQueries {
     // cap-aware sizing: same CTE chain, k = GREATEST(√-rule, ceil-div
     // cap term) derived from the oracle's own COUNT(*)
     "emb_semantic_dedup_auto2" ->
-      s"""WITH ${kmeansCtes(autoK2Sql)},
+      s"""WITH ${kmeansCtes(autoK2Sql())},
           ${semDedupTailSql()}""",
+    // tiny-cap anchor for the GREATEST cap term (ADVICE_r16): cap=64
+    // binds at sf0.01 (n=500: ceil(4·500/64)=32 > ceil(√250)=16), so the
+    // sizing rule's cap branch — not just its √ branch — is
+    // hash-checked against DuckDB every round, the emb_*_capped
+    // discipline applied to the SIZING rule instead of the guard
+    "emb_semantic_dedup_auto2_capped" ->
+      s"""WITH ${kmeansCtes(autoK2Sql(cap = 64))},
+          ${semDedupTailSql(64)}""",
+    // the deployment ladder under the hash (VERDICT_r16 #1): both
+    // chains in one oracle, dispatched by the oracle's own COUNT(*)
+    // against the measured 400k crossover — sf0.01 (n=2k) exercises
+    // the cap-aware single-level branch
+    "emb_semantic_dedup_ladder" -> ladderSql(Similarity.LadderCrossover),
+    // same dispatch with the crossover pinned tiny (64), so the
+    // HIERARCHICAL branch of the dispatcher is the one hash-checked at
+    // sf0.01 in every round — the tiny-cap anchor pattern applied to
+    // the dispatch rule
+    "emb_semantic_dedup_ladder_upper" -> ladderSql(64L),
     // coarse level = the shared kmeansCtes chain at k₁ = ceil∛N; fine
     // level = per-cell k-means at k₂ = ceil√((m+1) div 2) with seeds =
     // the cell's k₂ lowest ids, one floor-average update, argmin ties to
@@ -1123,77 +1329,8 @@ object MlQueries {
     // Similarity.semanticDedupHier executes
     "emb_semantic_dedup_hier" ->
       s"""WITH ${kmeansCtes(autoK1Sql)},
-          csz AS (SELECT cluster, COUNT(*) AS m FROM a1 GROUP BY cluster),
-          ck AS (
-            SELECT cluster,
-                   CAST(ceil(sqrt(CAST((m + 1) // 2 AS DOUBLE))) AS BIGINT)
-                     AS k2
-            FROM csz),
-          seedn AS MATERIALIZED (
-            SELECT r.cluster, r.vec_id AS cid, q.d, q.qv AS cv
-            FROM (SELECT cluster, vec_id,
-                         row_number() OVER (PARTITION BY cluster
-                                            ORDER BY vec_id) AS rn
-                  FROM a1) r
-            JOIN ck ON ck.cluster = r.cluster AND r.rn <= ck.k2
-            JOIN qn q ON q.vec_id = r.vec_id),
-          fd0 AS (
-            SELECT v.vec_id, s.cluster, s.cid,
-                   SUM((v.qv - s.cv) * (v.qv - s.cv)) AS dist
-            FROM qn v JOIN a1 av ON av.vec_id = v.vec_id
-            JOIN seedn s ON s.cluster = av.cluster AND s.d = v.d
-            GROUP BY 1, 2, 3),
-          fa0 AS (
-            SELECT vec_id, cluster, cid FROM (
-              SELECT vec_id, cluster, cid,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY dist, cid) AS rn
-              FROM fd0) WHERE rn = 1),
-          fc1 AS MATERIALIZED (
-            SELECT f.cluster, f.cid, v.d AS dim,
-                   CAST(floor(CAST(SUM(v.qv) AS DOUBLE) / COUNT(*))
-                     AS BIGINT) AS cd
-            FROM qn v JOIN fa0 f ON f.vec_id = v.vec_id
-            GROUP BY 1, 2, 3),
-          fd1 AS (
-            SELECT v.vec_id, c.cluster, c.cid,
-                   SUM((v.qv - c.cd) * (v.qv - c.cd)) AS dist
-            FROM qn v JOIN a1 av ON av.vec_id = v.vec_id
-            JOIN fc1 c ON c.cluster = av.cluster AND c.dim = v.d
-            GROUP BY 1, 2, 3),
-          fa1 AS (
-            SELECT vec_id, cluster, cid AS sub FROM (
-              SELECT vec_id, cluster, cid,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY dist, cid) AS rn
-              FROM fd1) WHERE rn = 1),
-          hsizes AS (
-            SELECT cluster, sub, COUNT(*) AS cluster_n, MIN(vec_id) AS rep
-            FROM fa1 GROUP BY cluster, sub),
-          hpairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM fa1 a
-            JOIN hsizes s ON s.cluster = a.cluster AND s.sub = a.sub
-                         AND s.cluster_n <= ${Similarity.DefaultMaxCluster}
-            JOIN fa1 b ON a.cluster = b.cluster AND a.sub = b.sub
-                      AND a.vec_id < b.vec_id
-            UNION ALL
-            SELECT s.rep AS id_a, m.vec_id AS id_b
-            FROM fa1 m
-            JOIN hsizes s ON s.cluster = m.cluster AND s.sub = m.sub
-                         AND s.cluster_n > ${Similarity.DefaultMaxCluster}
-            WHERE m.vec_id <> s.rep),
-          dropped AS (
-            SELECT DISTINCT p.id_b AS vec_id
-            FROM hpairs p
-            JOIN embeddings ea ON ea.vec_id = p.id_a
-            JOIN embeddings eb ON eb.vec_id = p.id_b
-            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4)
-          SELECT e.vec_id,
-                 CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
-                   AS is_dup
-          FROM embeddings e LEFT JOIN dropped d USING (vec_id)""",
+          ${hierFineCtes("")}
+          SELECT vec_id, is_dup FROM out""",
     "emb_label_centroid" ->
       s"""SELECT CAST(label AS BIGINT) AS label, d AS dim,
                  CAST(SUM(q[CAST(d AS INTEGER)+1]) AS BIGINT) AS q_sum,

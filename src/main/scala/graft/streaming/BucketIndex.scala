@@ -8,9 +8,9 @@ import org.apache.spark.sql.types.StructType
   * [[StreamingEmbNearDup]] embedding sketches): an LSM-style
   * bucket-partitioned parquet store built with the
   * [[HamStream.appendIntoStore]] delta discipline — per-batch staged
-  * write → idempotent parallel rename promotion → file-count-triggered
-  * per-bucket compaction that sorts by the probe key so point probes
-  * row-group-prune.
+  * write → idempotent parallel rename promotion → count-and-size-ratio
+  * triggered per-bucket compaction (see [[appendDelta]]) that sorts by
+  * the probe key so point probes row-group-prune.
   *
   * Crash contract: a replayed batch re-appends under the same batchId
   * (dest-exists renames skip) — duplicate rows, folded by the next
@@ -51,10 +51,28 @@ private[graft] object BucketIndex {
   }
 
   /** Append `rows` (must carry a `bucket` partition column plus
-    * `dataCols`) as ONE delta file per touched bucket, then fold any
-    * bucket whose delta-file count crossed `compactThreshold` into a
-    * single deduped file sorted by `sortCols` (first of which should be
-    * the probe's pushdown key, so its row-group stats become selective).
+    * `dataCols`) as ONE delta file per touched bucket, then fold a
+    * bucket into a single deduped file sorted by `sortCols` (first of
+    * which should be the probe's pushdown key, so its row-group stats
+    * become selective) when BOTH triggers agree:
+    *
+    *   - file count ≥ `compactThreshold` (the LSM level-0 trigger —
+    *     probe cost is per-file, so the count bounds read
+    *     amplification), AND
+    *   - accumulated delta BYTES ≥ the compacted base's bytes (the
+    *     size-ratio trigger: each fold roughly doubles the base, so a
+    *     bucket ingesting N bytes rewrites O(N) total instead of the
+    *     fixed-count trigger's O(N²/threshold) — the measured ~4 s/batch
+    *     rewrite tax that made compaction LOSE the 100-batch
+    *     2k-KB-doc production run, 186.1 vs 236.8 docs/s, SCALE_r16 §3).
+    *
+    * A bucket with no base yet folds on count alone (first fold), and a
+    * hard ceiling of 8×`compactThreshold` files folds regardless of the
+    * byte ratio so a long tail of tiny deltas behind a big base cannot
+    * grow probe amplification unboundedly. At the tiny-doc shape this
+    * schedule folds at ~8, 16, 32, … batches (geometric), keeping the
+    * file count O(log batches) — still far under the compaction-off
+    * leg's linear growth that loses from ~150 batches (SCALE_r15 §4).
     */
   def appendDelta(
       rows: DataFrame,
@@ -84,8 +102,8 @@ private[graft] object BucketIndex {
           bucketDirs.length min 16)
         try {
           val futures = bucketDirs.map { bdir =>
-            pool.submit(new java.util.concurrent.Callable[(String, Int)] {
-              override def call(): (String, Int) = {
+            pool.submit(new java.util.concurrent.Callable[(String, Int, Long, Long)] {
+              override def call(): (String, Int, Long, Long) = {
                 val name = bdir.getPath.getName
                 val live = new org.apache.hadoop.fs.Path(storeDir, name)
                 if (!fs.exists(live)) fs.mkdirs(live)
@@ -98,13 +116,23 @@ private[graft] object BucketIndex {
                       throw new java.io.IOException(
                         s"index delta promotion failed: ${f.getPath} -> $dest")
                   }
-                name -> fs.listStatus(live)
-                  .count(_.getPath.getName.endsWith(".parquet"))
+                // one post-promotion listing feeds BOTH triggers: the
+                // file count and the delta-vs-base byte split (base =
+                // prior compact-* output, delta = everything since)
+                val files = fs.listStatus(live)
+                  .filter(_.getPath.getName.endsWith(".parquet"))
+                val (base, delta) =
+                  files.partition(_.getPath.getName.startsWith("compact-"))
+                (name, files.length,
+                  delta.map(_.getLen).sum, base.map(_.getLen).sum)
               }
             })
           }
           futures.map(_.get()).collect {
-            case (name, n) if compactThreshold > 0 && n >= compactThreshold => name
+            case (name, n, deltaBytes, baseBytes)
+                if compactThreshold > 0 && n >= compactThreshold &&
+                  (baseBytes == 0L || deltaBytes >= baseBytes ||
+                    n >= compactThreshold * 8) => name
           }
         } finally pool.shutdown()
       }

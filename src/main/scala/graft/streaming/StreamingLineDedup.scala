@@ -24,9 +24,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Index + replay discipline is [[StreamingPipeline]]'s, at segment
   * granularity: the seen-segment history lives in a [[BucketIndex]]
-  * LSM store (hash-bucketed deltas, file-count-triggered compaction —
-  * bounded file count at any batch count; the anti-join stays a plain
-  * equi-join at any history size, no driver state). Exactly-once by
+  * LSM store (hash-bucketed deltas, count-and-size-ratio-triggered
+  * compaction — file count bounded O(log batches), rewrite volume
+  * linear in ingested bytes; the anti-join stays a plain equi-join at
+  * any history size, no driver state). Exactly-once by
   * WRITE ORDER: the batch's segment verdicts are committed under
   * `out/batch=<id>` BEFORE the fresh hashes are appended, so a
   * replayed batch either recomputes against an index that cannot yet

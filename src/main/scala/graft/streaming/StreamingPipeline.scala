@@ -28,26 +28,21 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * The key index is a [[BucketIndex]] LSM store (the
   * [[StreamingNearDup]] discipline): keys bucket-partitioned by a
   * key-hash prefix, one delta file per touched bucket per batch,
-  * file-count-triggered compaction folding each bucket into one file
-  * SORTED by key_hash — so the per-batch history anti-join reads a
-  * bounded number of files no matter how many batches have run (the
-  * per-batch-directory alternative degrades to O(#batches) file
-  * listings and opens), and stays a plain equi-anti-join, shuffle-
-  * joinable at any history size.
-  *
-  * COMPACTION DEFAULT, shape-split (measured, SCALE_r15 §4 +
-  * SCALE_r16 §3): at the tiny-doc fixture shape (200 docs/batch) the
-  * on/off latency crossover is OBSERVED by batch ~150 (on's last
-  * quartile 2,198 ms vs off's degrading 3,697 ms). At the
-  * production shape (2,000 KB-class docs/batch) compaction OFF still
-  * wins whole-run throughput at 100 batches (236.8 vs 186.1 docs/s):
-  * threshold-8 pays a ~4 s/batch rewrite tax from the first quartile,
-  * while off's degradation (+3.2 s first→last quartile vs on's +1.3 s)
-  * extrapolates to a crossover only near batch ~200. If your batches
-  * are KB-doc-sized and the run is short-lived, RAISE
-  * `compactThreshold` (fewer, bigger folds); the default favors
-  * long-running small-batch ingest where unbounded delta-file growth
-  * is the known failure mode.
+  * compaction folding each bucket into one file SORTED by key_hash —
+  * so the per-batch history anti-join reads a bounded number of files
+  * no matter how many batches have run (the per-batch-directory
+  * alternative degrades to O(#batches) file listings and opens), and
+  * stays a plain equi-anti-join, shuffle-joinable at any history size.
+  * The fold trigger is count AND size-ratio gated ([[BucketIndex
+  * .appendDelta]], VERDICT_r16 #3): a bucket folds when its file count
+  * crosses `compactThreshold` and its delta bytes have caught up with
+  * its base — a geometric schedule whose total rewrite volume is
+  * linear in ingested bytes, instead of the fixed-count trigger that
+  * re-wrote the whole store every `threshold` batches and measurably
+  * LOST the 100-batch 2k-KB-doc production run (186.1 vs 236.8 docs/s
+  * with compaction off, SCALE_r16 §3) while the tiny-doc shape keeps
+  * its bounded-file-count win over off from ~150 batches
+  * (SCALE_r15 §4).
   *
   * Exactly-once across replays WITHOUT driver state, by WRITE ORDER:
   * survivors are committed (whole-directory overwrite + `_SUCCESS`)

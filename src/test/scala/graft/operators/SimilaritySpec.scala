@@ -198,6 +198,57 @@ class SimilaritySpec extends SparkSuite {
     assert(auto2 == direct, "auto2 variant must be the derived-k clustering")
   }
 
+  test("auto2_capped: the tiny sizing cap forces the GREATEST cap branch " +
+      "(ADVICE_r16) and the declared query matches the direct form") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    // the whole point of the anchor: at this n the cap term must WIN
+    val k = Similarity.autoKmeansKCapAware(n, cap = 64)
+    assert(k > Similarity.autoKmeansK(n),
+      s"cap=64 must bind at n=$n (k=$k) or the anchor pins nothing")
+    assert(k == (4 * n + 63) / 64, s"cap branch must be the ceil-div term")
+    val direct = Similarity.semanticDedup(emb, k = k, iters = 1,
+      threshold = 0.4, maxCluster = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declared = graft.queries.MlQueries
+      .queries("emb_semantic_dedup_auto2_capped")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(declared == direct)
+  }
+
+  test("semanticDedupAuto dispatches each side of the crossover to the " +
+      "measured rung (VERDICT_r16 #1)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    // lower rung: default crossover (n << 400k) == single-level at the
+    // cap-aware k
+    val lower = Similarity.semanticDedupAuto(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto2 = Similarity.semanticDedup(emb,
+      k = Similarity.autoKmeansKCapAware(n), iters = 1, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lower == auto2, "below the crossover the ladder IS the " +
+      "cap-aware single-level form")
+    // upper rung: a tiny pinned crossover == the hierarchical form
+    val upper = Similarity.semanticDedupAuto(emb, threshold = 0.4,
+      crossover = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hier = Similarity.semanticDedupHier(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(upper == hier, "at/above the crossover the ladder IS the " +
+      "hierarchical form")
+    // the declared queries are these exact dispatches
+    val declaredLo = graft.queries.MlQueries
+      .queries("emb_semantic_dedup_ladder")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declaredHi = graft.queries.MlQueries
+      .queries("emb_semantic_dedup_ladder_upper")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(declaredLo == lower && declaredHi == upper)
+  }
+
   test("emb_semantic_dedup_auto equals semanticDedup at the derived k") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

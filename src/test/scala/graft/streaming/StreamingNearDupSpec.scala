@@ -202,7 +202,11 @@ class StreamingNearDupSpec extends SparkSuite {
   test("delta files compact once a bucket crosses the threshold") {
     // 6 batches all touching the same band keys (same doc text) with
     // compactThreshold=2: without compaction each bucket would
-    // accumulate 6 delta files
+    // accumulate 6 delta files. Under the count-and-size-ratio trigger
+    // (VERDICT_r16 #3) the fold schedule is geometric — the first fold
+    // fires on count alone (no base yet), later folds wait for the
+    // delta bytes to catch the base up — so the bound is
+    // O(log batches), not the old fold-every-threshold 2.
     val (_, idx, out) = runBatches(
       (0 until 6).map(b => Seq((1000L + b) -> baseText)),
       compactThreshold = 2)
@@ -211,7 +215,7 @@ class StreamingNearDupSpec extends SparkSuite {
     assert(bucketDirs.nonEmpty)
     val maxFiles = bucketDirs.map(
       _.listFiles().count(_.getName.endsWith(".parquet"))).max
-    assert(maxFiles <= 2, s"compaction never fired: $maxFiles files in a bucket")
+    assert(maxFiles < 6, s"compaction never fired: $maxFiles files in a bucket")
     assert(bucketDirs.exists(
       _.listFiles().exists(_.getName.startsWith("compact-"))))
     // the index survives compaction: every later copy still matched doc 1000

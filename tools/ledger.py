@@ -12,7 +12,13 @@ the old concat_ws('|', ...) form silently skipped NULL arguments and a
 ('a', NULL, 'b') and ('a', 'b', NULL) pinned identically). The legacy
 checksum is still emitted as `checksum_legacy` so pins recorded before
 round 16 stay comparable during the transition; new pins record
-`checksum` (the v2 field).
+`checksum` (the v2 field). Each line carries an explicit `"v": 2`
+version marker (ADVICE_r16): a comparer must match same-version fields
+— `checksum` against a v2-era pin, `checksum_legacy` against a
+pre-round-16 pin's `checksum` — and a naive all-fields diff against an
+unversioned old line means the generations are mixed, not that the
+data drifted. All 11 round-15 pins were re-recorded with both values
+in CORRECTNESS_SF1.md §round-16, so both directions stay checkable.
 
 The checksum is not cross-engine validation (the sf3 full-hash PASS is
 the cross-engine evidence for these queries); it is a regression pin at
@@ -41,7 +47,7 @@ def main(out_dir, names):
         n, h2, h1 = con.sql(
             f"SELECT count(*), sum({row_v2}), sum({row_v1}) "
             f"FROM '{out_dir}/{name}/*.parquet'").fetchone()
-        print(json.dumps({"name": name, "rows": int(n),
+        print(json.dumps({"name": name, "v": 2, "rows": int(n),
                           "checksum": str(h2), "checksum_legacy": str(h1),
                           "cols": cols}))
 

@@ -11,6 +11,7 @@ DONEFILE="$OUT/.parity_done"
 LOG=/tmp/parity_sf10_chase.log
 # monster-oracle defer list: one shared source of truth (ADVICE_r15)
 DEFER=${CHASE_DEFER:-$(cat "$(dirname "$0")/parity_defer.txt")}
+mkdir -p "$OUT"   # ADVICE_r16: a chase started before graft.Verify creates $OUT must not lose its done-file
 touch "$DONEFILE"
 LOCK="$OUT/.parity_done.lock"
 claim() { flock "$LOCK" bash -c "grep -qx '$1' '$DONEFILE' && exit 1; echo '$1' >> '$DONEFILE'"; }

@@ -11,6 +11,7 @@ LOCK="$OUT/.parity_done.lock"
 LOG=/tmp/parity_sf10_chase2.log
 # monster-oracle defer list: one shared source of truth (ADVICE_r15)
 DEFER=${CHASE_DEFER:-$(cat "$(dirname "$0")/parity_defer.txt")}
+mkdir -p "$OUT"   # ADVICE_r16: a chase started before graft.Verify creates $OUT must not lose its done-file
 touch "$DONEFILE"
 claim() { # returns 0 if we claimed $1
   flock "$LOCK" bash -c "grep -qx '$1' '$DONEFILE' && exit 1; echo '$1' >> '$DONEFILE'"
