@@ -686,7 +686,8 @@ object StreamBench {
       "pipeline_compact_on", "pipeline_compact_off", "pipeline_sig_reuse_off",
       "pipeline_prod_on", "pipeline_prod_sig_reuse_off",
       "pipeline_prod_compact_off",
-      "linededup_compact_on", "linededup_compact_off")
+      "linededup_compact_on", "linededup_compact_off",
+      "linededup_settle_on", "linededup_settle_off")
     val legFilter: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_LEGS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val unknownLegs = legFilter -- knownLegs.toSet
@@ -832,6 +833,23 @@ object StreamBench {
     if (want("linededup_compact_off"))
       out += "linededup_compact_off" -> pipeJs(one(runLineDedup(_, pipeBatches,
         pipeDocs, numBuckets = 64, compactThreshold = 0)))
+    // settle-regime pair (VERDICT_r16 #4): the 500-batch run at the
+    // 200-doc/64-bucket shape was killed at 64 min with neither leg done
+    // (SCALE_r16 §4), so this fixture shrinks PER-BATCH volume (50 docs)
+    // and bucket count (16) — the off leg's degradation driver, per-bucket
+    // delta-file count = batch count, is untouched, but each batch's FS
+    // and compute cost drops ~4× so 400 batches fit the box. Own knobs so
+    // the 150-batch crossover legs above keep their recorded shape.
+    val settleBatches =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SETTLE_BATCHES", "400").toInt
+    val settleDocs =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SETTLE_DOCS", "50").toInt
+    if (want("linededup_settle_on"))
+      out += "linededup_settle_on" -> pipeJs(one(runLineDedup(_,
+        settleBatches, settleDocs, numBuckets = 16, compactThreshold = 8)))
+    if (want("linededup_settle_off"))
+      out += "linededup_settle_off" -> pipeJs(one(runLineDedup(_,
+        settleBatches, settleDocs, numBuckets = 16, compactThreshold = 0)))
 
     // Header scalars describe the ingest leg's config; refresh them only
     // when that leg ran. On a filtered run, start from the recorded file so

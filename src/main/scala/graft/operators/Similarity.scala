@@ -1239,41 +1239,58 @@ object Similarity {
       .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
       .select(col("vec_id"), col("cluster"), col("cid").as("sub"))
     // capped dedup within (cell, subcluster) blocks — the semanticDedup
-    // tail keyed by the composite block id
+    // tail keyed by the composite block id. `maxCluster <= 0` disables
+    // the guard (exact within-block pairs), the SAME uncapped convention
+    // as [[semanticDedup]] — before round 17 this path star-linked EVERY
+    // block (`cluster_n > 0` matched all of them), silently inverting
+    // the contract for ground-truth probes and for the documented
+    // [[semanticDedupAuto]] `maxCluster ≤ 0` passthrough.
     val unit = unitVectors(vectors)
     val both = a1.join(unit, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = both.groupBy("cluster", "sub")
-      .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    logHotGroups(sizes, "cluster_n", maxCluster, "semanticDedupHier", "block")
-    val small = both.join(
-      sizes.filter(col("cluster_n") <= maxCluster).select("cluster", "sub"),
-      Seq("cluster", "sub"), "left_semi")
-    val a = small.select(col("cluster"), col("sub"),
-      col("vec_id").as("id_a"), col("uv").as("va"))
-    val b = small.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
-      col("vec_id").as("id_b"), col("uv").as("vb"))
-    val smallPairs = a.join(b,
-      col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
-        col("id_a") < col("id_b"))
-      .select("id_a", "va", "id_b", "vb")
-    val hot = sizes.filter(col("cluster_n") > maxCluster)
-      .select(col("cluster"), col("sub"), col("rep"))
-      .join(unit.select(col("vec_id").as("rep"), col("uv").as("va")), "rep")
-    val bigPairs = both.join(hot, Seq("cluster", "sub"))
-      .filter(col("vec_id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("va"),
-        col("vec_id").as("id_b"), col("uv").as("vb"))
-    val dropped = cosinePairs(smallPairs.unionByName(bigPairs),
-        "id_a", "va", "id_b", "vb")
+    val (pairs, tailOwned) =
+      if (maxCluster <= 0) {
+        val a = both.select(col("cluster"), col("sub"),
+          col("vec_id").as("id_a"), col("uv").as("va"))
+        val b = both.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
+          col("vec_id").as("id_b"), col("uv").as("vb"))
+        (a.join(b,
+          col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
+            col("id_a") < col("id_b"))
+          .select("id_a", "va", "id_b", "vb"), Seq(both))
+      } else {
+        val sizes = both.groupBy("cluster", "sub")
+          .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("rep"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        logHotGroups(sizes, "cluster_n", maxCluster, "semanticDedupHier", "block")
+        val small = both.join(
+          sizes.filter(col("cluster_n") <= maxCluster).select("cluster", "sub"),
+          Seq("cluster", "sub"), "left_semi")
+        val a = small.select(col("cluster"), col("sub"),
+          col("vec_id").as("id_a"), col("uv").as("va"))
+        val b = small.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
+          col("vec_id").as("id_b"), col("uv").as("vb"))
+        val smallPairs = a.join(b,
+          col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
+            col("id_a") < col("id_b"))
+          .select("id_a", "va", "id_b", "vb")
+        val hot = sizes.filter(col("cluster_n") > maxCluster)
+          .select(col("cluster"), col("sub"), col("rep"))
+          .join(unit.select(col("vec_id").as("rep"), col("uv").as("va")), "rep")
+        val bigPairs = both.join(hot, Seq("cluster", "sub"))
+          .filter(col("vec_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("va"),
+            col("vec_id").as("id_b"), col("uv").as("vb"))
+        (smallPairs.unionByName(bigPairs), Seq(both, sizes))
+      }
+    val dropped = cosinePairs(pairs, "id_a", "va", "id_b", "vb")
       .filter(col("cos") >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
     val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
       .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
-    val out = Caching.materializeAndRelease(res, coarse, withCell, unit,
-      both, sizes)
+    val out = Caching.materializeAndRelease(res,
+      (Seq(coarse, withCell, unit) ++ tailOwned): _*)
     if (ownsQuant) quant.unpersist(blocking = false)
     out
   }

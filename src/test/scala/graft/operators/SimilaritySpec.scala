@@ -276,6 +276,38 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.autoCoarseK(200000) == 59)
   }
 
+  test("semanticDedupHier maxCluster<=0 means UNCAPPED exact pairs, not " +
+      "star mode (round-17 fix: 0 used to star-link every block)") {
+    // a block {2,3,4} where the pair the STAR misses is the only flag:
+    // cos(2,3)=cos(2,4)=0.90 < thr, cos(3,4)=1.0 >= thr. rep=2, so star
+    // mode scores only (2,3),(2,4) -> flags nothing; exact within-block
+    // pairs score (3,4) -> flag 4. ids 0,1 are cell decoys (the coarse
+    // seeds), far enough that the trio shares one (cell, sub) block.
+    def dir(theta: Double): Array[Float] = {
+      val v = new Array[Float](16)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat; v
+    }
+    val e2 = { val v = new Array[Float](16); v(2) = 1f; v }
+    val a25 = 25.842 * math.Pi / 180 // cos ~= 0.900
+    val rows = Seq(
+      0L -> dir(0.0), 1L -> e2,
+      2L -> dir(20 * math.Pi / 180),
+      3L -> dir(20 * math.Pi / 180 + a25),
+      4L -> dir(20 * math.Pi / 180 + a25))
+    val df = rows.toDF("vec_id", "embedding")
+    def flags(cap: Int): Set[Long] =
+      Similarity.semanticDedupHier(df, threshold = 0.95, maxCluster = cap)
+        .filter($"is_dup" === 1L).collect().map(_.getLong(0)).toSet
+    val uncapped = flags(0)
+    assert(uncapped == Set(4L),
+      s"maxCluster=0 must enumerate exact within-block pairs: $uncapped")
+    assert(uncapped == flags(Int.MaxValue),
+      "0 and a never-binding cap must agree (the uncapped convention)")
+    assert(flags(1) == Set.empty[Long],
+      "a binding cap=1 must star-link (rep pairs only) — if this flags 4, " +
+        "the fixture no longer distinguishes star from exact")
+  }
+
   test("semanticDedupHier flags exactly the copies; distinct vectors survive") {
     // same contract as single-level semanticDedup: an exact copy lands in
     // its original's cell AND subcluster (distance 0 to the same seeds at
