@@ -38,11 +38,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * crosses `compactThreshold` and its delta bytes have caught up with
   * its base — a geometric schedule whose total rewrite volume is
   * linear in ingested bytes, instead of the fixed-count trigger that
-  * re-wrote the whole store every `threshold` batches and measurably
-  * LOST the 100-batch 2k-KB-doc production run (186.1 vs 236.8 docs/s
-  * with compaction off, SCALE_r16 §3) while the tiny-doc shape keeps
-  * its bounded-file-count win over off from ~150 batches
-  * (SCALE_r15 §4).
+  * re-wrote the whole store every `threshold` batches. Measured at
+  * both shapes (SCALE_r17 §2–3): the default WINS the 100-batch
+  * 2k-KB-doc production run the old trigger lost (256.6 vs 235.9
+  * docs/s; r16: 186.1 vs 236.8), wins the 150-batch tiny-doc run
+  * whole-run (91.5 vs 69.6), and holds a 2.27× settle-regime ratio at
+  * 400 batches — no per-shape tuning required.
   *
   * Exactly-once across replays WITHOUT driver state, by WRITE ORDER:
   * survivors are committed (whole-directory overwrite + `_SUCCESS`)
