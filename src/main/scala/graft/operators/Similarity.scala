@@ -1217,12 +1217,28 @@ object Similarity {
       .join(k2, "cluster")
       .filter(col("rn") <= col("k2"))
       .select(col("cluster"), col("vec_id").as("cid"), col("q").as("cq"))
-    val wv = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    val a0 = withCell.join(seeds, "cluster")
-      .select(col("vec_id"), col("cluster"), col("cid"),
-        sqDist(col("q"), col("cq")).as("dist"))
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-      .select("vec_id", "cluster", "cid")
+    // Per-vector argmin as a STREAMING AGGREGATE, not a window sort
+    // (round 17): `row_number() OVER (PARTITION BY vec_id ORDER BY dist,
+    // cid)` materializes and SORTS all n·k₂ ≈ n^(4/3)/√2 candidate rows —
+    // the measured single-box disk wall (stage-43 ENOSPC at both 20M and
+    // 30M vectors: ~32 B/row puts 20M at ~154 GB of sort spill, over this
+    // box's ~90 GB). `min(struct(dist, cid, …))` is the same argmin —
+    // struct ordering is lexicographic, so min = (min dist, then min cid),
+    // exactly the window's ORDER BY, and cid determines the remaining
+    // fields (a seed belongs to one cell) — but it partial-aggregates:
+    // map-side combine collapses each partition to ≤n rows before the
+    // vec_id shuffle, so transient disk is O(n), not O(n^(4/3)).
+    def argminBy(cands: DataFrame, payload: Seq[String]): DataFrame =
+      cands
+        .select(col("vec_id"), struct(
+          (col("dist") +: col("cid") +: payload.map(col)): _*).as("cand"))
+        .groupBy("vec_id").agg(min(col("cand")).as("best"))
+    val a0 = argminBy(
+      withCell.join(seeds, "cluster")
+        .select(col("vec_id"), col("cluster"), col("cid"),
+          sqDist(col("q"), col("cq")).as("dist")), Seq("cluster"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.cid").as("cid"))
     // floor-average update per (cell, seed, dim), reassembled to arrays
     val c1 = withCell.join(a0.select("vec_id", "cid"), "vec_id")
       .select(col("cluster"), col("cid"), posexplode(col("q")))
@@ -1233,11 +1249,12 @@ object Similarity {
       .groupBy("cluster", "cid")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
         s => s.getField("cd")).as("cq"))
-    val a1 = withCell.join(c1, "cluster")
-      .select(col("vec_id"), col("cluster"), col("cid"),
-        sqDist(col("q"), col("cq")).as("dist"))
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"), col("cid").as("sub"))
+    val a1 = argminBy(
+      withCell.join(c1, "cluster")
+        .select(col("vec_id"), col("cluster"), col("cid"),
+          sqDist(col("q"), col("cq")).as("dist")), Seq("cluster"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.cid").as("sub"))
     // capped dedup within (cell, subcluster) blocks — the semanticDedup
     // tail keyed by the composite block id. `maxCluster <= 0` disables
     // the guard (exact within-block pairs), the SAME uncapped convention
