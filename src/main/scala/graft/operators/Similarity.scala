@@ -1217,28 +1217,41 @@ object Similarity {
       .join(k2, "cluster")
       .filter(col("rn") <= col("k2"))
       .select(col("cluster"), col("vec_id").as("cid"), col("q").as("cq"))
-    // Per-vector argmin as a STREAMING AGGREGATE, not a window sort
+    // Per-vector argmin as a PRIMITIVE streaming aggregate, not a sort
     // (round 17): `row_number() OVER (PARTITION BY vec_id ORDER BY dist,
     // cid)` materializes and SORTS all n·k₂ ≈ n^(4/3)/√2 candidate rows —
     // the measured single-box disk wall (stage-43 ENOSPC at both 20M and
     // 30M vectors: ~32 B/row puts 20M at ~154 GB of sort spill, over this
-    // box's ~90 GB). `min(struct(dist, cid, …))` is the same argmin —
-    // struct ordering is lexicographic, so min = (min dist, then min cid),
-    // exactly the window's ORDER BY, and cid determines the remaining
-    // fields (a seed belongs to one cell) — but it partial-aggregates:
-    // map-side combine collapses each partition to ≤n rows before the
-    // vec_id shuffle, so transient disk is O(n), not O(n^(4/3)).
-    def argminBy(cands: DataFrame, payload: Seq[String]): DataFrame =
+    // box's ~90 GB) — and `min(struct(dist, cid))`, though semantically
+    // the same argmin, lands in ObjectHashAggregate, whose sort-based
+    // fallback (spark.sql.objectHashAggregate.sortBased.fallbackThreshold,
+    // default 128 map entries) re-creates the SAME sort (measured: the
+    // second 20M ENOSPC, same stage). Packing the pair into ONE
+    // fixed-width decimal — dist·2^34 + cid — makes the numeric order
+    // exactly the lexicographic (dist, cid) order (dist is an exact
+    // non-negative long, the sqDist bound the operator already assumes;
+    // cid is a vec_id, and the packing requires vec_id < 2^34 ≈ 1.7·10^10
+    // — beyond any corpus this engine targets per partition table), and
+    // min over a fixed-width decimal partial-aggregates in the primitive
+    // HashAggregate: map-side combine collapses each partition to ≤n rows
+    // before the vec_id shuffle, so transient disk is O(n), not
+    // O(n^(4/3)). The cell id is recovered from the winning seed via the
+    // broadcast (cid → cluster) side table (a seed belongs to one cell).
+    val CidShift = 1L << 34
+    def argminBy(cands: DataFrame, cidToCell: DataFrame): DataFrame =
       cands
-        .select(col("vec_id"), struct(
-          (col("dist") +: col("cid") +: payload.map(col)): _*).as("cand"))
-        .groupBy("vec_id").agg(min(col("cand")).as("best"))
+        .select(col("vec_id"),
+          (col("dist").cast("decimal(20,0)") * lit(CidShift) +
+            col("cid").cast("decimal(11,0)")).as("packed"))
+        .groupBy("vec_id").agg(min(col("packed")).as("m"))
+        .select(col("vec_id"), (col("m") % lit(CidShift)).cast("long").as("cid"))
+        .join(broadcast(cidToCell), "cid")
     val a0 = argminBy(
       withCell.join(seeds, "cluster")
-        .select(col("vec_id"), col("cluster"), col("cid"),
-          sqDist(col("q"), col("cq")).as("dist")), Seq("cluster"))
-      .select(col("vec_id"), col("best.cluster").as("cluster"),
-        col("best.cid").as("cid"))
+        .select(col("vec_id"), col("cid"),
+          sqDist(col("q"), col("cq")).as("dist")),
+      seeds.select(col("cid"), col("cluster")))
+      .select(col("vec_id"), col("cluster"), col("cid"))
     // floor-average update per (cell, seed, dim), reassembled to arrays
     val c1 = withCell.join(a0.select("vec_id", "cid"), "vec_id")
       .select(col("cluster"), col("cid"), posexplode(col("q")))
@@ -1251,10 +1264,10 @@ object Similarity {
         s => s.getField("cd")).as("cq"))
     val a1 = argminBy(
       withCell.join(c1, "cluster")
-        .select(col("vec_id"), col("cluster"), col("cid"),
-          sqDist(col("q"), col("cq")).as("dist")), Seq("cluster"))
-      .select(col("vec_id"), col("best.cluster").as("cluster"),
-        col("best.cid").as("sub"))
+        .select(col("vec_id"), col("cid"),
+          sqDist(col("q"), col("cq")).as("dist")),
+      c1.select(col("cid"), col("cluster")))
+      .select(col("vec_id"), col("cluster"), col("cid").as("sub"))
     // capped dedup within (cell, subcluster) blocks — the semanticDedup
     // tail keyed by the composite block id. `maxCluster <= 0` disables
     // the guard (exact within-block pairs), the SAME uncapped convention
