@@ -1253,6 +1253,11 @@ object Similarity {
       seeds.select(col("cid"), col("cluster")))
       .select(col("vec_id"), col("cluster"), col("cid"))
     // floor-average update per (cell, seed, dim), reassembled to arrays
+    // persisted: a1 references c1 TWICE (candidate join + the broadcast
+    // cid→cluster side table), and without the cache each reference
+    // re-evaluates the whole chain — including a0's n·k₂ distance
+    // evaluations, the operator's dominant term. Σk₂ rows ≈ √2·n^(2/3),
+    // tiny at any scale.
     val c1 = withCell.join(a0.select("vec_id", "cid"), "vec_id")
       .select(col("cluster"), col("cid"), posexplode(col("q")))
       .toDF("cluster", "cid", "dim", "qv")
@@ -1262,6 +1267,7 @@ object Similarity {
       .groupBy("cluster", "cid")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
         s => s.getField("cd")).as("cq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a1 = argminBy(
       withCell.join(c1, "cluster")
         .select(col("vec_id"), col("cid"),
@@ -1320,7 +1326,7 @@ object Similarity {
       .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
     val out = Caching.materializeAndRelease(res,
-      (Seq(coarse, withCell, unit) ++ tailOwned): _*)
+      (Seq(coarse, withCell, unit, c1) ++ tailOwned): _*)
     if (ownsQuant) quant.unpersist(blocking = false)
     out
   }
