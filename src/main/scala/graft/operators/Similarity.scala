@@ -1178,13 +1178,20 @@ object Similarity {
     * auto2's quadratic assignment term is a computed ~8-hour wall.
     * Its per-cell blocks (≈ √2·n^(1/3), ~305 vectors at 10M) stay
     * under the cap through n ≈ (cap/√2)³ ≈ 4·10⁸, so it never
-    * star-links in any measured regime; the trade is finer-block
-    * semantics — 75–84% of auto2's flag set on the scale fixture.
+    * star-links in any measured regime — RECALL-CERTIFIED round 17
+    * (RecallProbe `semdedup_hier`, SCALE_r17 §1): detection recall
+    * exactly 1.0 at 600k AND 2M (capped ≡ uncapped flag sets), and
+    * planted-class recall 1.0 at 600k. The trade is finer-block
+    * semantics — 75–84% of auto2's flag set; 82.6% absolute coverage
+    * of the planted cos≥0.95 class vs auto2's 93.4% (SCALE_r17 §1).
     * Measured scale exponent 600k→10M: ~n^1.33–1.40, the designed
     * n^(4/3). Deployment ladder: [[autoKmeansKCapAware]] below ~400k,
-    * THIS form from ~600k through at least 10⁷ (beyond ~10⁸,
-    * extrapolation says ~16 h single-box — bring a cluster, which the
-    * distributed per-cell design is for).
+    * THIS form from ~600k up (beyond ~10⁸, bring a cluster, which the
+    * distributed per-cell design is for). Single-box DISK bounds
+    * (SCALE_r17 §5): the round-17 packed-decimal argmin keeps
+    * assignment at O(n) transient disk (the old window sort's
+    * n^(4/3) spill ENOSPC'd this box at 20M); the within-block pair
+    * scoring's spill is the next single-box bound past ~10⁷.
     *
     * Every step is integer-exact on the [[quantized]] lattice and the
     * whole chain — coarse CTEs, per-cell seeds, floor-average update,
