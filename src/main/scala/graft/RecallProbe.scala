@@ -77,11 +77,26 @@ object RecallProbe {
     // detection recall is box-feasible; planted fields then emit -1.
     val plantedSkip =
       sys.env.getOrElse("SPARK_GRAFT_RECALL_PLANTED_SKIP", "0") == "1"
+    // The generator now emits the pairs it plants as a side table
+    // (planted_pairs.parquet, VERDICT_r17 #6): when present, the planted
+    // class is the distinct ids of those pairs — a scan of a ~0.05n-row
+    // table instead of the LSH sketch whose candidate join shuffles
+    // 45+ GB at 2M vectors (the reason the 2M planted leg emitted -1 in
+    // SCALE_r17 §1). SPARK_GRAFT_RECALL_PLANTED_TABLE=0 forces the
+    // sketch-derived class (for cross-validating the two definitions at
+    // a scale where both run).
+    val pairsTable = new java.io.File(s"$sfDir/planted_pairs.parquet")
+    val useTable = pairsTable.exists() &&
+      sys.env.getOrElse("SPARK_GRAFT_RECALL_PLANTED_TABLE", "1") != "0"
     val planted = {
       val p =
         if (plantedSkip)
           emb.select(col("vec_id")).limit(0)
-        else {
+        else if (useTable) {
+          val pp = spark.read.parquet(pairsTable.getPath)
+          pp.select(col("base_id").as("vec_id"))
+            .unionByName(pp.select(col("dup_id").as("vec_id"))).distinct()
+        } else {
           val q = operators.Similarity
             .nearDupPairsLsh(emb, threshold = 0.95, tables = 16,
               bits = plantedBits, maxBucket = plantedCap)
@@ -91,6 +106,42 @@ object RecallProbe {
       p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val nPlanted = if (plantedSkip) -1L else planted.count()
+    if (useTable && !plantedSkip)
+      System.err.println(
+        s"[recall] planted class from side table ($nPlanted members)")
+
+    // `hier_div` (VERDICT_r17 #5): price the k2Divisor wider-blocks knob —
+    // for each divisor, capped hier's wall, flag count, and ABSOLUTE
+    // planted coverage (flagged∩planted / planted). Divisor 1 is the
+    // default fine blocking (82.6% of the planted class at 600k,
+    // SCALE_r17 §1); larger divisors merge fine blocks toward the cell,
+    // buying coverage with within-block pair volume.
+    if (which == "hier_div") {
+      val divisors = sys.env.getOrElse("SPARK_GRAFT_HIER_DIVISORS", "1,2,4")
+        .split(",").map(_.trim.toInt)
+      divisors.foreach { div =>
+        val t0 = System.nanoTime()
+        val flagged = operators.Similarity
+          .semanticDedupHier(emb, threshold = 0.4, k2Divisor = div)
+          .filter(col("is_dup") === 1L).select("vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dups = flagged.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val plC = if (plantedSkip) -1L
+                  else flagged.join(planted, Seq("vec_id"), "left_semi").count()
+        val cov = if (plantedSkip || nPlanted <= 0) -1.0
+                  else plC.toDouble / nPlanted
+        println(s"""{"probe":"hier_div","sf":"$sfDir","n":$n,""" +
+          s""""k2_divisor":$div,"dups":$dups,"sec":${f"$sec%.1f"},""" +
+          s""""planted_class":$nPlanted,"planted_covered":$plC,""" +
+          s""""planted_coverage":${f"$cov%.4f"}}""")
+        flagged.unpersist(blocking = true)
+        spark.catalog.clearCache()
+      }
+      planted.unpersist(blocking = true)
+      spark.stop()
+      return
+    }
 
     if (which == "neardup" || which == "both") {
       // the declared emb_neardup config (pinned tables=16, bits=8) with the

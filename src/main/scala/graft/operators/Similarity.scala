@@ -1102,6 +1102,22 @@ object Similarity {
     */
   val DefaultMaxCluster = 1024
 
+  /** Per-pass transient pair-row budget for [[semanticDedupHier]]'s
+    * within-block scoring (VERDICT_r17 #1). Calibrated from the two
+    * measured single-box endpoints: the 10M run COMPLETED its ~1.5B
+    * block pairs in one pass near this box's disk ceiling (SCALE_r16 §2)
+    * and the 20M run's ~3.8B pairs ENOSPC'd it from 37 GB free
+    * (SCALE_r17 §5) — so 1e9 rows/pass (~2/3 of the survived spill,
+    * ~10–25 GB at dim 32–64 with lz4 shuffle compression) keeps each
+    * pass inside the measured-safe envelope with headroom for the
+    * persisted projections that share the disk. Every declared query's
+    * block-pair volume is far below this (single-pass, original plan);
+    * a cluster deployment can raise it — per-executor spill is what the
+    * budget really bounds, and the estimate/budget quotient just picks
+    * the pass count.
+    */
+  val DefaultPairRowBudget = 1000000000L
+
   def semanticDedup(
       vectors: DataFrame, k: Int, iters: Int, threshold: Double,
       maxCluster: Int = DefaultMaxCluster): DataFrame = {
@@ -1191,7 +1207,15 @@ object Similarity {
     * (SCALE_r17 §5): the round-17 packed-decimal argmin keeps
     * assignment at O(n) transient disk (the old window sort's
     * n^(4/3) spill ENOSPC'd this box at 20M); the within-block pair
-    * scoring's spill is the next single-box bound past ~10⁷.
+    * scoring — the next measured bound, ENOSPC at ~3.8B pairs / 20M —
+    * now runs in bounded block-range passes once the exact pair count
+    * (from the block-size table) exceeds `pairRowBudget`
+    * ([[DefaultPairRowBudget]]): blocks are hash-partitioned into
+    * ⌈pairs/budget⌉ independent passes, each pass's survivors land in
+    * parquet (cutting its shuffle-file lineage before the next pass),
+    * and the per-pass union is provably the single-pass answer because
+    * no pair crosses blocks. Declared-query regimes stay single-pass
+    * on the original plan.
     *
     * Every step is integer-exact on the [[quantized]] lattice and the
     * whole chain — coarse CTEs, per-cell seeds, floor-average update,
@@ -1201,8 +1225,14 @@ object Similarity {
     * sizing rules themselves are under the oracle hash.
     */
   def semanticDedupHier(vectors: DataFrame, threshold: Double,
-      maxCluster: Int = DefaultMaxCluster): DataFrame = {
-    val n = vectors.count()
+      maxCluster: Int = DefaultMaxCluster,
+      knownCount: Long = -1L,
+      pairRowBudget: Long = DefaultPairRowBudget,
+      k2Divisor: Int = 1): DataFrame = {
+    // `knownCount` lets a caller that already counted (the
+    // [[semanticDedupAuto]] dispatcher) skip a second full corpus scan —
+    // at 100 TB a count() is a full read (VERDICT_r17 #3).
+    val n = if (knownCount >= 0L) knownCount else vectors.count()
     val k1 = autoCoarseK(n)
     val coarse = kmeansAssign(vectors, k1, 1) // checkpointed (vec_id, cluster)
     val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
@@ -1211,19 +1241,42 @@ object Similarity {
     def sqDist(a: Column, b: Column): Column = aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
     // per-cell k₂ from the cell's own size (integer-exact: DIV then an
-    // exact sqrt+ceil below 2^52 — the autoKmeansK argument)
+    // exact sqrt+ceil below 2^52 — the autoKmeansK argument).
+    // `k2Divisor > 1` is the wider-blocks coverage knob (VERDICT_r17 #5):
+    // ceil-divide each cell's k₂ so blocks grow ~k2Divisor× (block ≈
+    // √2·n^(1/3)·k2Divisor), trading wall for absolute planted-class
+    // coverage (hier's finer blocks cover 82.6% of the planted cos≥0.95
+    // class vs single-level auto2's 93.4%, SCALE_r17 §1). Keep
+    // √2·n^(1/3)·k2Divisor under `maxCluster` or the hot-block guard
+    // star-links the oversized blocks and recall DROPS instead. The
+    // divisor stays integer-exact (ceil via (x+d-1) DIV d) so the
+    // divided chain remains oracle-reproducible.
+    val k2BaseEx = "CAST(ceil(sqrt(CAST((m + 1) DIV 2 AS DOUBLE))) AS BIGINT)"
+    val k2Ex =
+      if (k2Divisor <= 1) k2BaseEx
+      else s"GREATEST(CAST(1 AS BIGINT), ($k2BaseEx + ${k2Divisor - 1}) DIV $k2Divisor)"
     val k2 = withCell.groupBy("cluster")
       .agg(count(lit(1)).as("m"))
-      .select(col("cluster"),
-        expr("CAST(ceil(sqrt(CAST((m + 1) DIV 2 AS DOUBLE))) AS BIGINT)").as("k2"))
+      .select(col("cluster"), expr(k2Ex).as("k2"))
     // seeds: the k₂ lowest vec_ids in each cell (reproducible "sampling",
-    // the kmeansAssign init convention applied per cell)
+    // the kmeansAssign init convention applied per cell). The packed
+    // argmin below requires every seed id in [0, 2^34); out-of-range ids
+    // would otherwise pack into the dist bits (silently wrong argmin) or
+    // overflow decimal(11,0) to null (silently dropped by min) — so the
+    // guard fails LOUDLY here, on the Σk₂-row seed table, the one place
+    // every packed cid flows through (ADVICE_r17).
     val seeds = withCell
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
       .join(k2, "cluster")
       .filter(col("rn") <= col("k2"))
-      .select(col("cluster"), col("vec_id").as("cid"), col("q").as("cq"))
+      .select(col("cluster"),
+        when(col("vec_id") < 0 || col("vec_id") >= lit(1L << 34),
+          raise_error(concat(
+            lit("semanticDedupHier: vec_id out of the packed-argmin range [0, 2^34): "),
+            col("vec_id").cast("string"))))
+          .otherwise(col("vec_id")).as("cid"),
+        col("q").as("cq"))
     // Per-vector argmin as a PRIMITIVE streaming aggregate, not a sort
     // (round 17): `row_number() OVER (PARTITION BY vec_id ORDER BY dist,
     // cid)` materializes and SORTS all n·k₂ ≈ n^(4/3)/√2 candidate rows —
@@ -1291,50 +1344,115 @@ object Similarity {
     val unit = unitVectors(vectors)
     val both = a1.join(unit, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val (pairs, tailOwned) =
+    // id_b side of every scored pair whose cosine clears the threshold,
+    // pre-distinct. In the capped branch the scoring can run in BOUNDED
+    // BLOCK-RANGE PASSES (VERDICT_r17 #1): the round-17 20M run cleared
+    // every assignment stage (the packed-argmin fix) and then ENOSPC'd in
+    // THIS phase — ~3.8B within-block pair rows spilling at once. Blocks
+    // are independent, so partitioning them by hash into ⌈est/budget⌉
+    // passes — each pass materialized to parquet (a lineage cut: the
+    // pass's shuffle files become collectable before the next pass
+    // starts) — bounds transient disk at ~budget pair rows while the
+    // union of per-pass survivors is EXACTLY the single-pass set. The
+    // pair-volume estimate is one agg over the tiny persisted block-size
+    // table the hot-block telemetry already materialized. passes == 1
+    // (every declared query's regime) keeps the original single plan.
+    var passTmpDir: Option[java.nio.file.Path] = None
+    val (dropped, tailOwned) =
       if (maxCluster <= 0) {
         val a = both.select(col("cluster"), col("sub"),
           col("vec_id").as("id_a"), col("uv").as("va"))
         val b = both.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
           col("vec_id").as("id_b"), col("uv").as("vb"))
-        (a.join(b,
+        val pairs = a.join(b,
           col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
             col("id_a") < col("id_b"))
-          .select("id_a", "va", "id_b", "vb"), Seq(both))
+          .select("id_a", "va", "id_b", "vb")
+        (cosinePairs(pairs, "id_a", "va", "id_b", "vb")
+          .filter(col("cos") >= threshold)
+          .select(col("id_b").as("vec_id")).distinct(), Seq(both))
       } else {
         val sizes = both.groupBy("cluster", "sub")
           .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("rep"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         logHotGroups(sizes, "cluster_n", maxCluster, "semanticDedupHier", "block")
-        val small = both.join(
-          sizes.filter(col("cluster_n") <= maxCluster).select("cluster", "sub"),
-          Seq("cluster", "sub"), "left_semi")
-        val a = small.select(col("cluster"), col("sub"),
-          col("vec_id").as("id_a"), col("uv").as("va"))
-        val b = small.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
-          col("vec_id").as("id_b"), col("uv").as("vb"))
-        val smallPairs = a.join(b,
-          col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
-            col("id_a") < col("id_b"))
-          .select("id_a", "va", "id_b", "vb")
-        val hot = sizes.filter(col("cluster_n") > maxCluster)
-          .select(col("cluster"), col("sub"), col("rep"))
-          .join(unit.select(col("vec_id").as("rep"), col("uv").as("va")), "rep")
-        val bigPairs = both.join(hot, Seq("cluster", "sub"))
-          .filter(col("vec_id") =!= col("rep"))
-          .select(col("rep").as("id_a"), col("va"),
+        // survivors (dropped ids, pre-distinct-across-passes) for the
+        // blocks listed in `blockSizes` — with blockSizes == sizes this
+        // is byte-for-byte the original single-pass tail plan
+        def droppedFor(blockSizes: DataFrame): DataFrame = {
+          val small = both.join(
+            blockSizes.filter(col("cluster_n") <= maxCluster).select("cluster", "sub"),
+            Seq("cluster", "sub"), "left_semi")
+          val a = small.select(col("cluster"), col("sub"),
+            col("vec_id").as("id_a"), col("uv").as("va"))
+          val b = small.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
             col("vec_id").as("id_b"), col("uv").as("vb"))
-        (smallPairs.unionByName(bigPairs), Seq(both, sizes))
+          val smallPairs = a.join(b,
+            col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
+              col("id_a") < col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+          val hot = blockSizes.filter(col("cluster_n") > maxCluster)
+            .select(col("cluster"), col("sub"), col("rep"))
+            .join(unit.select(col("vec_id").as("rep"), col("uv").as("va")), "rep")
+          val bigPairs = both.join(hot, Seq("cluster", "sub"))
+            .filter(col("vec_id") =!= col("rep"))
+            .select(col("rep").as("id_a"), col("va"),
+              col("vec_id").as("id_b"), col("uv").as("vb"))
+          cosinePairs(smallPairs.unionByName(bigPairs), "id_a", "va", "id_b", "vb")
+            .filter(col("cos") >= threshold)
+            .select(col("id_b").as("vec_id")).distinct()
+        }
+        // exact pair-row count from block sizes: m(m-1)/2 per small
+        // block, (m-1) rep-link rows per hot block
+        val estPairs = sizes.agg(coalesce(sum(expr(
+          s"CASE WHEN cluster_n <= $maxCluster THEN " +
+            "(cluster_n * (cluster_n - 1)) DIV 2 " +
+            "ELSE cluster_n - 1 END")), lit(0L))).first().getLong(0)
+        val passes = math.max(1L,
+          (estPairs + pairRowBudget - 1L) / pairRowBudget).toInt
+        if (passes <= 1) (droppedFor(sizes), Seq(both, sizes))
+        else {
+          System.err.println(
+            s"[similarity] semanticDedupHier: $estPairs block-pair rows > " +
+              s"budget=$pairRowBudget -> scoring in $passes bounded passes")
+          val tmp = java.nio.file.Files.createTempDirectory("graft_hier_pairs_")
+          passTmpDir = Some(tmp)
+          for (i <- 0 until passes) {
+            val blocksI = sizes.filter(
+              pmod(xxhash64(col("cluster"), col("sub")), lit(passes.toLong)) === i)
+            droppedFor(blocksI).write.mode("overwrite")
+              .parquet(s"$tmp/pass_$i")
+            // nudge the ContextCleaner: the pass's shuffle files are
+            // unreferenced once its parquet lands, and reclaiming them
+            // NOW is the point of running in passes
+            System.gc()
+            System.err.println(
+              s"[similarity] semanticDedupHier: pass ${i + 1}/$passes scored")
+          }
+          (vectors.sparkSession.read.parquet(s"$tmp/pass_*").distinct(),
+            Seq(both, sizes))
+        }
       }
-    val dropped = cosinePairs(pairs, "id_a", "va", "id_b", "vb")
-      .filter(col("cos") >= threshold)
-      .select(col("id_b").as("vec_id")).distinct()
     val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
       .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
     val out = Caching.materializeAndRelease(res,
       (Seq(coarse, withCell, unit, c1) ++ tailOwned): _*)
     if (ownsQuant) quant.unpersist(blocking = false)
+    // the per-pass parquet is consumed once `res` is materialized; in
+    // lazy mode (EagerReleaseKey=false) the result still references the
+    // files, so the temp dir is left for the session to read
+    if (vectors.sparkSession.conf.get(Caching.EagerReleaseKey, "true") != "false")
+      passTmpDir.foreach { d =>
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            try s.forEach(rm(_)) finally s.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(d)
+      }
     out
   }
 
@@ -1393,7 +1511,7 @@ object Similarity {
       System.err.println(
         s"[similarity] semanticDedupAuto: n=$n >= crossover=$crossover -> " +
           "hierarchical (coarse ceil(cbrt(n)) cells, per-cell auto-k)")
-      semanticDedupHier(vectors, threshold, maxCluster)
+      semanticDedupHier(vectors, threshold, maxCluster, knownCount = n)
     }
   }
 

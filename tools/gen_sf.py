@@ -50,16 +50,33 @@ def gen_documents(n, rnd):
     return docs
 
 
-def gen_embeddings(n, rnd):
+def gen_embeddings(n, rnd, pairs_out=None):
+    """pairs_out (list or None): the generator KNOWS which near-dup pairs
+    it plants (VERDICT_r17 #6) — append (base_id, dup_id) for each
+    perturbation so the planted class costs the probe a semi-join on a
+    side table instead of a box-infeasible LSH sketch at >=2M vectors.
+    Recording pairs consumes no RNG draws, so the vector stream is
+    byte-identical with or without it."""
     vecs = []
     for i in range(n):
         if i > 50 and rnd.random() < 0.05:  # near-dup vector
-            base = vecs[rnd.randrange(max(1, i - 1000), i)]
+            bi = rnd.randrange(max(1, i - 1000), i)
+            base = vecs[bi]
             v = [x + rnd.uniform(-0.01, 0.01) for x in base[1]]
+            if pairs_out is not None:
+                pairs_out.append((base[0], i))
         else:
             v = [rnd.gauss(0.0, 1.0) for _ in range(64)]
         vecs.append((i, v, rnd.randrange(10)))
     return vecs
+
+
+def write_planted_pairs(pairs, out):
+    pq.write_table(pa.table({
+        "base_id": pa.array([p[0] for p in pairs], pa.int64()),
+        "dup_id": pa.array([p[1] for p in pairs], pa.int64()),
+    }), f"{out}/planted_pairs.parquet")
+    print(f"wrote {len(pairs)} planted pairs to {out}")
 
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
@@ -211,12 +228,14 @@ def main():
     if len(sys.argv) > 3 and sys.argv[3] == "--embeddings-only":
         import os
         os.makedirs(out, exist_ok=True)
-        vecs = gen_embeddings(n_vecs, rnd)
+        pairs = []
+        vecs = gen_embeddings(n_vecs, rnd, pairs_out=pairs)
         pq.write_table(pa.table({
             "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
             "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
             "label": pa.array([v[2] for v in vecs], pa.int32()),
         }), f"{out}/embeddings.parquet")
+        write_planted_pairs(pairs, out)
         print(f"wrote {n_vecs} embeddings to {out}")
         return
 
@@ -230,13 +249,15 @@ def main():
     })
     pq.write_table(t, f"{out}/documents.parquet")
 
-    vecs = gen_embeddings(n_vecs, rnd)
+    pairs = []
+    vecs = gen_embeddings(n_vecs, rnd, pairs_out=pairs)
     t2 = pa.table({
         "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
         "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
         "label": pa.array([v[2] for v in vecs], pa.int32()),
     })
     pq.write_table(t2, f"{out}/embeddings.parquet")
+    write_planted_pairs(pairs, out)
     print(f"wrote {n_docs} documents, {n_vecs} embeddings to {out}")
 
 
