@@ -279,11 +279,22 @@ object Dedup {
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b", "sim_a", "sim_b")
       } else {
+        // Bucket-stats joins carry explicit broadcast hints (round-18
+        // pin): the stats table is bounded by segments·2^segBits rows at
+        // ANY corpus size, so broadcasting is always right — and leaving
+        // it stats-driven is what let BENCH_r17's simhash_pairs signature
+        // jump 19.6× with zero code changes (the cached-fingerprint size
+        // estimate crossed the broadcast threshold on a hammered box and
+        // every join on the chain flipped to shuffle: 40,159 → 787,745
+        // records, reproduced at 788,109 by forcing the threshold down).
+        // The corpus-sized a/b branches stay size-driven on purpose —
+        // broadcasting a corpus side would be the real scale bug.
         val sizes = allSeg.groupBy("seg_i", "seg_v")
           .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"),
             min_by(col("simhash"), col("doc_id")).as("rep_sim"))
         val small = allSeg.join(
-          sizes.filter(col("bucket_n") <= maxBucket).select("seg_i", "seg_v"),
+          broadcast(sizes.filter(col("bucket_n") <= maxBucket)
+            .select("seg_i", "seg_v")),
           Seq("seg_i", "seg_v"), "left_semi")
         val a = small.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
           col("seg_i"), col("seg_v"))
@@ -296,8 +307,8 @@ object Dedup {
         // fingerprint rides along via min_by (doc_id is unique ⇒
         // deterministic)
         val bigPairs = allSeg.join(
-          sizes.filter(col("bucket_n") > maxBucket)
-            .select(col("seg_i"), col("seg_v"), col("rep"), col("rep_sim")),
+          broadcast(sizes.filter(col("bucket_n") > maxBucket)
+            .select(col("seg_i"), col("seg_v"), col("rep"), col("rep_sim"))),
           Seq("seg_i", "seg_v"))
           .filter(col("doc_id") =!= col("rep"))
           .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
