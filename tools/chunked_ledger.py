@@ -1,45 +1,51 @@
 #!/usr/bin/env python3
-"""Chunked DuckDB re-derivation for the minhash-family sf10 ledger rows
-(VERDICT_r17 #4): `minhash_lsh_pairs`, `minhash_est`, `doc_dup_clusters`,
-`doc_dup_triangles`. Their single-query oracles die at sf10 on the
-128-hash shingle explode compounded with the band self-join / wedge
-fan-out / recursive-CTE closure all living in one query (CORRECTNESS_SF1
-round-15 ledger). This tool runs the SAME integer-exact pipeline with
-every stage materialized and every fan-out bounded, the
-tools/chunked_oracle.py pattern:
+"""Chunked DuckDB re-derivation for ALL NINE remaining sf10 ledger rows
+(VERDICT_r17 #4). Their single-query oracles die at sf10 on explodes,
+fan-outs, recursive closures, or the pandas-side compare all living in
+one shot (CORRECTNESS_SF1 round-15 ledger). This tool runs the SAME
+integer-exact pipelines with every stage materialized and every fan-out
+bounded, the tools/chunked_oracle.py pattern; gnarly CTE bodies (the
+md5 weight tower, the signatures) are lifted VERBATIM out of the verify
+dump's oracle_sql.json so the replay cannot drift from the hash-gate
+arithmetic.
 
-  - `sig` is executed VERBATIM from the declared minhash_sig oracle SQL
-    (read out of the verify dump's oracle_sql.json, so the signature
-    arithmetic cannot drift from what the hash gate checks) — the one
-    stage known solo-feasible at sf10 (~12 min, round-15 PASS);
-  - band tables + the hot-bucket guard mirror MlQueries.bandsSql
-    CTE-for-CTE; the band self-join runs one band per pass;
-  - `minhash_est`'s 16-component pair×signature join is chunked over
-    hash(doc_a) ranges;
-  - `doc_dup_clusters` replaces the recursive-CTE transitive closure
-    (quadratic rows per component — the measured 40-min CPU timeout)
-    with an ITERATIVE min-label propagation to fixpoint, which computes
-    the identical per-vertex component minimum (the closure's
-    MIN(dst) per src) in O(E) rows per round, driver-looped;
-  - `doc_dup_triangles` enumerates wedges in bounded passes over
-    hash(middle vertex) ranges, each pass closed against the edge set
-    before the next starts (the 364M-wedge class never materializes at
-    once).
+Per query:
+  - minhash_lsh_pairs / minhash_est / doc_dup_clusters /
+    doc_dup_triangles: `sig` runs verbatim from the declared minhash_sig
+    oracle (the solo-feasible sf10 stage); the band self-join goes one
+    band per pass; est's 16-component pair join chunks over hash(doc_a)
+    ranges; the recursive-CTE transitive closure is replaced by an
+    equivalent iterative min-label propagation to fixpoint (the same
+    per-vertex component minimum, O(E) rows per round, driver-looped);
+    triangle wedges enumerate in bounded middle-vertex hash passes.
+  - emb_neardup / emb_neardup_auto: every CTE materializes in
+    declaration order; the vec x table x plane x dim dot explode
+    accumulates per vec_id chunk; the candidate join runs one LSH table
+    per pass; exact-cosine verify runs once over the bounded candidates.
+  - simhash_pairs: fingerprints + segment tables verbatim; the segment
+    self-join + hamming verify runs one segment per pass with the
+    filter inside the pass; global DISTINCT at the end.
+  - graph_pagerank_general: every CTE (edge derivation, lcm fold, five
+    rank iterations) becomes its own table — each iteration is one
+    bounded hash join instead of five living in one >67 GB plan.
+  - doc_winnow: the declared oracle runs unchanged; the conversion is
+    the COMPARE (in-engine symmetric EXCEPT instead of the >20 GB/side
+    pandas materialization).
 
 Result compare = identical row SETS against the Spark output parquet
-(count equality + symmetric EXCEPT on BIGINT-cast columns), as in
-tools/chunked_oracle.py.
+(count equality + symmetric EXCEPT on cast columns), as in
+tools/chunked_oracle.py. Validated PASS for all nine queries at sf0.01
+AND sf0.1 before any sf10 run.
 
 Usage:
   python3 tools/chunked_ledger.py <sfDir> <verifyOutDir> <query> [workDir]
-    query in {minhash_lsh_pairs, minhash_est, doc_dup_clusters,
-              doc_dup_triangles}
-  <verifyOutDir>/oracle_sql.json must contain the minhash_sig entry
-  (run `graft.Verify <sfDir> <outDir> minhash_sig <query>` first).
+  <verifyOutDir>/oracle_sql.json must contain the needed entries (run
+  `graft.Verify <sfDir> <outDir> minhash_sig <query>` first).
 
 Env: CHUNK_THREADS, CHUNK_MEMORY_LIMIT (e.g. 40GB), CHUNK_PAIR_CHUNKS
-(hash ranges for the est join, default 8), CHUNK_WEDGE_CHUNKS (hash
-ranges for the triangle middle vertex, default 16).
+(est join hash ranges, default 8), CHUNK_WEDGE_CHUNKS (triangle middle
+vertex ranges, default 16), CHUNK_VEC_CHUNKS (neardup dot-explode
+ranges, default 8).
 """
 import json
 import os
@@ -214,17 +220,230 @@ def triangles(con):
       SELECT s AS doc_id, COUNT(*) AS n_triangles FROM pv GROUP BY 1""")
 
 
+def split_ctes(sql):
+    """Top-level CTE splitter: 'WITH [RECURSIVE] n1 AS [MATERIALIZED]
+    (b1), n2 AS (b2) ... <final select>' -> ({name: body}, final).
+    Tracks single-quoted strings and paren depth; no other SQL parsing.
+    Used to lift gnarly CTE bodies (the md5 weight tower) VERBATIM out
+    of the declared oracle SQL so the chunked replay cannot drift from
+    the hash-gate arithmetic."""
+    s = sql.strip()
+    low = s.lower()
+    assert low.startswith("with"), "expected WITH query"
+    i = 4
+    if low[i:].lstrip().startswith("recursive"):
+        i = low.index("recursive", i) + len("recursive")
+    ctes = {}
+    while True:
+        # parse: name AS [MATERIALIZED] ( body )
+        while s[i].isspace():
+            i += 1
+        j = i
+        while s[j].isalnum() or s[j] == '_':
+            j += 1
+        name = s[i:j]
+        k = low.index("(", j)
+        depth, m, in_str = 0, k, False
+        while True:
+            c = s[m]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            m += 1
+        ctes[name] = s[k + 1:m]
+        # after ')': either ',' (next CTE) or the final SELECT
+        m += 1
+        while s[m].isspace():
+            m += 1
+        if s[m] == ",":
+            i = m + 1
+            continue
+        return ctes, s[m:]
+
+
+def neardup(con, sf_dir, out_dir, name):
+    """emb_neardup / emb_neardup_auto: the declared single-query oracle
+    dies at sf10 on the vec×table×plane×dim dot explode (>68 GB spill
+    with the whole box, round-15 ledger). Same arithmetic, bounded:
+    quant and the md5 weight table `w` run VERBATIM from the declared
+    SQL; `dots` accumulates per vec_id chunk (each chunk's explode is
+    1/C of the fan-out); the candidate join runs one LSH table per
+    pass; the exact-cosine verify runs once over the bounded candidate
+    set."""
+    with open(os.environ.get("ORACLE_SQL_JSON",
+                             f"{out_dir}/oracle_sql.json")) as f:
+        sql = json.load(f)[name]
+    con.execute(f"CREATE OR REPLACE VIEW embeddings AS "
+                f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    ctes, final = split_ctes(sql)
+    for expected in ("quant", "w", "qd", "dots", "tb", "bsizes", "cand"):
+        assert expected in ctes, f"oracle SQL shape changed: no {expected}"
+    chunks = int(os.environ.get("CHUNK_VEC_CHUNKS", "8"))
+    # materialize every CTE verbatim in DECLARATION order (the auto
+    # variant adds a `params` CTE the weight table reads its bit count
+    # from), chunking exactly two of them: `dots` accumulates per vec_id
+    # range, `cand` runs one LSH table per pass (below)
+    for cname, body in ctes.items():
+        if cname == "qd":
+            continue  # rebuilt per dots chunk
+        if cname == "dots":
+            con.execute("DROP TABLE IF EXISTS dots")
+            for c in range(chunks):
+                log(f"dots: vec chunk {c + 1}/{chunks}")
+                con.execute(f"""CREATE OR REPLACE TABLE qd AS
+                  SELECT * FROM ({ctes['qd']})
+                  WHERE vec_id % {chunks} = {c}""")
+                if c == 0:
+                    con.execute(f"CREATE TABLE dots AS {body}")
+                else:
+                    con.execute(f"INSERT INTO dots {body}")
+            continue
+        if cname == "tb":
+            log("tb (verbatim)")
+            con.execute(
+                f"CREATE OR REPLACE TABLE tb_all AS SELECT * FROM ({body})")
+            con.execute("CREATE OR REPLACE VIEW tb AS SELECT * FROM tb_all")
+            continue
+        if cname == "cand":
+            break  # handled per LSH table below
+        log(f"{cname} (verbatim)")
+        con.execute(f"CREATE OR REPLACE TABLE {cname} AS {body}")
+    n_tables = con.execute(
+        "SELECT MAX(t) + 1 FROM tb_all").fetchone()[0]
+    con.execute("CREATE OR REPLACE TABLE cand0 (vec_a BIGINT, vec_b BIGINT)")
+    for t in range(n_tables):
+        log(f"cand: LSH table {t + 1}/{n_tables}")
+        con.execute(f"CREATE OR REPLACE VIEW tb AS "
+                    f"SELECT * FROM tb_all WHERE t = {t}")
+        con.execute(f"INSERT INTO cand0 {ctes['cand']}")
+    # per-pass DISTINCT + global DISTINCT == the verbatim body's DISTINCT
+    con.execute(
+        "CREATE OR REPLACE TABLE cand AS SELECT DISTINCT * FROM cand0")
+    nc = con.execute("SELECT COUNT(*) FROM cand").fetchone()[0]
+    log(f"candidates: {nc}; exact-cosine verify (final select, verbatim)")
+    con.execute(f"CREATE OR REPLACE TABLE out AS {final}")
+
+
+def register_views(con, sf_dir):
+    import glob
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        t = os.path.basename(f)[:-len(".parquet")]
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{f}'")
+
+
+def staged(con, sf_dir, out_dir, name):
+    """Materialize EVERY CTE of the declared oracle SQL as its own table,
+    in declaration order (self-referencing CTEs re-wrapped as one-CTE
+    recursive CTAS — they are the tiny lcm/power folds). The
+    single-query form of graph_pagerank_general holds five full
+    rank-vector iterations plus the edge derivation in one plan
+    (>67 GB spill at sf10); staged, each iteration is one bounded
+    hash join whose input tables already sit on disk."""
+    import re
+    with open(os.environ.get("ORACLE_SQL_JSON",
+                             f"{out_dir}/oracle_sql.json")) as f:
+        sql = json.load(f)[name]
+    register_views(con, sf_dir)
+    ctes, final = split_ctes(sql)
+    for cname, body in ctes.items():
+        log(f"stage {cname}")
+        if re.search(rf"\b{cname}\b", body):
+            con.execute(
+                f"CREATE OR REPLACE TABLE {cname} AS WITH RECURSIVE "
+                f"{cname} AS ({body}) SELECT * FROM {cname}")
+        else:
+            con.execute(f"CREATE OR REPLACE TABLE {cname} AS {body}")
+    log("final select")
+    con.execute(f"CREATE OR REPLACE TABLE out AS {final}")
+
+
+def simhash_chunked(con, sf_dir, out_dir):
+    """simhash_pairs: fingerprints (`sim`, the solo-feasible sf10 stage)
+    and the segment/size tables materialize verbatim; the segment
+    self-join + hamming verify then runs ONE SEGMENT PER PASS with the
+    hamming filter applied inside the pass, so neither the 4-segment
+    pair fan-out nor the pre-filter candidate set ever materializes at
+    once. Per-pass DISTINCT + a global DISTINCT equals the verbatim
+    DISTINCT."""
+    with open(os.environ.get("ORACLE_SQL_JSON",
+                             f"{out_dir}/oracle_sql.json")) as f:
+        sql = json.load(f)["simhash_pairs"]
+    register_views(con, sf_dir)
+    ctes, final = split_ctes(sql)
+    for expected in ("sim", "seg0", "ssizes", "seg", "cp"):
+        assert expected in ctes, f"oracle SQL shape changed: no {expected}"
+    for cname, body in ctes.items():
+        if cname == "cp":
+            break
+        log(f"{cname} (verbatim)")
+        if cname in ("seg0", "seg"):
+            con.execute(f"CREATE OR REPLACE TABLE {cname}_all AS "
+                        f"SELECT * FROM ({body})")
+            con.execute(f"CREATE OR REPLACE VIEW {cname} AS "
+                        f"SELECT * FROM {cname}_all")
+        else:
+            con.execute(f"CREATE OR REPLACE TABLE {cname} AS {body}")
+    n_seg = con.execute("SELECT MAX(seg_i) + 1 FROM seg0_all").fetchone()[0]
+    con.execute("""CREATE OR REPLACE TABLE out0
+      (doc_a BIGINT, doc_b BIGINT, hamming BIGINT)""")
+    for si in range(n_seg):
+        log(f"pairs: segment {si + 1}/{n_seg}")
+        con.execute(f"CREATE OR REPLACE VIEW seg0 AS "
+                    f"SELECT * FROM seg0_all WHERE seg_i = {si}")
+        con.execute(f"CREATE OR REPLACE VIEW seg AS "
+                    f"SELECT * FROM seg_all WHERE seg_i = {si}")
+        con.execute(
+            f"INSERT INTO out0 WITH cp AS ({ctes['cp']}) {final}")
+    log("global distinct")
+    con.execute("CREATE OR REPLACE TABLE out AS SELECT DISTINCT * FROM out0")
+
+
+def direct(con, sf_dir, out_dir, name):
+    """Run the DECLARED oracle SQL unchanged; the conversion is the
+    COMPARE: parity.py materializes both sides in pandas (>20 GB per
+    side for the 54.5M-row class), while this tool compares with an
+    in-engine symmetric EXCEPT that spills. For ledger rows whose
+    reason was the compare, not the derivation."""
+    with open(os.environ.get("ORACLE_SQL_JSON",
+                             f"{out_dir}/oracle_sql.json")) as f:
+        sql = json.load(f)[name]
+    con.execute(f"CREATE OR REPLACE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    con.execute(f"CREATE OR REPLACE VIEW embeddings AS "
+                f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    log(f"direct oracle for {name}")
+    con.execute(f"CREATE OR REPLACE TABLE out AS {sql}")
+
+
 COLS = {
     "minhash_lsh_pairs": ["doc_a", "doc_b", "n_shared_bands"],
     "minhash_est": ["doc_a", "doc_b", "n_equal", "n_components"],
     "doc_dup_clusters": ["keep_doc_id", "n_docs"],
     "doc_dup_triangles": ["doc_id", "n_triangles"],
+    "emb_neardup": ["vec_a", "vec_b"],
+    "emb_neardup_auto": ["vec_a", "vec_b"],
+    "doc_winnow": ["doc_id", "fp"],
+    "simhash_pairs": ["doc_a", "doc_b", "hamming"],
+    "graph_pagerank_general": ["soul", "rank_q"],
 }
+
+# compare() casts every column to BIGINT unless overridden here
+CAST_TYPES = {"graph_pagerank_general": {"soul": "VARCHAR"}}
 
 
 def compare(con, out_dir, name):
     spark = f"'{out_dir}/{name}/*.parquet'"
-    cast = ", ".join(f'CAST("{c}" AS BIGINT) AS "{c}"' for c in COLS[name])
+    ct = CAST_TYPES.get(name, {})
+    cast = ", ".join(
+        f'CAST("{c}" AS {ct.get(c, "BIGINT")}) AS "{c}"' for c in COLS[name])
     n_oracle, n_spark, n_diff = con.execute(f"""
       SELECT
         (SELECT COUNT(*) FROM out),
@@ -248,10 +467,26 @@ def main():
     os.makedirs(work, exist_ok=True)
     con = duckdb.connect(f"{work}/{name}.db")
     con.execute(f"SET temp_directory = '{work}/spill'")
-    setup(con, sf_dir, out_dir)
-    bands(con)
-    {"minhash_lsh_pairs": lsh_pairs, "minhash_est": est,
-     "doc_dup_clusters": clusters, "doc_dup_triangles": triangles}[name](con)
+    if os.environ.get("CHUNK_THREADS"):
+        con.execute(f"SET threads = {int(os.environ['CHUNK_THREADS'])}")
+    if os.environ.get("CHUNK_MEMORY_LIMIT"):
+        con.execute(
+            f"SET memory_limit = '{os.environ['CHUNK_MEMORY_LIMIT']}'")
+    con.execute("SET preserve_insertion_order = false")
+    if name in ("emb_neardup", "emb_neardup_auto"):
+        neardup(con, sf_dir, out_dir, name)
+    elif name == "doc_winnow":
+        direct(con, sf_dir, out_dir, name)
+    elif name == "simhash_pairs":
+        simhash_chunked(con, sf_dir, out_dir)
+    elif name == "graph_pagerank_general":
+        staged(con, sf_dir, out_dir, name)
+    else:
+        setup(con, sf_dir, out_dir)
+        bands(con)
+        {"minhash_lsh_pairs": lsh_pairs, "minhash_est": est,
+         "doc_dup_clusters": clusters,
+         "doc_dup_triangles": triangles}[name](con)
     sys.exit(0 if compare(con, out_dir, name) else 1)
 
 
