@@ -75,6 +75,14 @@ def setup(con, sf_dir, out_dir):
     with open(os.environ.get("ORACLE_SQL_JSON",
                              f"{out_dir}/oracle_sql.json")) as f:
         sig_sql = json.load(f)["minhash_sig"]
+    # CHUNK_REUSE=1: the four minhash-family queries share sig/bpairs —
+    # recomputing the ~12-min sf10 signature stage per query would be
+    # pure waste (connect them to one shared db file to benefit)
+    if os.environ.get("CHUNK_REUSE") == "1" and con.execute(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_name = 'sig'").fetchone()[0]:
+        log("reusing existing sig table (CHUNK_REUSE=1)")
+        return
     log("materializing sig (doc_id, i, sig) via the declared oracle SQL")
     con.execute(f"CREATE OR REPLACE TABLE sig AS {sig_sql}")
     n = con.execute("SELECT COUNT(*) FROM sig").fetchone()[0]
@@ -84,6 +92,11 @@ def setup(con, sf_dir, out_dir):
 def bands(con):
     """bands0 / bsizes / bands tables + a bpairs table built one band per
     pass — mirrors MlQueries.bandsSql (hot-bucket guard included)."""
+    if os.environ.get("CHUNK_REUSE") == "1" and con.execute(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_name = 'bpairs'").fetchone()[0]:
+        log("reusing existing bpairs table (CHUNK_REUSE=1)")
+        return
     log("bands0 / bsizes / bands")
     con.execute(f"""
       CREATE OR REPLACE TABLE bands0 AS
@@ -465,7 +478,8 @@ def main():
         raise SystemExit(f"unsupported query: {name}")
     work = sys.argv[4] if len(sys.argv) > 4 else "/tmp/chunked_ledger"
     os.makedirs(work, exist_ok=True)
-    con = duckdb.connect(f"{work}/{name}.db")
+    db = "shared" if os.environ.get("CHUNK_REUSE") == "1" else name
+    con = duckdb.connect(f"{work}/{db}.db")
     con.execute(f"SET temp_directory = '{work}/spill'")
     if os.environ.get("CHUNK_THREADS"):
         con.execute(f"SET threads = {int(os.environ['CHUNK_THREADS'])}")
