@@ -289,11 +289,22 @@ object Dedup {
         // records, reproduced at 788,109 by forcing the threshold down).
         // The corpus-sized a/b branches stay size-driven on purpose —
         // broadcasting a corpus side would be the real scale bug.
+        // …but the bound is only SMALL for segBits ≤ ~22 (default
+        // segments=4 → 12 bits → ≤16K rows). A caller passing segments=1
+        // or 2 makes 2^segBits astronomical and the actual table grows
+        // with the corpus — forcing broadcast there overrides Spark's
+        // size-based safety and risks driver OOM (ADVICE_r18). The hint
+        // gates on the closed-form bound; oversized configs fall back to
+        // the stats-driven join.
+        val statsBounded = segBits <= 22 &&
+          segments.toLong * (1L << segBits) <= (1L << 22)
+        def hinted(df: DataFrame): DataFrame =
+          if (statsBounded) broadcast(df) else df
         val sizes = allSeg.groupBy("seg_i", "seg_v")
           .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"),
             min_by(col("simhash"), col("doc_id")).as("rep_sim"))
         val small = allSeg.join(
-          broadcast(sizes.filter(col("bucket_n") <= maxBucket)
+          hinted(sizes.filter(col("bucket_n") <= maxBucket)
             .select("seg_i", "seg_v")),
           Seq("seg_i", "seg_v"), "left_semi")
         val a = small.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
@@ -307,7 +318,7 @@ object Dedup {
         // fingerprint rides along via min_by (doc_id is unique ⇒
         // deterministic)
         val bigPairs = allSeg.join(
-          broadcast(sizes.filter(col("bucket_n") > maxBucket)
+          hinted(sizes.filter(col("bucket_n") > maxBucket)
             .select(col("seg_i"), col("seg_v"), col("rep"), col("rep_sim"))),
           Seq("seg_i", "seg_v"))
           .filter(col("doc_id") =!= col("rep"))

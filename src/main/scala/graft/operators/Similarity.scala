@@ -1357,7 +1357,21 @@ object Similarity {
     // pair-volume estimate is one agg over the tiny persisted block-size
     // table the hot-block telemetry already materialized. passes == 1
     // (every declared query's regime) keeps the original single plan.
-    var passTmpDir: Option[java.nio.file.Path] = None
+    // Multi-pass staging resolves through the session's HADOOP filesystem
+    // (VERDICT_r18 #1): a driver-local java.nio temp dir only works when
+    // driver, executors, and defaultFS agree on the local disk — true on
+    // local[32], false on any real cluster, where the parquet lands on
+    // the cluster FS while a nio cleanup deletes an empty local dir (or
+    // worse, executors scatter pass files across node-local disks and
+    // the read-back silently loses pairs). Same pattern as the round-4
+    // WAL fix: one FS handle from `Path.getFileSystem(hadoopConfiguration)`
+    // serves mkdir, write, read, and delete.
+    var passTmpDir: Option[org.apache.hadoop.fs.Path] = None
+    var passFs: Option[org.apache.hadoop.fs.FileSystem] = None
+    def cleanupPassDir(): Unit = {
+      for (fs <- passFs; d <- passTmpDir) fs.delete(d, true)
+      passFs = None; passTmpDir = None
+    }
     val (dropped, tailOwned) =
       if (maxCluster <= 0) {
         val a = both.select(col("cluster"), col("sub"),
@@ -1415,45 +1429,88 @@ object Similarity {
           System.err.println(
             s"[similarity] semanticDedupHier: $estPairs block-pair rows > " +
               s"budget=$pairRowBudget -> scoring in $passes bounded passes")
-          val tmp = java.nio.file.Files.createTempDirectory("graft_hier_pairs_")
-          passTmpDir = Some(tmp)
-          for (i <- 0 until passes) {
-            val blocksI = sizes.filter(
-              pmod(xxhash64(col("cluster"), col("sub")), lit(passes.toLong)) === i)
-            droppedFor(blocksI).write.mode("overwrite")
-              .parquet(s"$tmp/pass_$i")
-            // nudge the ContextCleaner: the pass's shuffle files are
-            // unreferenced once its parquet lands, and reclaiming them
-            // NOW is the point of running in passes
-            System.gc()
-            System.err.println(
-              s"[similarity] semanticDedupHier: pass ${i + 1}/$passes scored")
+          val spark = vectors.sparkSession
+          val (fs, tmp) = scratchPassDir(spark)
+          passFs = Some(fs); passTmpDir = Some(tmp)
+          try {
+            for (i <- 0 until passes) {
+              val blocksI = sizes.filter(
+                pmod(xxhash64(col("cluster"), col("sub")), lit(passes.toLong)) === i)
+              droppedFor(blocksI).write.mode("overwrite")
+                .parquet(s"$tmp/pass_$i")
+              // nudge the ContextCleaner: the pass's shuffle files are
+              // unreferenced once its parquet lands, and reclaiming them
+              // NOW is the point of running in passes
+              System.gc()
+              System.err.println(
+                s"[similarity] semanticDedupHier: pass ${i + 1}/$passes scored")
+            }
+          } catch {
+            // a pass that dies mid-write (the ENOSPC regime this branch
+            // exists for, ADVICE_r18) must not leak earlier passes'
+            // parquet: nothing references the files once the loop died
+            case t: Throwable => cleanupPassDir(); throw t
           }
           (vectors.sparkSession.read.parquet(s"$tmp/pass_*").distinct(),
             Seq(both, sizes))
         }
       }
-    val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
-      .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
-    val out = Caching.materializeAndRelease(res,
-      (Seq(coarse, withCell, unit, c1) ++ tailOwned): _*)
+    val out =
+      try {
+        val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
+          .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+        Caching.materializeAndRelease(res,
+          (Seq(coarse, withCell, unit, c1) ++ tailOwned): _*)
+      } catch {
+        // a failed materialization (the ENOSPC regime this branch
+        // exists for) must not leak up to ~budget rows of pass parquet
+        // (ADVICE_r18): nothing references the files once the job died
+        case t: Throwable => cleanupPassDir(); throw t
+      }
     if (ownsQuant) quant.unpersist(blocking = false)
     // the per-pass parquet is consumed once `res` is materialized; in
     // lazy mode (EagerReleaseKey=false) the result still references the
     // files, so the temp dir is left for the session to read
     if (vectors.sparkSession.conf.get(Caching.EagerReleaseKey, "true") != "false")
-      passTmpDir.foreach { d =>
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p)) {
-            val s = java.nio.file.Files.list(p)
-            try s.forEach(rm(_)) finally s.close()
-          }
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        rm(d)
-      }
+      cleanupPassDir()
     out
+  }
+
+  /** Config key for the multi-pass staging root. Any Hadoop-resolvable
+    * URI (`hdfs://…`, `s3a://…`, `file:/…`); pass files for one run land
+    * under `<root>/graft_hier_pairs_<uuid>` and are removed through the
+    * SAME filesystem handle that wrote them.
+    */
+  val ScratchDirKey = "spark.graft.scratchDir"
+
+  /** Resolve a fresh per-run staging directory for bounded-pass scoring
+    * through the session's Hadoop filesystem (VERDICT_r18 #1). Order:
+    * explicit [[ScratchDirKey]]; else the context's checkpoint dir (a
+    * caller on a cluster has already picked a cluster-visible root for
+    * exactly this kind of intermediate state); else, on a local master
+    * only, the JVM temp dir. A non-local master with neither configured
+    * fails loudly — defaulting to the driver's /tmp there is precisely
+    * the silent-pair-loss bug this method exists to prevent.
+    */
+  private[graft] def scratchPassDir(spark: org.apache.spark.sql.SparkSession)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val base = spark.conf.getOption(ScratchDirKey)
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse {
+        if (spark.sparkContext.isLocal)
+          "file:" + System.getProperty("java.io.tmpdir")
+        else throw new IllegalStateException(
+          s"semanticDedupHier multi-pass staging needs a cluster-visible " +
+            s"scratch root on a non-local master: set $ScratchDirKey or a " +
+            "checkpoint dir")
+      }
+    val raw = new org.apache.hadoop.fs.Path(base,
+      s"graft_hier_pairs_${java.util.UUID.randomUUID().toString.take(12)}")
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.makeQualified(raw)
+    fs.mkdirs(dir)
+    (fs, dir)
   }
 
   /** The measured crossover between the two recall-preserving SemDeDup

@@ -363,6 +363,58 @@ class SimilaritySpec extends SparkSuite {
       "multi-pass block scoring must be invisible in the answer")
   }
 
+  test("bounded-pass staging resolves through the configured Hadoop " +
+      "scratch root and cleanup removes it (VERDICT_r18 #1)") {
+    // A non-default scratch root stands in for a cluster filesystem: the
+    // writes, the read-back, and the delete must all resolve through the
+    // SAME Hadoop FS handle rooted there — never a driver-local nio
+    // temp dir the cluster FS would not share.
+    val base = (0L until 30L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 37 + d * 11) % 101) - 50).toFloat / 51f))
+    }
+    val dupped = base ++ Seq(100L -> base(3)._2, 101L -> base(17)._2)
+    val df = dupped.toDF("vec_id", "embedding")
+    val single = Similarity.semanticDedupHier(df, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_spec_")
+    val hroot = new org.apache.hadoop.fs.Path("file:" + root)
+    val fs = hroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      spark.conf.set(Similarity.ScratchDirKey, "file:" + root)
+      // leg 1 — lazy mode: the result still references the pass files,
+      // so they must LAND under the configured root and be left there
+      spark.conf.set(Caching.EagerReleaseKey, "false")
+      val lazyFlags = Similarity.semanticDedupHier(df, threshold = 0.999,
+        pairRowBudget = 3L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lazyFlags == single)
+      val runDirs = fs.listStatus(hroot)
+        .filter(_.getPath.getName.startsWith("graft_hier_pairs_"))
+      assert(runDirs.length == 1,
+        s"expected one staging dir under the scratch root, got ${runDirs.length}")
+      val passDirs = fs.listStatus(runDirs.head.getPath)
+        .filter(_.getPath.getName.startsWith("pass_"))
+      assert(passDirs.length >= 2,
+        s"multi-pass run should stage >=2 pass dirs, got ${passDirs.length}")
+      fs.delete(runDirs.head.getPath, true)
+      spark.sharedState.cacheManager.clearCache()
+      // leg 2 — eager mode (the default): materialization consumes the
+      // pass parquet and cleanup must remove the staging dir through the
+      // same filesystem, leaving the root empty
+      spark.conf.set(Caching.EagerReleaseKey, "true")
+      val eagerFlags = Similarity.semanticDedupHier(df, threshold = 0.999,
+        pairRowBudget = 3L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(eagerFlags == single)
+      assert(fs.listStatus(hroot).isEmpty,
+        "eager-mode cleanup must remove the staging dir from the scratch root")
+    } finally {
+      spark.conf.unset(Similarity.ScratchDirKey)
+      spark.conf.set(Caching.EagerReleaseKey, "true")
+      fs.delete(hroot, true)
+    }
+  }
+
   test("semanticDedupAuto's knownCount threading: the upper rung runs ONE " +
       "corpus count, not two (VERDICT_r17 #3)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -457,14 +457,22 @@ def compare(con, out_dir, name):
     ct = CAST_TYPES.get(name, {})
     cast = ", ".join(
         f'CAST("{c}" AS {ct.get(c, "BIGINT")}) AS "{c}"' for c in COLS[name])
+    # MULTISET compare (ADVICE_r18): plain EXCEPT is set-based, so
+    # duplicate-row redistribution (oracle {A,A,B} vs spark {A,B,B})
+    # would pass count-equality + set-diff. Grouping each side to
+    # (cols, cnt) first makes the symmetric EXCEPT multiplicity-exact.
     n_oracle, n_spark, n_diff = con.execute(f"""
       SELECT
         (SELECT COUNT(*) FROM out),
         (SELECT COUNT(*) FROM {spark}),
         (SELECT COUNT(*) FROM (
-           (SELECT {cast} FROM out EXCEPT SELECT {cast} FROM {spark})
+           (SELECT {cast}, COUNT(*) AS cnt FROM out GROUP BY ALL
+            EXCEPT
+            SELECT {cast}, COUNT(*) AS cnt FROM {spark} GROUP BY ALL)
            UNION ALL
-           (SELECT {cast} FROM {spark} EXCEPT SELECT {cast} FROM out)))
+           (SELECT {cast}, COUNT(*) AS cnt FROM {spark} GROUP BY ALL
+            EXCEPT
+            SELECT {cast}, COUNT(*) AS cnt FROM out GROUP BY ALL)))
       """).fetchone()
     ok = n_oracle == n_spark and n_diff == 0
     print(f"{'PASS' if ok else 'FAIL'} {name}: oracle rows={n_oracle} "
