@@ -77,6 +77,17 @@ object RecallProbe {
     // detection recall is box-feasible; planted fields then emit -1.
     val plantedSkip =
       sys.env.getOrElse("SPARK_GRAFT_RECALL_PLANTED_SKIP", "0") == "1"
+    // SPARK_GRAFT_HIER_K2DIV: run the semdedup_hier leg at a non-default
+    // k2Divisor (the VERDICT_r18 #4 certification ladder runs div=2
+    // through the same capped-vs-uncapped + planted legs div=1 passed).
+    // SPARK_GRAFT_HIER_BUDGET: override semanticDedupHier's pairRowBudget
+    // for the hier legs — at 20M the default 1e9 crested 86.8 GiB used
+    // (SCALE_r18 §5); a smaller budget trades more passes for headroom.
+    val hierK2Div =
+      sys.env.getOrElse("SPARK_GRAFT_HIER_K2DIV", "1").toInt
+    val hierBudget =
+      sys.env.getOrElse("SPARK_GRAFT_HIER_BUDGET",
+        operators.Similarity.DefaultPairRowBudget.toString).toLong
     // The generator now emits the pairs it plants as a side table
     // (planted_pairs.parquet, VERDICT_r17 #6): when present, the planted
     // class is the distinct ids of those pairs — a scan of a ~0.05n-row
@@ -122,7 +133,8 @@ object RecallProbe {
       divisors.foreach { div =>
         val t0 = System.nanoTime()
         val flagged = operators.Similarity
-          .semanticDedupHier(emb, threshold = 0.4, k2Divisor = div)
+          .semanticDedupHier(emb, threshold = 0.4, k2Divisor = div,
+            pairRowBudget = hierBudget)
           .filter(col("is_dup") === 1L).select("vec_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dups = flagged.count()
@@ -233,7 +245,8 @@ object RecallProbe {
           case "semdedup_hier" =>
             operators.Similarity.semanticDedupHier(emb, threshold = 0.4,
               maxCluster = if (uncapped) 0
-                           else operators.Similarity.DefaultMaxCluster)
+                           else operators.Similarity.DefaultMaxCluster,
+              pairRowBudget = hierBudget, k2Divisor = hierK2Div)
           case _ =>
             val k = leg match {
               case "semdedup"       => 8
@@ -251,7 +264,8 @@ object RecallProbe {
       val config = leg match {
         case "semdedup_hier" =>
           s"hier,k1=${operators.Similarity.autoCoarseK(n)}," +
-            s"cap=${operators.Similarity.DefaultMaxCluster}"
+            s"cap=${operators.Similarity.DefaultMaxCluster}," +
+            s"k2div=$hierK2Div"
         case "semdedup" => s"k=8,cap=${operators.Similarity.DefaultMaxCluster}"
         case "semdedup_auto" =>
           s"k=${operators.Similarity.autoKmeansK(n)}," +

@@ -1115,6 +1115,14 @@ object Similarity {
     * a cluster deployment can raise it — per-executor spill is what the
     * budget really bounds, and the estimate/budget quotient just picks
     * the pass count.
+    *
+    * The bound is BEST-EFFORT, not hard (ADVICE_r18): a pass's shuffle
+    * files are reclaimed by the asynchronous ContextCleaner after the
+    * System.gc() nudge between passes, so a slow cleaner can briefly
+    * overlap one pass's files with the next pass's writes. The measured
+    * profile at 20M (5 passes, crest flat ±2 GiB, SCALE_r18 §5) shows
+    * the nudge keeps the overlap near zero in practice; size the budget
+    * with one-pass slack if the disk has none.
     */
   val DefaultPairRowBudget = 1000000000L
 

@@ -42,6 +42,15 @@ Usage:
   <verifyOutDir>/oracle_sql.json must contain the needed entries (run
   `graft.Verify <sfDir> <outDir> minhash_sig <query>` first).
 
+Queries dispatch through the declarative RECIPES registry
+(query -> (chunk-strategy, params)): `band_family` (shared sig +
+one-band-per-pass bpairs + a per-query tail), `vec_range` (one fan-out
+CTE accumulated per id range, one candidate pass per LSH table),
+`segment` (pair join + verify re-run one segment per pass), `staged`
+(every CTE its own table), `direct` (derivation unchanged, in-engine
+compare). A future sf30/sf100 query of an existing family is one
+RECIPES entry plus a COLS row.
+
 Env: CHUNK_THREADS, CHUNK_MEMORY_LIMIT (e.g. 40GB), CHUNK_PAIR_CHUNKS
 (est join hash ranges, default 8), CHUNK_WEDGE_CHUNKS (triangle middle
 vertex ranges, default 16), CHUNK_VEC_CHUNKS (neardup dot-explode
@@ -282,66 +291,72 @@ def split_ctes(sql):
         return ctes, s[m:]
 
 
-def neardup(con, sf_dir, out_dir, name):
-    """emb_neardup / emb_neardup_auto: the declared single-query oracle
-    dies at sf10 on the vec×table×plane×dim dot explode (>68 GB spill
-    with the whole box, round-15 ledger). Same arithmetic, bounded:
-    quant and the md5 weight table `w` run VERBATIM from the declared
-    SQL; `dots` accumulates per vec_id chunk (each chunk's explode is
-    1/C of the fan-out); the candidate join runs one LSH table per
-    pass; the exact-cosine verify runs once over the bounded candidate
-    set."""
+def vec_range(con, sf_dir, out_dir, name, fanout_cte="dots",
+              rebuilt_cte="qd", chunk_key="vec_id", pass_cte="cand",
+              pass_src="tb", pass_col="t",
+              pass_schema="(vec_a BIGINT, vec_b BIGINT)",
+              expected=("quant", "w", "qd", "dots", "tb", "bsizes", "cand"),
+              chunks_env="CHUNK_VEC_CHUNKS"):
+    """The vec-range family (emb_neardup / emb_neardup_auto and any
+    future query with the same shape): the declared single-query oracle
+    dies at scale on one fan-out CTE (the vec×table×plane×dim dot
+    explode — >68 GB spill at sf10, round-15 ledger). Same arithmetic,
+    bounded, driven by the recipe:
+      - `fanout_cte` accumulates per `chunk_key % chunks` range, with
+        `rebuilt_cte` re-materialized per chunk so each chunk's explode
+        is 1/C of the fan-out;
+      - `pass_cte` (the candidate join) runs once per distinct
+        `pass_col` value of `pass_src` (one LSH table per pass);
+      - every other CTE materializes VERBATIM in declaration order;
+      - the final select (the exact-cosine verify) runs once over the
+        bounded candidates."""
     with open(os.environ.get("ORACLE_SQL_JSON",
                              f"{out_dir}/oracle_sql.json")) as f:
         sql = json.load(f)[name]
-    con.execute(f"CREATE OR REPLACE VIEW embeddings AS "
-                f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    register_views(con, sf_dir)
     ctes, final = split_ctes(sql)
-    for expected in ("quant", "w", "qd", "dots", "tb", "bsizes", "cand"):
-        assert expected in ctes, f"oracle SQL shape changed: no {expected}"
-    chunks = int(os.environ.get("CHUNK_VEC_CHUNKS", "8"))
-    # materialize every CTE verbatim in DECLARATION order (the auto
-    # variant adds a `params` CTE the weight table reads its bit count
-    # from), chunking exactly two of them: `dots` accumulates per vec_id
-    # range, `cand` runs one LSH table per pass (below)
+    for e in expected:
+        assert e in ctes, f"oracle SQL shape changed: no {e}"
+    chunks = int(os.environ.get(chunks_env, "8"))
     for cname, body in ctes.items():
-        if cname == "qd":
-            continue  # rebuilt per dots chunk
-        if cname == "dots":
-            con.execute("DROP TABLE IF EXISTS dots")
+        if cname == rebuilt_cte:
+            continue  # rebuilt per fanout chunk
+        if cname == fanout_cte:
+            con.execute(f"DROP TABLE IF EXISTS {fanout_cte}")
             for c in range(chunks):
-                log(f"dots: vec chunk {c + 1}/{chunks}")
-                con.execute(f"""CREATE OR REPLACE TABLE qd AS
-                  SELECT * FROM ({ctes['qd']})
-                  WHERE vec_id % {chunks} = {c}""")
+                log(f"{fanout_cte}: {chunk_key} chunk {c + 1}/{chunks}")
+                con.execute(f"""CREATE OR REPLACE TABLE {rebuilt_cte} AS
+                  SELECT * FROM ({ctes[rebuilt_cte]})
+                  WHERE {chunk_key} % {chunks} = {c}""")
                 if c == 0:
-                    con.execute(f"CREATE TABLE dots AS {body}")
+                    con.execute(f"CREATE TABLE {fanout_cte} AS {body}")
                 else:
-                    con.execute(f"INSERT INTO dots {body}")
+                    con.execute(f"INSERT INTO {fanout_cte} {body}")
             continue
-        if cname == "tb":
-            log("tb (verbatim)")
-            con.execute(
-                f"CREATE OR REPLACE TABLE tb_all AS SELECT * FROM ({body})")
-            con.execute("CREATE OR REPLACE VIEW tb AS SELECT * FROM tb_all")
+        if cname == pass_src:
+            log(f"{pass_src} (verbatim)")
+            con.execute(f"CREATE OR REPLACE TABLE {pass_src}_all AS "
+                        f"SELECT * FROM ({body})")
+            con.execute(f"CREATE OR REPLACE VIEW {pass_src} AS "
+                        f"SELECT * FROM {pass_src}_all")
             continue
-        if cname == "cand":
-            break  # handled per LSH table below
+        if cname == pass_cte:
+            break  # handled per pass below
         log(f"{cname} (verbatim)")
         con.execute(f"CREATE OR REPLACE TABLE {cname} AS {body}")
-    n_tables = con.execute(
-        "SELECT MAX(t) + 1 FROM tb_all").fetchone()[0]
-    con.execute("CREATE OR REPLACE TABLE cand0 (vec_a BIGINT, vec_b BIGINT)")
-    for t in range(n_tables):
-        log(f"cand: LSH table {t + 1}/{n_tables}")
-        con.execute(f"CREATE OR REPLACE VIEW tb AS "
-                    f"SELECT * FROM tb_all WHERE t = {t}")
-        con.execute(f"INSERT INTO cand0 {ctes['cand']}")
+    n_passes = con.execute(
+        f"SELECT MAX({pass_col}) + 1 FROM {pass_src}_all").fetchone()[0]
+    con.execute(f"CREATE OR REPLACE TABLE {pass_cte}0 {pass_schema}")
+    for t in range(n_passes):
+        log(f"{pass_cte}: pass {t + 1}/{n_passes}")
+        con.execute(f"CREATE OR REPLACE VIEW {pass_src} AS "
+                    f"SELECT * FROM {pass_src}_all WHERE {pass_col} = {t}")
+        con.execute(f"INSERT INTO {pass_cte}0 {ctes[pass_cte]}")
     # per-pass DISTINCT + global DISTINCT == the verbatim body's DISTINCT
-    con.execute(
-        "CREATE OR REPLACE TABLE cand AS SELECT DISTINCT * FROM cand0")
-    nc = con.execute("SELECT COUNT(*) FROM cand").fetchone()[0]
-    log(f"candidates: {nc}; exact-cosine verify (final select, verbatim)")
+    con.execute(f"CREATE OR REPLACE TABLE {pass_cte} AS "
+                f"SELECT DISTINCT * FROM {pass_cte}0")
+    nc = con.execute(f"SELECT COUNT(*) FROM {pass_cte}").fetchone()[0]
+    log(f"candidates: {nc}; final select (verbatim)")
     con.execute(f"CREATE OR REPLACE TABLE out AS {final}")
 
 
@@ -378,43 +393,47 @@ def staged(con, sf_dir, out_dir, name):
     con.execute(f"CREATE OR REPLACE TABLE out AS {final}")
 
 
-def simhash_chunked(con, sf_dir, out_dir):
-    """simhash_pairs: fingerprints (`sim`, the solo-feasible sf10 stage)
-    and the segment/size tables materialize verbatim; the segment
-    self-join + hamming verify then runs ONE SEGMENT PER PASS with the
-    hamming filter applied inside the pass, so neither the 4-segment
-    pair fan-out nor the pre-filter candidate set ever materializes at
-    once. Per-pass DISTINCT + a global DISTINCT equals the verbatim
-    DISTINCT."""
+def segment(con, sf_dir, out_dir, name, seg_ctes=("seg0", "seg"),
+            seg_col="seg_i", pair_cte="cp",
+            out_schema="(doc_a BIGINT, doc_b BIGINT, hamming BIGINT)",
+            expected=("sim", "seg0", "ssizes", "seg", "cp")):
+    """The segment family (simhash_pairs and any future banding query of
+    the same shape): the pre-pair stages (fingerprints — the
+    solo-feasible sf10 stage — and the segment/size tables) materialize
+    verbatim; the segment self-join + verify filter then runs ONE
+    SEGMENT PER PASS (each `seg_ctes` view restricted to one `seg_col`
+    value, `pair_cte` + the final select re-run inside the pass), so
+    neither the full pair fan-out nor the pre-filter candidate set ever
+    materializes at once. Per-pass DISTINCT + a global DISTINCT equals
+    the verbatim DISTINCT."""
     with open(os.environ.get("ORACLE_SQL_JSON",
                              f"{out_dir}/oracle_sql.json")) as f:
-        sql = json.load(f)["simhash_pairs"]
+        sql = json.load(f)[name]
     register_views(con, sf_dir)
     ctes, final = split_ctes(sql)
-    for expected in ("sim", "seg0", "ssizes", "seg", "cp"):
-        assert expected in ctes, f"oracle SQL shape changed: no {expected}"
+    for e in expected:
+        assert e in ctes, f"oracle SQL shape changed: no {e}"
     for cname, body in ctes.items():
-        if cname == "cp":
+        if cname == pair_cte:
             break
         log(f"{cname} (verbatim)")
-        if cname in ("seg0", "seg"):
+        if cname in seg_ctes:
             con.execute(f"CREATE OR REPLACE TABLE {cname}_all AS "
                         f"SELECT * FROM ({body})")
             con.execute(f"CREATE OR REPLACE VIEW {cname} AS "
                         f"SELECT * FROM {cname}_all")
         else:
             con.execute(f"CREATE OR REPLACE TABLE {cname} AS {body}")
-    n_seg = con.execute("SELECT MAX(seg_i) + 1 FROM seg0_all").fetchone()[0]
-    con.execute("""CREATE OR REPLACE TABLE out0
-      (doc_a BIGINT, doc_b BIGINT, hamming BIGINT)""")
+    n_seg = con.execute(
+        f"SELECT MAX({seg_col}) + 1 FROM {seg_ctes[0]}_all").fetchone()[0]
+    con.execute(f"CREATE OR REPLACE TABLE out0 {out_schema}")
     for si in range(n_seg):
         log(f"pairs: segment {si + 1}/{n_seg}")
-        con.execute(f"CREATE OR REPLACE VIEW seg0 AS "
-                    f"SELECT * FROM seg0_all WHERE seg_i = {si}")
-        con.execute(f"CREATE OR REPLACE VIEW seg AS "
-                    f"SELECT * FROM seg_all WHERE seg_i = {si}")
+        for sc in seg_ctes:
+            con.execute(f"CREATE OR REPLACE VIEW {sc} AS "
+                        f"SELECT * FROM {sc}_all WHERE {seg_col} = {si}")
         con.execute(
-            f"INSERT INTO out0 WITH cp AS ({ctes['cp']}) {final}")
+            f"INSERT INTO out0 WITH {pair_cte} AS ({ctes[pair_cte]}) {final}")
     log("global distinct")
     con.execute("CREATE OR REPLACE TABLE out AS SELECT DISTINCT * FROM out0")
 
@@ -452,6 +471,33 @@ COLS = {
 CAST_TYPES = {"graph_pagerank_general": {"soul": "VARCHAR"}}
 
 
+def band_family(con, sf_dir, out_dir, name, tail):
+    """The minhash-band family: shared sig + one-band-per-pass bpairs
+    (setup/bands, CHUNK_REUSE-aware), then a per-query tail over the
+    bpairs table."""
+    setup(con, sf_dir, out_dir)
+    bands(con)
+    tail(con)
+
+
+# Declarative (query -> chunk-strategy) registry (ADVICE/VERDICT_r18
+# stretch): adding a future query of an existing family is one entry
+# here plus its COLS row — no per-query surgery in the strategies. Each
+# entry is a strategy function plus its keyword parameters; every
+# strategy has the signature f(con, sf_dir, out_dir, name, **params).
+RECIPES = {
+    "minhash_lsh_pairs": (band_family, {"tail": lsh_pairs}),
+    "minhash_est": (band_family, {"tail": est}),
+    "doc_dup_clusters": (band_family, {"tail": clusters}),
+    "doc_dup_triangles": (band_family, {"tail": triangles}),
+    "emb_neardup": (vec_range, {}),
+    "emb_neardup_auto": (vec_range, {}),
+    "doc_winnow": (direct, {}),
+    "simhash_pairs": (segment, {}),
+    "graph_pagerank_general": (staged, {}),
+}
+
+
 def compare(con, out_dir, name):
     spark = f"'{out_dir}/{name}/*.parquet'"
     ct = CAST_TYPES.get(name, {})
@@ -482,8 +528,9 @@ def compare(con, out_dir, name):
 
 def main():
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
-    if name not in COLS:
-        raise SystemExit(f"unsupported query: {name}")
+    if name not in RECIPES or name not in COLS:
+        raise SystemExit(f"unsupported query: {name} "
+                         f"(add a RECIPES entry and a COLS row)")
     work = sys.argv[4] if len(sys.argv) > 4 else "/tmp/chunked_ledger"
     os.makedirs(work, exist_ok=True)
     db = "shared" if os.environ.get("CHUNK_REUSE") == "1" else name
@@ -495,20 +542,8 @@ def main():
         con.execute(
             f"SET memory_limit = '{os.environ['CHUNK_MEMORY_LIMIT']}'")
     con.execute("SET preserve_insertion_order = false")
-    if name in ("emb_neardup", "emb_neardup_auto"):
-        neardup(con, sf_dir, out_dir, name)
-    elif name == "doc_winnow":
-        direct(con, sf_dir, out_dir, name)
-    elif name == "simhash_pairs":
-        simhash_chunked(con, sf_dir, out_dir)
-    elif name == "graph_pagerank_general":
-        staged(con, sf_dir, out_dir, name)
-    else:
-        setup(con, sf_dir, out_dir)
-        bands(con)
-        {"minhash_lsh_pairs": lsh_pairs, "minhash_est": est,
-         "doc_dup_clusters": clusters,
-         "doc_dup_triangles": triangles}[name](con)
+    strategy, params = RECIPES[name]
+    strategy(con, sf_dir, out_dir, name, **params)
     sys.exit(0 if compare(con, out_dir, name) else 1)
 
 
