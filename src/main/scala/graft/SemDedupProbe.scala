@@ -52,7 +52,12 @@ object SemDedupProbe {
           k = operators.Similarity.autoKmeansKCapAware(n), iters = 1,
           threshold = 0.4)
       case _ =>
-        operators.Similarity.semanticDedupHier(emb, threshold = 0.4)
+        // SPARK_GRAFT_HIER_BUDGET sizes the bounded passes to the box:
+        // at 30M the default 1e9's crest would not fit this box's
+        // usable ceiling next to the ~2.5 GiB/M persisted projections
+        operators.Similarity.semanticDedupHier(emb, threshold = 0.4,
+          pairRowBudget = sys.env.getOrElse("SPARK_GRAFT_HIER_BUDGET",
+            operators.Similarity.DefaultPairRowBudget.toString).toLong)
     }
     val dups = res.agg(sum(col("is_dup"))).first().getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
