@@ -1236,7 +1236,8 @@ object Similarity {
       maxCluster: Int = DefaultMaxCluster,
       knownCount: Long = -1L,
       pairRowBudget: Long = DefaultPairRowBudget,
-      k2Divisor: Int = 1): DataFrame = {
+      k2Divisor: Int = 1,
+      forcePasses: Int = 0): DataFrame = {
     // `knownCount` lets a caller that already counted (the
     // [[semanticDedupAuto]] dispatcher) skip a second full corpus scan —
     // at 100 TB a count() is a full read (VERDICT_r17 #3).
@@ -1430,13 +1431,25 @@ object Similarity {
           s"CASE WHEN cluster_n <= $maxCluster THEN " +
             "(cluster_n * (cluster_n - 1)) DIV 2 " +
             "ELSE cluster_n - 1 END")), lit(0L))).first().getLong(0)
-        val passes = math.max(1L,
-          (estPairs + pairRowBudget - 1L) / pairRowBudget).toInt
+        // `forcePasses > 0` pins the pass count outright — the declared
+        // bounded-pass anchor query uses it so the multi-pass branch
+        // (and its Hadoop-FS staging) sits inside the oracle-hash gate
+        // at EVERY sf with constant overhead, where a budget-derived
+        // count would balloon to thousands of passes at sf10. The
+        // union-of-passes = single-pass identity holds at any count.
+        val passes =
+          if (forcePasses > 0) forcePasses
+          else math.max(1L,
+            (estPairs + pairRowBudget - 1L) / pairRowBudget).toInt
         if (passes <= 1) (droppedFor(sizes), Seq(both, sizes))
         else {
           System.err.println(
-            s"[similarity] semanticDedupHier: $estPairs block-pair rows > " +
-              s"budget=$pairRowBudget -> scoring in $passes bounded passes")
+            if (forcePasses > 0)
+              s"[similarity] semanticDedupHier: $estPairs block-pair rows, " +
+                s"forcePasses=$forcePasses -> scoring in $passes bounded passes"
+            else
+              s"[similarity] semanticDedupHier: $estPairs block-pair rows > " +
+                s"budget=$pairRowBudget -> scoring in $passes bounded passes")
           val spark = vectors.sparkSession
           val (fs, tmp) = scratchPassDir(spark)
           passFs = Some(fs); passTmpDir = Some(tmp)

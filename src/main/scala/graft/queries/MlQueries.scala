@@ -490,6 +490,19 @@ object MlQueries {
       Similarity.semanticDedupHier(tbl(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // The SAME hier computation with the pass count pinned to 3
+    // (`forcePasses`), so the BOUNDED-PASS branch — per-pass parquet
+    // staged through the session's Hadoop filesystem, union-of-passes
+    // distinct, eager cleanup — is a code path hash-checked at sf0.01
+    // every round (the tiny-knob anchor discipline applied to the pass
+    // loop; a budget-derived count would balloon at sf10, a pinned one
+    // is constant overhead at any sf). Blocks never share a pair, so
+    // union-of-passes ≡ single-pass and the oracle is the hier SQL
+    // verbatim.
+    "emb_semantic_dedup_hier_passes" -> ((s, dir) =>
+      Similarity.semanticDedupHier(tbl(s, dir, "embeddings"),
+        threshold = 0.4, forcePasses = 3)),
+
     // Per-label centroid SUMS over integer-quantized embeddings — the
     // aggregation step of class-centroid workflows (k-means init,
     // classifier prototypes, cluster quality). Summing the exact
@@ -1328,6 +1341,14 @@ object MlQueries {
     // DefaultMaxCluster rep-link guard — step-for-step what
     // Similarity.semanticDedupHier executes
     "emb_semantic_dedup_hier" ->
+      s"""WITH ${kmeansCtes(autoK1Sql)},
+          ${hierFineCtes("")}
+          SELECT vec_id, is_dup FROM out""",
+    // bounded-pass anchor: union-of-passes ≡ single-pass (each
+    // (cell, sub) block is scored in exactly one pass, pairs never
+    // cross blocks), so the oracle is the hier SQL unchanged — DuckDB
+    // has no pass structure to replay, only the answer to agree on
+    "emb_semantic_dedup_hier_passes" ->
       s"""WITH ${kmeansCtes(autoK1Sql)},
           ${hierFineCtes("")}
           SELECT vec_id, is_dup FROM out""",

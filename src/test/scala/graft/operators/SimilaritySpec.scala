@@ -363,6 +363,49 @@ class SimilaritySpec extends SparkSuite {
       "multi-pass block scoring must be invisible in the answer")
   }
 
+  test("forcePasses pins the pass count under the default budget and " +
+      "stays answer-invisible (the declared bounded-pass anchor)") {
+    // The declared `emb_semantic_dedup_hier_passes` query relies on
+    // forcePasses taking the multi-pass branch even when the pair
+    // estimate is far below the (1e9) budget — constant 3-pass overhead
+    // at any sf — and on the union of forced passes equalling the
+    // single-pass flags.
+    val base = (0L until 30L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 37 + d * 11) % 101) - 50).toFloat / 51f))
+    }
+    val dupped = base ++ Seq(100L -> base(3)._2, 101L -> base(17)._2)
+    val df = dupped.toDF("vec_id", "embedding")
+    val single = Similarity.semanticDedupHier(df, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft_force_spec_")
+    val hroot = new org.apache.hadoop.fs.Path("file:" + root)
+    val fs = hroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      spark.conf.set(Similarity.ScratchDirKey, "file:" + root)
+      spark.conf.set(Caching.EagerReleaseKey, "false")
+      val forced = Similarity.semanticDedupHier(df, threshold = 0.999,
+        forcePasses = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(forced == single,
+        "forced 3-pass scoring must be invisible in the answer")
+      // lazy mode leaves the staging dir: prove the branch actually ran
+      // multi-pass with EXACTLY the pinned pass count
+      val runDirs = fs.listStatus(hroot)
+        .filter(_.getPath.getName.startsWith("graft_hier_pairs_"))
+      assert(runDirs.length == 1,
+        s"expected one staging dir, got ${runDirs.length}")
+      val passDirs = fs.listStatus(runDirs.head.getPath)
+        .filter(_.getPath.getName.startsWith("pass_"))
+      assert(passDirs.length == 3,
+        s"forcePasses=3 must stage exactly 3 pass dirs, got ${passDirs.length}")
+    } finally {
+      spark.conf.unset(Similarity.ScratchDirKey)
+      spark.conf.set(Caching.EagerReleaseKey, "true")
+      spark.sharedState.cacheManager.clearCache()
+      fs.delete(hroot, true)
+    }
+  }
+
   test("bounded-pass staging resolves through the configured Hadoop " +
       "scratch root and cleanup removes it (VERDICT_r18 #1)") {
     // A non-default scratch root stands in for a cluster filesystem: the
