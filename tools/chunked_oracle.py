@@ -24,7 +24,9 @@ symmetric EXCEPT) on explicitly-cast BIGINT columns.
 
 Usage:
   python3 tools/chunked_oracle.py <sfDir> <verifyOutDir> <query> [workDir]
-    query in {emb_semantic_dedup_auto, emb_semantic_dedup_hier}
+    query in {emb_semantic_dedup_auto, emb_semantic_dedup_hier,
+              emb_semantic_dedup_auto2, emb_semantic_dedup_auto2_capped,
+              emb_semantic_dedup_ladder (n < 400k rung)}
 
 Env: CHUNK_THREADS, CHUNK_MEMORY_LIMIT (e.g. 40GB), CHUNK_CENTROIDS
 (centroid chunk width, default 64), CHUNK_PAIR_BUDGET (pairs per pair
@@ -50,6 +52,12 @@ def auto_k(n):
     m = (n + 1) // 2
     s = math.isqrt(m)
     return max(1, s if s * s == m else s + 1)
+
+
+def auto_k2(n, cap=CAP, headroom=4):
+    # Similarity.autoKmeansKCapAware: GREATEST(√-rule, ceil(headroom·n/cap))
+    t = headroom * n
+    return max(auto_k(n), t // cap + (0 if t % cap == 0 else 1))
 
 
 def auto_coarse_k(n):
@@ -143,7 +151,8 @@ def kmeans_chain(con, k, out_table):
     con.execute("DROP TABLE c0n"); con.execute("DROP TABLE c1")
 
 
-def pair_dedup(con, assign, group_cols, out_dropped, threshold=0.4):
+def pair_dedup(con, assign, group_cols, out_dropped, threshold=0.4,
+               cap=CAP):
     """semDedupTail / hier tail mirrored over assign(vec_id, <group_cols>):
     groups at or under CAP enumerate all within-group pairs, oversized
     groups star-link member-vs-group-min-rep; pairs scoring
@@ -164,7 +173,7 @@ def pair_dedup(con, assign, group_cols, out_dropped, threshold=0.4):
       SELECT DISTINCT m.vec_id
       FROM {assign} m
       JOIN gsizes s ON {" AND ".join(f"s.{c} = m.{c}" for c in group_cols)}
-                   AND s.n > {CAP}
+                   AND s.n > {cap}
       JOIN embeddings ea ON ea.vec_id = s.rep
       JOIN embeddings eb ON eb.vec_id = m.vec_id
       WHERE m.vec_id <> s.rep
@@ -173,7 +182,7 @@ def pair_dedup(con, assign, group_cols, out_dropped, threshold=0.4):
             >= {threshold}""")
     # small-group pair branch: pack groups into chunks of ~budget pairs
     groups = con.execute(
-        f"SELECT {gc}, n FROM gsizes WHERE n <= {CAP} ORDER BY {gc}"
+        f"SELECT {gc}, n FROM gsizes WHERE n <= {cap} ORDER BY {gc}"
     ).fetchall()
     chunks, cur, vol = [], [], 0
     for row in groups:
@@ -309,6 +318,27 @@ def main():
         kmeans_chain(con, k, "a1")
         log("pair scoring (chunked by cluster pair volume)")
         pair_dedup(con, "a1", ["cluster"], "dropped")
+    elif name in ("emb_semantic_dedup_auto2", "emb_semantic_dedup_ladder"):
+        # auto2: cap-aware k = GREATEST(√-rule, ceil(4n/1024)); the
+        # ladder query at n < 400,000 (its measured crossover) takes the
+        # single-level rung with the IDENTICAL k and cap — same chain
+        if name == "emb_semantic_dedup_ladder":
+            assert n < 400000, (
+                "ladder at n >= crossover takes the hier rung; use the "
+                "emb_semantic_dedup_hier recipe for that regime")
+        k = auto_k2(n)
+        log(f"n={n}, cap-aware k={k}")
+        kmeans_chain(con, k, "a1")
+        log("pair scoring (chunked by cluster pair volume)")
+        pair_dedup(con, "a1", ["cluster"], "dropped")
+    elif name == "emb_semantic_dedup_auto2_capped":
+        # the tiny-cap anchor: cap=64 in BOTH the sizing rule and the
+        # block guard (MlQueries pins them together)
+        k = auto_k2(n, cap=64)
+        log(f"n={n}, cap=64 cap-aware k={k}")
+        kmeans_chain(con, k, "a1")
+        log("pair scoring (chunked by cluster pair volume, cap=64)")
+        pair_dedup(con, "a1", ["cluster"], "dropped", cap=64)
     elif name == "emb_semantic_dedup_hier":
         k1 = auto_coarse_k(n)
         log(f"n={n}, coarse k1={k1}")
