@@ -1222,8 +1222,12 @@ object Similarity {
     * ⌈pairs/budget⌉ independent passes, each pass's survivors land in
     * parquet (cutting its shuffle-file lineage before the next pass),
     * and the per-pass union is provably the single-pass answer because
-    * no pair crosses blocks. Declared-query regimes stay single-pass
-    * on the original plan.
+    * no pair crosses blocks. The between-pass shuffle-file reclaim is
+    * BEST-EFFORT (a GC nudge to the async ContextCleaner, not a
+    * barrier), so the disk bound is an expected crest, not a hard cap —
+    * the measured 20M profiles (SCALE_r18 §2, SCALE_r19 §3) show it
+    * holding flat within ±2 GiB across passes. Declared-query regimes
+    * stay single-pass on the original plan.
     *
     * Every step is integer-exact on the [[quantized]] lattice and the
     * whole chain — coarse CTEs, per-cell seeds, floor-average update,
