@@ -1251,6 +1251,157 @@ object Similarity {
     val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
     val withCell = quant.join(coarse, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val unit = unitVectors(vectors)
+    val (dropped, tailOwned, cleanupPassDir) = hierCellPipeline(
+      withCell, unit, threshold, maxCluster, pairRowBudget, k2Divisor,
+      forcePasses)
+    val out =
+      try {
+        val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
+          .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+        Caching.materializeAndRelease(res,
+          (Seq(coarse, withCell, unit) ++ tailOwned): _*)
+      } catch {
+        // a failed materialization (the ENOSPC regime this branch
+        // exists for) must not leak up to ~budget rows of pass parquet
+        // (ADVICE_r18): nothing references the files once the job died.
+        // The cleanup itself runs guarded — fs.delete can fail in the
+        // same disk/FS regime that killed the job, and that failure must
+        // not mask the original error (ADVICE_r19).
+        case t: Throwable => quietCleanup(cleanupPassDir); throw t
+      }
+    if (ownsQuant) quant.unpersist(blocking = false)
+    // the per-pass parquet is consumed once `res` is materialized; in
+    // lazy mode (EagerReleaseKey=false) the result still references the
+    // files, so the temp dir is left for the session to read — it stays
+    // in the scratch registry for [[cleanupScratch]] / the shutdown hook
+    if (vectors.sparkSession.conf.get(Caching.EagerReleaseKey, "true") != "false")
+      cleanupPassDir()
+    out
+  }
+
+  /** [[semanticDedupHier]] with the ASSIGNMENT phase disk-bounded by
+    * coarse-cell sharding — the >24M single-box form (VERDICT_r19 #1).
+    *
+    * Both measured single-box deaths (30M and 24M, SCALE_r19 §5/§10)
+    * were in assignment/block-size materialization: the whole corpus's
+    * quantized projection, cell join, unit vectors, second-level argmin
+    * shuffle, and block-size agg hit disk AT ONCE (~2.81 GiB per million
+    * vectors), while the pair phase was already budget-boxed. After the
+    * coarse argmin every downstream step — per-cell k₂ sizing, seeds,
+    * both Lloyd argmins, block dedup — is keyed by the coarse cell and
+    * touches no row outside it, so partitioning CELLS into `shards` hash
+    * ranges and running the fine pipeline once per range is EXACTLY the
+    * unsharded computation: each cell's flags are computed from the same
+    * rows by the same integer-exact chain in whichever shard owns the
+    * cell, and a vec_id lives in exactly one cell, so the shard flag
+    * sets are disjoint and their union is the unsharded set
+    * (HierShardedSpec proves flag-set equality; the declared
+    * `emb_semantic_dedup_hier_sharded` query hash-checks it against the
+    * UNSHARDED hier oracle SQL every round). Per-shard flags stage as
+    * parquet through the same Hadoop-FS [[scratchPassDir]] machinery as
+    * the bounded pair passes — each shard's write is a lineage cut, so
+    * its quant/cell/unit/argmin working set becomes collectable before
+    * the next shard starts, bounding transient disk at ~(working set)/
+    * shards + the global coarse assignment (whose own footprint is the
+    * [[kmeansAssign]] caches, reclaimed before the first shard runs).
+    * On a cluster the same knob bounds PER-EXECUTOR footprint: shards
+    * trade wall-clock serialization for a working set any fixed disk
+    * can hold.
+    */
+  def semanticDedupHierSharded(vectors: DataFrame, threshold: Double,
+      shards: Int,
+      maxCluster: Int = DefaultMaxCluster,
+      knownCount: Long = -1L,
+      pairRowBudget: Long = DefaultPairRowBudget,
+      k2Divisor: Int = 1): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    if (shards == 1)
+      return semanticDedupHier(vectors, threshold, maxCluster, knownCount,
+        pairRowBudget, k2Divisor)
+    val spark = vectors.sparkSession
+    val n = if (knownCount >= 0L) knownCount else vectors.count()
+    val k1 = autoCoarseK(n)
+    val coarse = kmeansAssign(vectors, k1, 1) // checkpointed (vec_id, cluster)
+    val (fs, root) = scratchPassDir(spark)
+    System.err.println(
+      s"[similarity] semanticDedupHierSharded: n=$n, k1=$k1, " +
+        s"$shards coarse-cell shards staged under $root")
+    try {
+      for (s <- 0 until shards) {
+        // the shard's cells and their member rows — `pmod(xxhash64(cell))`
+        // partitions CELLS (not rows), so a cell's whole membership lands
+        // in one shard and the fine pipeline sees it intact
+        val cellsS = coarse.filter(
+          pmod(xxhash64(col("cluster")), lit(shards.toLong)) === s)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val vecS = vectors.join(cellsS.select("vec_id"), Seq("vec_id"), "left_semi")
+        val quantS = quantized(vecS).persist(StorageLevel.MEMORY_AND_DISK)
+        val withCellS = quantS.join(cellsS, "vec_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val unitS = unitVectors(vecS)
+        val (droppedS, ownedS, cleanupS) = hierCellPipeline(
+          withCellS, unitS, threshold, maxCluster, pairRowBudget, k2Divisor,
+          forcePasses = 0)
+        try {
+          droppedS.write.mode("overwrite").parquet(s"$root/shard_$s")
+        } catch {
+          case t: Throwable => quietCleanup(cleanupS); throw t
+        }
+        // the shard's flags are on disk: release every per-shard cache and
+        // its pass staging (if the shard itself went multi-pass), then
+        // nudge the ContextCleaner — reclaiming this shard's shuffle files
+        // BEFORE the next shard starts is the point of sharding
+        (Seq(cellsS, quantS, withCellS, unitS) ++ ownedS)
+          .foreach(_.unpersist(blocking = false))
+        cleanupS()
+        System.gc()
+        System.err.println(
+          s"[similarity] semanticDedupHierSharded: shard ${s + 1}/$shards flagged")
+      }
+      // disjoint by construction (one cell owns a vec_id, one shard owns a
+      // cell) — the union needs no distinct
+      val dropped = spark.read.parquet(s"$root/shard_*")
+      val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
+        .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+      val out = Caching.materializeAndRelease(res, coarse)
+      // eager mode: the shard parquet is consumed once `res` materialized.
+      // Lazy mode: the result still references the files — the dir stays
+      // registered for [[cleanupScratch]] / the shutdown hook.
+      if (spark.conf.get(Caching.EagerReleaseKey, "true") != "false") {
+        fs.delete(root, true); unregisterScratch(fs, root)
+      }
+      out
+    } catch {
+      case t: Throwable =>
+        quietCleanup(() => { fs.delete(root, true); unregisterScratch(fs, root) })
+        throw t
+    }
+  }
+
+  /** The fine (within-cell) half of hierarchical SemDeDup: per-cell k₂
+    * sizing, seed selection, both packed-decimal Lloyd argmins, and the
+    * capped block dedup with bounded pair passes — everything downstream
+    * of the coarse assignment. Factored out so [[semanticDedupHier]]
+    * (one call over all cells — plan-identical to the pre-factor form)
+    * and [[semanticDedupHierSharded]] (one call per coarse-cell hash
+    * range) run the SAME integer-exact chain. Every step is keyed by
+    * `cluster` (or a column derived within one cluster), which is the
+    * invariant that makes shard-union ≡ unsharded exact.
+    *
+    * @param withCell (vec_id, q, cluster) — persisted by the caller
+    * @param unit     (vec_id, uv) covering `withCell`'s vec_ids
+    * @return (dropped vec_ids pre-join, caches this pipeline installed —
+    *         the caller releases them after materializing, cleanup for
+    *         the bounded-pass staging dir — a no-op when the single-pass
+    *         plan ran)
+    */
+  private[operators] def hierCellPipeline(withCell: DataFrame, unit: DataFrame,
+      threshold: Double, maxCluster: Int, pairRowBudget: Long,
+      k2Divisor: Int, forcePasses: Int)
+      : (DataFrame, Seq[DataFrame], () => Unit) = {
     def sqDist(a: Column, b: Column): Column = aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
     // per-cell k₂ from the cell's own size (integer-exact: DIV then an
@@ -1354,7 +1505,6 @@ object Similarity {
     // block (`cluster_n > 0` matched all of them), silently inverting
     // the contract for ground-truth probes and for the documented
     // [[semanticDedupAuto]] `maxCluster ≤ 0` passthrough.
-    val unit = unitVectors(vectors)
     val both = a1.join(unit, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // id_b side of every scored pair whose cosine clears the threshold,
@@ -1382,7 +1532,9 @@ object Similarity {
     var passTmpDir: Option[org.apache.hadoop.fs.Path] = None
     var passFs: Option[org.apache.hadoop.fs.FileSystem] = None
     def cleanupPassDir(): Unit = {
-      for (fs <- passFs; d <- passTmpDir) fs.delete(d, true)
+      for (fs <- passFs; d <- passTmpDir) {
+        fs.delete(d, true); unregisterScratch(fs, d)
+      }
       passFs = None; passTmpDir = None
     }
     val (dropped, tailOwned) =
@@ -1454,7 +1606,7 @@ object Similarity {
             else
               s"[similarity] semanticDedupHier: $estPairs block-pair rows > " +
                 s"budget=$pairRowBudget -> scoring in $passes bounded passes")
-          val spark = vectors.sparkSession
+          val spark = withCell.sparkSession
           val (fs, tmp) = scratchPassDir(spark)
           passFs = Some(fs); passTmpDir = Some(tmp)
           try {
@@ -1473,34 +1625,29 @@ object Similarity {
           } catch {
             // a pass that dies mid-write (the ENOSPC regime this branch
             // exists for, ADVICE_r18) must not leak earlier passes'
-            // parquet: nothing references the files once the loop died
-            case t: Throwable => cleanupPassDir(); throw t
+            // parquet: nothing references the files once the loop died —
+            // and the cleanup runs guarded, because fs.delete can fail in
+            // the same regime and must not mask the original (ADVICE_r19)
+            case t: Throwable => quietCleanup(() => cleanupPassDir()); throw t
           }
-          (vectors.sparkSession.read.parquet(s"$tmp/pass_*").distinct(),
+          (spark.read.parquet(s"$tmp/pass_*").distinct(),
             Seq(both, sizes))
         }
       }
-    val out =
-      try {
-        val res = vectors.select(col("vec_id").cast("long").as("vec_id"))
-          .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
-          .select(col("vec_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
-        Caching.materializeAndRelease(res,
-          (Seq(coarse, withCell, unit, c1) ++ tailOwned): _*)
-      } catch {
-        // a failed materialization (the ENOSPC regime this branch
-        // exists for) must not leak up to ~budget rows of pass parquet
-        // (ADVICE_r18): nothing references the files once the job died
-        case t: Throwable => cleanupPassDir(); throw t
-      }
-    if (ownsQuant) quant.unpersist(blocking = false)
-    // the per-pass parquet is consumed once `res` is materialized; in
-    // lazy mode (EagerReleaseKey=false) the result still references the
-    // files, so the temp dir is left for the session to read
-    if (vectors.sparkSession.conf.get(Caching.EagerReleaseKey, "true") != "false")
-      cleanupPassDir()
-    out
+    (dropped, c1 +: tailOwned, () => cleanupPassDir())
   }
+
+  /** Run a failure-path cleanup without letting the cleanup's own
+    * failure mask the error being propagated (ADVICE_r19): in the
+    * ENOSPC/FS-outage regime where these cleanups run, `fs.delete` can
+    * itself throw — log it and keep the original exception.
+    */
+  private def quietCleanup(cleanup: () => Unit): Unit =
+    try cleanup() catch {
+      case c: Throwable => System.err.println(
+        s"[similarity] staging cleanup failed after error (leaked dir " +
+          s"possible — sweep with Similarity.cleanupScratch): $c")
+    }
 
   /** Config key for the multi-pass staging root. Any Hadoop-resolvable
     * URI (`hdfs://…`, `s3a://…`, `file:/…`); pass files for one run land
@@ -1535,7 +1682,61 @@ object Similarity {
     val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(raw)
     fs.mkdirs(dir)
+    registerScratch(fs, dir)
     (fs, dir)
+  }
+
+  /** Live staging dirs this JVM created via [[scratchPassDir]] and has
+    * not yet deleted. Eager-mode runs drain their own entries; LAZY-mode
+    * runs (EagerReleaseKey=false) deliberately leave the dir for the
+    * session to read — before round 20 those accumulated forever on a
+    * shared scratch root (ADVICE_r19 / VERDICT_r19 #3). The registry
+    * gives them an owner: [[cleanupScratch]] sweeps them on demand, and
+    * a JVM shutdown hook (installed on first registration) sweeps
+    * whatever is still live at exit, so even an operator who never calls
+    * cleanup doesn't leak onto hdfs/s3a past the app's lifetime.
+    */
+  private val liveScratch = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[(org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path)]())
+  private val scratchHookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def registerScratch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    liveScratch.add((fs, dir))
+    if (scratchHookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread("graft-scratch-sweep") {
+        override def run(): Unit = sweepScratch()
+      })
+  }
+
+  private def unregisterScratch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit =
+    liveScratch.remove((fs, dir))
+
+  private def sweepScratch(): Unit = {
+    val dirs = liveScratch.synchronized {
+      val d = new java.util.ArrayList(liveScratch); liveScratch.clear(); d
+    }
+    dirs.forEach { case (fs, dir) =>
+      try fs.delete(dir, true) catch {
+        case c: Throwable => System.err.println(
+          s"[similarity] scratch sweep could not delete $dir: $c")
+      }
+    }
+  }
+
+  /** Delete every staging dir this JVM's hier runs still hold — the
+    * explicit owner for LAZY-mode pass/shard parquet (VERDICT_r19 #3).
+    * Call once the lazy results have been materialized (or abandoned);
+    * per-dir delete failures are logged, not thrown, so one unreachable
+    * FS doesn't block reclaiming the rest. Eager-mode runs never need
+    * this (they drain their own dirs); the JVM shutdown hook runs the
+    * same sweep as a backstop.
+    */
+  def cleanupScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val _ = spark // session-scoped signature: one JVM hosts one session here
+    sweepScratch()
   }
 
   /** The measured crossover between the two recall-preserving SemDeDup

@@ -503,6 +503,18 @@ object MlQueries {
       Similarity.semanticDedupHier(tbl(s, dir, "embeddings"),
         threshold = 0.4, forcePasses = 3)),
 
+    // The SAME hier computation with the ASSIGNMENT phase bounded by
+    // coarse-cell sharding (3 hash ranges of the coarse cells, fine
+    // pipeline per range, per-shard flag parquet unioned) — the >24M
+    // single-box / bounded-per-executor form (VERDICT_r19 #1). Cells
+    // are independent after the coarse argmin and a vec_id lives in
+    // exactly one cell, so shard-union ≡ unsharded and the oracle is
+    // the hier SQL verbatim — the sharding structure, like the pass
+    // structure above, has only the answer to agree on.
+    "emb_semantic_dedup_hier_sharded" -> ((s, dir) =>
+      Similarity.semanticDedupHierSharded(tbl(s, dir, "embeddings"),
+        threshold = 0.4, shards = 3)),
+
     // Per-label centroid SUMS over integer-quantized embeddings — the
     // aggregation step of class-centroid workflows (k-means init,
     // classifier prototypes, cluster quality). Summing the exact
@@ -1349,6 +1361,13 @@ object MlQueries {
     // cross blocks), so the oracle is the hier SQL unchanged — DuckDB
     // has no pass structure to replay, only the answer to agree on
     "emb_semantic_dedup_hier_passes" ->
+      s"""WITH ${kmeansCtes(autoK1Sql)},
+          ${hierFineCtes("")}
+          SELECT vec_id, is_dup FROM out""",
+    // coarse-cell sharding anchor: shard-union ≡ unsharded (a cell's
+    // whole fine pipeline runs in exactly one shard; flags are disjoint
+    // across shards), so the oracle is again the hier SQL unchanged
+    "emb_semantic_dedup_hier_sharded" ->
       s"""WITH ${kmeansCtes(autoK1Sql)},
           ${hierFineCtes("")}
           SELECT vec_id, is_dup FROM out""",

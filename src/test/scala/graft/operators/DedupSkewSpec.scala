@@ -62,4 +62,60 @@ class DedupSkewSpec extends SparkSuite {
       assert(capped.length < 2000)
     } finally sims.unpersist(blocking = true)
   }
+
+  test("statsBounded gate: oversized segment configs fall back to the " +
+      "size-driven join with unchanged answers (VERDICT_r19 #2)") {
+    // segments=4 -> segBits=12 -> 4·2^12 rows: the closed-form bound holds
+    // and the stats sides carry forced broadcast hints. segments=2 ->
+    // segBits=24 -> 2^25 rows > 2^22: the bucket-stats table can grow with
+    // the corpus, so the gate (Dedup.scala, ADVICE_r18) must WITHHOLD the
+    // hint — forcing a broadcast there overrides Spark's size safety and
+    // risks driver OOM at scale.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def hints(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+      // eager mode returns a checkpointed scan whose plan hides the hint
+      // nodes — inspect the DECLARATIVE plan the way the Explain main
+      // does, in lazy composition mode
+      spark.conf.set(Caching.EagerReleaseKey, "false")
+      val (boundedHints, fallbackHints) =
+        try {
+          (hints(Dedup.simhashPairsBanded(sims, maxHamming = 3,
+             segments = 4, maxBucket = 64)),
+           hints(Dedup.simhashPairsBanded(sims, maxHamming = 3,
+             segments = 2, maxBucket = 64)))
+        } finally {
+          spark.conf.set(Caching.EagerReleaseKey, "true")
+          spark.sharedState.cacheManager.clearCache()
+        }
+      assert(boundedHints > 0,
+        "the default config's stats joins must keep their broadcast hints")
+      assert(fallbackHints == 0,
+        "segments=2 exceeds the closed-form bound: no forced broadcast")
+      val fallback = Dedup.simhashPairsBanded(sims, maxHamming = 3,
+        segments = 2, maxBucket = 64)
+      // the fallback branch is a PLAN change only: with the same oversized
+      // config, capped pairs must still rep-link the viral family (answers
+      // unchanged vs the hinted shape's semantics)...
+      val capped = fallback.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      val family = capped.filter { case (a, b) => a <= 300 && b <= 300 }
+      assert(family.forall(_._1 == 1L))
+      assert(family.map(_._2).toSet == (2L to 300L).toSet)
+      // ...and on a hot-bucket-free corpus the capped fallback config
+      // equals its own uncapped all-pairs semantics exactly
+      val quiet = Dedup.simhash(
+        docs.filter(col("doc_id") > 300), "doc_id", "text")
+      val cappedQuiet = Dedup.simhashPairsBanded(quiet, maxHamming = 3,
+        segments = 2, maxBucket = 64)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val uncappedQuiet = Dedup.simhashPairsBanded(quiet, maxHamming = 3,
+        segments = 2, maxBucket = 0)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(cappedQuiet == uncappedQuiet,
+        "no bucket over the cap -> capped fallback ≡ uncapped pairs")
+    } finally sims.unpersist(blocking = true)
+  }
 }

@@ -41,11 +41,15 @@ def main():
     wall = movers(pq, cq)
     rec = movers(pr, cr)
     ratios = sorted(cq[q] / pq[q] for q in common if pq[q] > 0)
+    # an empty common-query set or a zero prev total must read as "no
+    # comparison", not crash the adjudication (ADVICE_r19)
     summary = {
         "prev_total": prev["value"], "cur_total": cur["value"],
-        "total_ratio": round(cur["value"] / prev["value"], 4),
+        "total_ratio": (round(cur["value"] / prev["value"], 4)
+                        if prev["value"] else None),
         "n_common": len(common),
-        "median_query_ratio": round(ratios[len(ratios) // 2], 4),
+        "median_query_ratio": (round(ratios[len(ratios) // 2], 4)
+                               if ratios else None),
         "added": sorted(set(cq) - set(pq)),
         "removed": sorted(set(pq) - set(cq)),
         "record_movers": rec,

@@ -344,6 +344,11 @@ def vec_range(con, sf_dir, out_dir, name, fanout_cte="dots",
             break  # handled per pass below
         log(f"{cname} (verbatim)")
         con.execute(f"CREATE OR REPLACE TABLE {cname} AS {body}")
+    # the break above assumes nothing is declared after the pass CTE; a
+    # recipe whose shape drifts must fail the loud way, not drop CTEs
+    assert list(ctes)[-1] == pass_cte, (
+        f"oracle SQL shape changed: CTEs after {pass_cte}: "
+        f"{list(ctes)[list(ctes).index(pass_cte) + 1:]}")
     n_passes = con.execute(
         f"SELECT MAX({pass_col}) + 1 FROM {pass_src}_all").fetchone()[0]
     con.execute(f"CREATE OR REPLACE TABLE {pass_cte}0 {pass_schema}")
@@ -424,6 +429,9 @@ def segment(con, sf_dir, out_dir, name, seg_ctes=("seg0", "seg"),
                         f"SELECT * FROM {cname}_all")
         else:
             con.execute(f"CREATE OR REPLACE TABLE {cname} AS {body}")
+    assert list(ctes)[-1] == pair_cte, (
+        f"oracle SQL shape changed: CTEs after {pair_cte}: "
+        f"{list(ctes)[list(ctes).index(pair_cte) + 1:]}")
     n_seg = con.execute(
         f"SELECT MAX({seg_col}) + 1 FROM {seg_ctes[0]}_all").fetchone()[0]
     con.execute(f"CREATE OR REPLACE TABLE out0 {out_schema}")
