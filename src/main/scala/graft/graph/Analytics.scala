@@ -76,6 +76,17 @@ object Analytics {
     out
   }
 
+  // Round 20 measured A/B (OPTIMIZATION_r20.md): a DataFrame min-label
+  // propagation loop (join + partial-agg min + localCheckpoint + one
+  // scalar convergence aggregate per round) LOST to this GraphX form —
+  // doc_dup_clusters 6.0 → 10.8 s, graph_components 6.9 → 7.6 s, same
+  // box, same day — because Pregel only messages vertices whose label
+  // CHANGED last round (the active-frontier delta), while the relational
+  // loop re-joins the full edge set every round and pays a
+  // materialization barrier per round. Kept on GraphX for that measured
+  // reason; the DF wins in this family are the FIXED-depth recurrences
+  // (pageRankLattice, labelPropagation) where the whole chain fuses into
+  // one job with no per-round action.
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     val (e, owns) = persistEdges(edges)
@@ -144,55 +155,65 @@ object Analytics {
     * Returns (soul, rank_q) with rank_q = n_iters = rank·(20·L)^iters.
     */
   def pageRankLattice(spark: SparkSession, edges: DataFrame, iters: Int = 5): DataFrame = {
-    import spark.implicits._
+    // DataFrame power iteration (round 20, guide §2.4/§4: the GraphX form
+    // spent its wall in RDD object serialization and per-iteration graph
+    // materialization — every step here is whole-stage-codegen'd hash
+    // aggregation instead). Semantics unchanged and integer-exact: the
+    // lattice recurrence is order-free, so the DF sum equals the
+    // aggregateMessages sum bit-for-bit; the loud-overflow contract is
+    // kept by accumulating in decimal(38,0) (Σ and per-edge products are
+    // nonnegative and bounded by the step result, so checking each
+    // step's numerator fits Long catches every intermediate overflow the
+    // old per-message Math.*Exact would have trapped) and raise_error on
+    // the first numerator past Long.MaxValue.
     val (e, owns) = persistEdges(edges)
-    val g = fromEdges(e)
-    // out-degree per vertex (one aggregateMessages pass), then L = lcm of
-    // the degrees — folded directly (no distinct shuffle: lcm(a, a) = a,
-    // so duplicates are free), never a driver collect of the degree table.
-    // read twice (the lcm fold and the initial outerJoinVertices below) —
-    // cache so the out-degree aggregateMessages pass over the full edge
-    // set runs once; released after the first iteration materializes the
-    // ranks graph (which carries the degree in its vertex attr from then on)
-    val degRdd = g.aggregateMessages[Long](ctx => ctx.sendToSrc(1L), Math.addExact).cache()
-    val lcmAll = degRdd.map(_._2).fold(1L)(lcmExact)
+    // weighted edge list (src, dst, w = L/d(src)): one out-degree agg;
+    // L = lcm folded over the DISTINCT degrees (a handful of values —
+    // bounded by the degree support, not the vertex count) with the same
+    // Math.*Exact trap as before.
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val lcmAll = deg.select(col("d")).distinct().collect()
+      .map(_.getLong(0)).foldLeft(1L)(lcmExact)
+    val edgesW = e.select(col("src"), col("dst"))
+      .join(deg, "src")
+      // integer division on purpose: L/d is integral by construction of L,
+      // and `/` on longs is DOUBLE division in Spark SQL
+      .select(col("src"), col("dst"),
+        expr(s"CAST($lcmAll DIV d AS BIGINT)").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("soul"))
+      .unionByName(e.select(col("dst").as("soul")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var pow = 1L // S_k = (20·L)^k
-    // vertex attr: (out-degree, numerator)
-    var ranks: Graph[(Long, Long), String] =
-      g.outerJoinVertices(degRdd)((_, _, d) => (d.getOrElse(0L), 1L))
-    // Release discipline (MEASURED, SCALE_r9 §2): materialize next's
-    // vertices, keep the PREVIOUS graph cached one extra step, release
-    // at a one-iteration delay. An "eager edge view + immediate release"
-    // variant (compute next's messages before unpersisting the previous
-    // graph — nominally Pregel's order) ran 6–16× SLOWER at sf3 with
-    // run-to-run swings of 2×+: the immediate eviction races the async
-    // block cleanup, and aggregateMessages recompute storms through
-    // evicted view chains dominate wall time. The one-step-delayed
-    // release never exposes a live dependency to eviction.
-    var prev: Graph[(Long, Long), String] = null
-    var degReleased = false
+    var ranks = verts.select(col("soul"), lit(1L).cast("decimal(38,0)").as("n"))
     for (_ <- 0 until iters) {
-      val msgs = ranks.aggregateMessages[Long](
-        ctx => ctx.sendToDst(
-          Math.multiplyExact(ctx.srcAttr._2, lcmAll / ctx.srcAttr._1)),
-        Math.addExact)
       val base = Math.multiplyExact(Math.multiplyExact(3L, lcmAll), pow)
-      val next = ranks.outerJoinVertices(msgs) { case (_, (d, _), m) =>
-        (d, Math.addExact(base, Math.multiplyExact(17L, m.getOrElse(0L))))
-      }.cache()
-      next.vertices.count() // materialize before releasing the previous step
-      if (!degReleased) { degRdd.unpersist(blocking = false); degReleased = true }
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = ranks
-      ranks = next
+      val msgs = edgesW.join(ranks.withColumnRenamed("soul", "src"), "src")
+        .groupBy(col("dst").as("soul"))
+        .agg(sum(col("n") * col("w")).as("s"), count(lit(1)).as("cm"))
+      ranks = verts.join(msgs, Seq("soul"), "left")
+        .select(col("soul"),
+          (lit(base).cast("decimal(38,0)") +
+            lit(17L) * coalesce(
+              // a NULL sum under a non-zero message count is decimal(38,0)
+              // overflow (non-ANSI sum returns null) — trap it loudly, the
+              // same contract as the old per-message Math.addExact
+              when(col("s").isNull && col("cm").isNotNull && col("cm") > 0L,
+                raise_error(lit("pageRankLattice: decimal overflow in message sum")))
+                .otherwise(col("s")),
+              lit(0L).cast("decimal(38,0)")))
+            .as("n"))
       pow = Math.multiplyExact(pow, Math.multiplyExact(20L, lcmAll))
     }
-    val res = ranks.vertices.join(g.vertices.map(identity))
-      .map { case (_, ((_, n), soul)) => (soul, n) }
-      .toDF("soul", "rank_q")
-    val out = materializeAndRelease(res, e, owns, g, ranks)
-    if (!degReleased) degRdd.unpersist(blocking = false)
-    if (prev != null) prev.unpersist(blocking = false)
+    val res = ranks.select(col("soul"),
+      when(col("n") > lit(Long.MaxValue) || col("n").isNull,
+        raise_error(concat(lit("pageRankLattice: numerator exceeds Long range: "),
+          col("n").cast("string"))))
+        .otherwise(col("n").cast("long")).as("rank_q"))
+    val out = materializeAndRelease(res, e, owns)
+    edgesW.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
     out
   }
 
@@ -223,7 +244,6 @@ object Analytics {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = und.select(col("v").as("soul")).distinct()
     var labels = verts.select(col("soul"), col("soul").as("lab"))
-      .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
       // mode-label-with-min-tiebreak in ONE aggregation: min(struct(-c,
       // lab)) is lexicographic — smallest -c = LARGEST count, ties fall
@@ -236,10 +256,18 @@ object Analytics {
         .groupBy(col("v").as("soul"))
         .agg(min(struct((col("c") * -1L).as("nc"), col("lab"))).as("m"))
         .select(col("soul"), col("m.lab").as("lab"))
-        .localCheckpoint(eager = true)
     }
+    // ONE materialization of the whole fixed-depth chain (round 20): the
+    // per-step eager localCheckpoint wrote every intermediate label table
+    // to block storage 4× per run; at a fixed small iteration count the
+    // composed plan is shallow (each step = one join + two hash aggs) and
+    // evaluates in a single job, so the step barriers were pure overhead.
+    // Each step's `labels` is referenced exactly once by the next step —
+    // nothing is recomputed — and `und`, referenced once per step, stays
+    // persisted across the chain.
+    val out = labels.localCheckpoint(eager = true)
     und.unpersist(blocking = false)
-    labels
+    out
   }
 
   /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
@@ -330,6 +358,13 @@ object Analytics {
     * direction, via Pregel BFS. Returns (soul, hops) for every reached
     * vertex (hops = shortest hop count, sources at 0).
     */
+  // Round 20 measured A/B (OPTIMIZATION_r20.md): a DataFrame frontier-BFS
+  // loop (per-level join + distinct + anti-join + localCheckpoint +
+  // isEmpty action) LOST to this Pregel form — graph_reach_asia
+  // 3.1 → 4.0 s same box, same day. Data-dependent termination forces an
+  // action + materialization per level in the relational loop; Pregel
+  // pays no such barrier. Kept on GraphX for that measured reason (see
+  // connectedComponents above for the family-wide rule).
   def reachable(spark: SparkSession, edges: DataFrame, sources: Set[String]): DataFrame = {
     import spark.implicits._
     val (e, owns) = persistEdges(edges)

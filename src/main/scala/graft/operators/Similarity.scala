@@ -1356,7 +1356,13 @@ object Similarity {
         (Seq(cellsS, quantS, withCellS, unitS) ++ ownedS)
           .foreach(_.unpersist(blocking = false))
         cleanupS()
-        System.gc()
+        // GC nudge only when the per-shard working set is big enough for
+        // shuffle-file reclaim to matter (round 20): at ~2.81 GiB per
+        // million vectors (SCALE_r19 §10), a shard under ~1M rows holds
+        // well under the disk headroom sharding exists to protect, and a
+        // full stop-the-world GC per shard was measured pure overhead at
+        // declared-query scale (~0.5–1 s per nudge on a 16 GiB heap).
+        if (n / shards >= 1000000L) System.gc()
         System.err.println(
           s"[similarity] semanticDedupHierSharded: shard ${s + 1}/$shards flagged")
       }
@@ -1554,7 +1560,28 @@ object Similarity {
         val sizes = both.groupBy("cluster", "sub")
           .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("rep"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        logHotGroups(sizes, "cluster_n", maxCluster, "semanticDedupHier", "block")
+        // ONE action over the tiny persisted block-size table computes both
+        // the hot-block telemetry (logHotGroups' aggregate, same stderr
+        // line) and the exact pair-row count the pass planner needs — the
+        // round-19 shape ran these as two sequential jobs over `sizes`
+        // (guide §1.2: fewer passes, even over small tables, when the job
+        // count itself is the overhead)
+        val statsRow = sizes.agg(
+          count(lit(1)),
+          coalesce(sum(when(col("cluster_n") > maxCluster, 1L).otherwise(0L)), lit(0L)),
+          coalesce(max(col("cluster_n")), lit(0L)),
+          coalesce(sum(expr(
+            s"CASE WHEN cluster_n <= $maxCluster THEN " +
+              "(cluster_n * (cluster_n - 1)) DIV 2 " +
+              "ELSE cluster_n - 1 END")), lit(0L))).first()
+        val (totalBlocks, hotBlocks, maxBlock) =
+          (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
+        if (hotBlocks > 0) System.err.println(
+          s"[similarity] semanticDedupHier: $hotBlocks of $totalBlocks blocks over " +
+            s"cap=$maxCluster (largest $maxBlock) rep-linked — star mode; recall " +
+            "within those blocks is member-vs-rep only. For SemDeDup sizing use " +
+            "semanticDedupAuto / autoKmeansKCapAware (detection recall 1.0 " +
+            "where the sqrt-rule measured 0.386, SCALE_r16 §1)")
         // survivors (dropped ids, pre-distinct-across-passes) for the
         // blocks listed in `blockSizes` — with blockSizes == sizes this
         // is byte-for-byte the original single-pass tail plan
@@ -1583,10 +1610,7 @@ object Similarity {
         }
         // exact pair-row count from block sizes: m(m-1)/2 per small
         // block, (m-1) rep-link rows per hot block
-        val estPairs = sizes.agg(coalesce(sum(expr(
-          s"CASE WHEN cluster_n <= $maxCluster THEN " +
-            "(cluster_n * (cluster_n - 1)) DIV 2 " +
-            "ELSE cluster_n - 1 END")), lit(0L))).first().getLong(0)
+        val estPairs = statsRow.getLong(3)
         // `forcePasses > 0` pins the pass count outright — the declared
         // bounded-pass anchor query uses it so the multi-pass branch
         // (and its Hadoop-FS staging) sits inside the oracle-hash gate
@@ -1617,8 +1641,13 @@ object Similarity {
                 .parquet(s"$tmp/pass_$i")
               // nudge the ContextCleaner: the pass's shuffle files are
               // unreferenced once its parquet lands, and reclaiming them
-              // NOW is the point of running in passes
-              System.gc()
+              // NOW is the point of running in passes. Only when the
+              // BUDGET forced the passes, though (round 20): a
+              // forcePasses pin below the budget (the declared anchor
+              // query's regime) has nothing worth a full stop-the-world
+              // GC per pass — at sf0.1 the three nudges were ~2 s of the
+              // anchor's 10 s wall for ~MBs of reclaimable shuffle files.
+              if (estPairs > pairRowBudget) System.gc()
               System.err.println(
                 s"[similarity] semanticDedupHier: pass ${i + 1}/$passes scored")
             }
