@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.operators.Caching
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -70,10 +71,19 @@ object Analytics {
   private def materializeAndRelease(result: DataFrame, edges: DataFrame,
                                     ownsEdges: Boolean,
                                     graphs: Graph[_, _]*): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    graphs.foreach(_.unpersist(blocking = false))
-    if (ownsEdges) edges.unpersist(blocking = false)
-    out
+    // Lazy composition mode (round 20, aligned with
+    // Caching.materializeAndRelease): return the declarative plan and
+    // leave the caches for the caller — this is what lets `Explain`
+    // print the REAL pipeline plan for graph queries instead of a
+    // checkpoint-scan stub. Default (eager) behavior is unchanged.
+    if (result.sparkSession.conf.get(Caching.EagerReleaseKey, "true") == "false")
+      result
+    else {
+      val out = result.localCheckpoint(eager = true)
+      graphs.foreach(_.unpersist(blocking = false))
+      if (ownsEdges) edges.unpersist(blocking = false)
+      out
+    }
   }
 
   // Round 20 measured A/B (OPTIMIZATION_r20.md): a DataFrame min-label
@@ -212,8 +222,10 @@ object Analytics {
           col("n").cast("string"))))
         .otherwise(col("n").cast("long")).as("rank_q"))
     val out = materializeAndRelease(res, e, owns)
-    edgesW.unpersist(blocking = false)
-    verts.unpersist(blocking = false)
+    if (spark.conf.get(Caching.EagerReleaseKey, "true") != "false") {
+      edgesW.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+    }
     out
   }
 
@@ -264,10 +276,14 @@ object Analytics {
     // evaluates in a single job, so the step barriers were pure overhead.
     // Each step's `labels` is referenced exactly once by the next step —
     // nothing is recomputed — and `und`, referenced once per step, stays
-    // persisted across the chain.
-    val out = labels.localCheckpoint(eager = true)
-    und.unpersist(blocking = false)
-    out
+    // persisted across the chain. Lazy mode returns the declarative plan
+    // with `und` left cached for the caller (the Explain contract).
+    if (spark.conf.get(Caching.EagerReleaseKey, "true") == "false") labels
+    else {
+      val out = labels.localCheckpoint(eager = true)
+      und.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Per-vertex triangle counts, undirected (GraphX TriangleCount — its
