@@ -154,9 +154,16 @@ object Analytics {
     * enough fp error that round(rank·20⁵) flipped by 1 on one vertex
     * (SCALE_r6.md §2) — the lattice values are not binary fractions, so
     * double noise grows with magnitude while the round() margin stays
-    * fixed. Integer headroom scales as rank_max·(20L)^iters: every
-    * multiply/add goes through `Math.*Exact`, so exceeding Long range
-    * throws `ArithmeticException` (reduce `iters` or the degree spread)
+    * fixed. Integer headroom scales as rank_max·(20L)^iters, and the
+    * loud-overflow contract is layered: driver-side constants (L, the
+    * 3·L·S_k base, the (20·L)^k power) go through `Math.*Exact` and throw
+    * `ArithmeticException`; the distributed numerators accumulate in
+    * decimal(38,0), where any per-edge product or message sum that
+    * overflows turns NULL (non-ANSI arithmetic) and is trapped by
+    * `raise_error` — per-row products via a count(n·w) < count(*) check,
+    * the whole sum via the null-sum-under-nonzero-count check, and the
+    * final cast via an explicit Long.MaxValue bound. Either way an
+    * overflow run DIES loudly (reduce `iters` or the degree spread)
     * rather than silently wrapping. Forest case: Σ n₅ ≤ 3.3·10⁶ × |V|,
     * overflow only past ~10¹² vertices; mixed degrees {1..4} (L=12,
     * 20L=240) leave ~10⁶× headroom at iters=5 for rank_max ≤ 10.
@@ -176,14 +183,19 @@ object Analytics {
     // step's numerator fits Long catches every intermediate overflow the
     // old per-message Math.*Exact would have trapped) and raise_error on
     // the first numerator past Long.MaxValue.
+    import spark.implicits._
     val (e, owns) = persistEdges(edges)
     // weighted edge list (src, dst, w = L/d(src)): one out-degree agg;
-    // L = lcm folded over the DISTINCT degrees (a handful of values —
-    // bounded by the degree support, not the vertex count) with the same
-    // Math.*Exact trap as before.
+    // L = lcm via a DISTRIBUTED reduce over the degree table (round 21,
+    // VERDICT_r20 #8): lcm is associative, commutative, and idempotent
+    // (lcm(x,x)=x), so the per-partition fold + O(#partitions) driver
+    // merge needs neither the former distinct() exchange nor the
+    // distinct().collect() that pulled the whole degree support to the
+    // driver. Math.*Exact still traps Long overflow loudly (now raised
+    // from an executor task, same ArithmeticException).
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val lcmAll = deg.select(col("d")).distinct().collect()
-      .map(_.getLong(0)).foldLeft(1L)(lcmExact)
+    val lcmAll = deg.select(col("d")).as[Long].rdd
+      .fold(1L)(lcmExact) // 1 = lcm identity, so an empty graph still yields L=1
     val edgesW = e.select(col("src"), col("dst"))
       .join(deg, "src")
       // integer division on purpose: L/d is integral by construction of L,
@@ -201,15 +213,23 @@ object Analytics {
       val base = Math.multiplyExact(Math.multiplyExact(3L, lcmAll), pow)
       val msgs = edgesW.join(ranks.withColumnRenamed("soul", "src"), "src")
         .groupBy(col("dst").as("soul"))
-        .agg(sum(col("n") * col("w")).as("s"), count(lit(1)).as("cm"))
+        .agg(sum(col("n") * col("w")).as("s"), count(lit(1)).as("cm"),
+          // non-null product count: non-ANSI sum() SKIPS null inputs, so a
+          // single per-edge n·w that overflows decimal(38,0) would silently
+          // deflate the sum while s stays non-null (ADVICE_r20). cnn < cm
+          // ⇔ some per-row product overflowed — trap it below.
+          count(col("n") * col("w")).as("cnn"))
       ranks = verts.join(msgs, Seq("soul"), "left")
         .select(col("soul"),
           (lit(base).cast("decimal(38,0)") +
             lit(17L) * coalesce(
               // a NULL sum under a non-zero message count is decimal(38,0)
-              // overflow (non-ANSI sum returns null) — trap it loudly, the
-              // same contract as the old per-message Math.addExact
-              when(col("s").isNull && col("cm").isNotNull && col("cm") > 0L,
+              // overflow of the SUM; a non-null-product count below the
+              // message count is overflow of a PER-ROW product (which
+              // non-ANSI sum would silently skip) — both trap loudly, the
+              // same contract as the old per-message Math.*Exact
+              when((col("s").isNull && col("cm").isNotNull && col("cm") > 0L)
+                  || col("cnn") < col("cm"),
                 raise_error(lit("pageRankLattice: decimal overflow in message sum")))
                 .otherwise(col("s")),
               lit(0L).cast("decimal(38,0)")))
@@ -222,6 +242,12 @@ object Analytics {
           col("n").cast("string"))))
         .otherwise(col("n").cast("long")).as("rank_q"))
     val out = materializeAndRelease(res, e, owns)
+    // Lazy mode (EagerReleaseKey=false) is an EXPLAIN/COMPOSE tool, not a
+    // steady-state serving mode: the internal edgesW/verts persists (and
+    // persistEdges' edge cache) stay alive with no handle exposed to the
+    // caller — a long-lived lazy session must sweep them itself via
+    // sparkContext.getPersistentRDDs (the documented Caching.EagerReleaseKey
+    // contract: cache ownership transfers to the caller).
     if (spark.conf.get(Caching.EagerReleaseKey, "true") != "false") {
       edgesW.unpersist(blocking = false)
       verts.unpersist(blocking = false)
@@ -239,9 +265,12 @@ object Analytics {
     * join + min-label per v) — partial-agg friendly and free of
     * per-vertex windows, so a hub vertex (the 30%-hot-customer fixture)
     * never funnels its whole neighborhood through one window task.
-    * Lineage is cut with an eager localCheckpoint per step (the
-    * iterative-DF plan-blowup class pageRankLattice guards against on
-    * the GraphX side).
+    * The fixed 4-step chain composes into ONE job with a single eager
+    * localCheckpoint at the end (round 20) — each step's output is
+    * referenced exactly once by the next step, so nothing is recomputed
+    * and the former per-step checkpoint barriers were pure block-storage
+    * overhead; at a fixed small depth the composed plan stays shallow
+    * (the plan-blowup guard is only needed for convergence loops).
     */
   def labelPropagation(spark: SparkSession, edges: DataFrame, iters: Int = 4): DataFrame = {
     // und is joined on u EVERY step: pre-partition it by the join key

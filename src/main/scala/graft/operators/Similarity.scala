@@ -124,9 +124,17 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector. Output:
     * (query_id, neighbor_id, rank), rank by cosine desc then neighbor id.
+    *
+    * `unitOpt`: a caller-persisted [[unitVectors]] table for `corpus` —
+    * a harness running several ANN methods over the SAME corpus (the
+    * emb_ann_recall eval) passes one shared table so the corpus is
+    * normalized once per run instead of once per method (round 21,
+    * VERDICT_r20 #4); the caller owns and releases it. Default: built
+    * and released internally, behavior unchanged.
     */
-  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 0): DataFrame = {
-    val unit = unitVectors(corpus)
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 0,
+                    unitOpt: Option[DataFrame] = None): DataFrame = {
+    val unit = unitOpt.getOrElse(unitVectors(corpus))
     val q = unit.join(queries.select("vec_id"), "vec_id")
       .select(col("vec_id").as("query_id"), col("uv").as("qv"))
     val c = unit.select(col("vec_id").as("neighbor_id"), col("uv").as("cv"))
@@ -141,7 +149,8 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
-    Caching.materializeAndRelease(res, unit)
+    Caching.materializeAndRelease(res,
+      (if (unitOpt.isEmpty) Seq(unit) else Nil): _*)
   }
 
   /** Matryoshka-style two-stage ANN (Kusupati et al., "Matryoshka
@@ -611,12 +620,14 @@ object Similarity {
     * plus recall headroom), held flat as the corpus grows so per-query
     * scan work stays constant.
     */
-  def lshKnn(vectors: DataFrame, k: Int, dim: Int = 0, bits: Int = 0): DataFrame = {
+  def lshKnn(vectors: DataFrame, k: Int, dim: Int = 0, bits: Int = 0,
+             unitOpt: Option[DataFrame] = None): DataFrame = {
     val nBits = resolveBits(vectors, bits, tables = 1, "lshKnn",
       targetOccupancy = 16 * k)
     val buckets = lshTablesFast(vectors, tables = 1, bits = nBits)
       .select(col("vec_id"), col("tbucket").as("bucket"))
-    val unit = unitVectors(vectors)
+    // caller-shared unit table (the bruteForceKnn unitOpt contract)
+    val unit = unitOpt.getOrElse(unitVectors(vectors))
     val withB = unit.join(buckets, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("vec_id").as("query_id"), col("uv").as("qv"), col("bucket"))
@@ -632,7 +643,8 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
-    Caching.materializeAndRelease(res, withB, unit)
+    Caching.materializeAndRelease(res,
+      (withB +: (if (unitOpt.isEmpty) Seq(unit) else Nil)): _*)
   }
 
   /** IVF (inverted-file) coarse quantizer — the other standard ANN index
@@ -732,14 +744,16 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nLists: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      unitOpt: Option[DataFrame] = None): DataFrame = {
     val spark = vectors.sparkSession
     val cents = collectCentroids(vectors, nLists)
     val probes = probeAssign(
       vectors.join(queries.select("vec_id"), "vec_id"), cents, nprobe)
     val lists = assignToCentroids(vectors, cents)
       .select(col("vec_id").as("neighbor_id"), col("list_id"))
-    val unit = unitVectors(vectors)
+    // caller-shared unit table (the bruteForceKnn unitOpt contract)
+    val unit = unitOpt.getOrElse(unitVectors(vectors))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val pairs = probes.join(lists, "list_id")
@@ -750,7 +764,8 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
-    Caching.materializeAndRelease(res, unit)
+    Caching.materializeAndRelease(res,
+      (if (unitOpt.isEmpty) Seq(unit) else Nil): _*)
   }
 
   /** Deterministic Lloyd's k-means over integer-quantized embeddings —
@@ -774,20 +789,38 @@ object Similarity {
     * (mirrored exactly in the oracle SQL).
     */
   def kmeansAssign(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = vectors.sparkSession
+    // ONE corpus-sized cache (round 21): the quantized projection serves
+    // the init collect, every assignment pass, and every centroid update.
+    // The pre-r21 form additionally persisted a typed (vec_id, float
+    // embedding) projection and re-quantized per row inside each
+    // assignment pass — a second full-corpus cache and O(passes × corpus)
+    // redundant floor(v·2^20) work; the distances are computed from the
+    // SAME integers either way (guide §5: cache what is re-read, once).
+    // ownPersist keeps a cache the caller already installed untouched
+    // ([[semanticDedupHier]] shares this cache with its cell join).
+    val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
+    val out = kmeansAssignQuant(quant, k, iters)
+    if (ownsQuant) quant.unpersist(blocking = false)
+    out
+  }
+
+  /** [[kmeansAssign]] over a caller-persisted quantized projection
+    * (vec_id, q) — the shared-cache form: a caller that already holds the
+    * [[quantized]] corpus (hier SemDeDup joins it to the coarse cells
+    * right after this) passes it in and ONE cache serves both. Same
+    * integer arithmetic, same init/update/tie-break conventions — output
+    * bit-identical to [[kmeansAssign]].
+    */
+  private[operators] def kmeansAssignQuant(quant: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val spark = quant.sparkSession
     import spark.implicits._
-    val typed = vectors.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val typed = quant.select(col("vec_id").cast("long"), col("q"))
+      .as[(Long, Array[Long])]
 
     def assignTo(cents: Array[(Long, Array[Long])]): DataFrame =
       typed.mapPartitions { it =>
-        it.map { case (id, emb) =>
-          val q = new Array[Long](emb.length)
-          var d = 0
-          while (d < emb.length) {
-            q(d) = math.floor(emb(d).toDouble * QuantScale).toLong; d += 1
-          }
+        it.map { case (id, q) =>
           var bestId = -1L
           var bestDist = Long.MaxValue
           cents.foreach { case (cid, cq) =>
@@ -803,12 +836,6 @@ object Similarity {
         }
       }.toDF("vec_id", "cluster")
 
-    // persist the quantized projection for the LOOP's lifetime: each Lloyd
-    // iteration's centroid update scans it, and without the cache `iters`
-    // sequential jobs re-run the quantization over the full input —
-    // O(iters × corpus) recompute at 100× scale. ownPersist keeps a cache
-    // the caller already installed (lazy-mode composition) untouched.
-    val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
     var cents: Array[(Long, Array[Long])] = quant
       .filter(col("vec_id") < k)
       .as[(Long, Array[Long])].collect().sortBy(_._1)
@@ -834,14 +861,11 @@ object Similarity {
         .toArray.sortBy(_._1)
       round += 1
     }
-    // materialize the final assignment while the typed input is still
-    // cached, then release it — same leave-no-cache-behind invariant as
+    // materialize the final assignment while the quantized input is still
+    // cached — same leave-no-cache-behind invariant as
     // Analytics.materializeAndRelease (the result is small: one row per
-    // vector id + cluster).
-    val out = assignTo(cents).localCheckpoint(eager = true)
-    typed.unpersist(blocking = false)
-    if (ownsQuant) quant.unpersist(blocking = false)
-    out
+    // vector id + cluster); the caller releases the quant cache.
+    assignTo(cents).localCheckpoint(eager = true)
   }
 
   /** Assign every quantized vector its code in EVERY subspace in ONE
@@ -1247,8 +1271,12 @@ object Similarity {
     // at 100 TB a count() is a full read (VERDICT_r17 #3).
     val n = if (knownCount >= 0L) knownCount else vectors.count()
     val k1 = autoCoarseK(n)
-    val coarse = kmeansAssign(vectors, k1, 1) // checkpointed (vec_id, cluster)
+    // ONE quantized-corpus cache for the whole assignment phase (round
+    // 21): the coarse k-means reads it via [[kmeansAssignQuant]] and the
+    // cell join below reads the SAME cache — the pre-r21 form quantized
+    // and cached the corpus twice (once inside kmeansAssign, once here).
     val (quant, ownsQuant) = Caching.ownPersist(quantized(vectors))
+    val coarse = kmeansAssignQuant(quant, k1, 1) // checkpointed (vec_id, cluster)
     val withCell = quant.join(coarse, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val unit = unitVectors(vectors)
@@ -1362,6 +1390,15 @@ object Similarity {
         // well under the disk headroom sharding exists to protect, and a
         // full stop-the-world GC per shard was measured pure overhead at
         // declared-query scale (~0.5–1 s per nudge on a 16 GiB heap).
+        // n/shards is the MEAN shard size — a deliberate approximation
+        // (ADVICE_r20): cells hash-partition into shards, so a skewed
+        // shard can exceed the mean, but xxhash64 over ~n^(1/3) cells
+        // keeps the spread small (multinomial, ±O(√(n/shards))), the
+        // threshold carries ~3 GiB of headroom below the crest sharding
+        // protects, and an exact per-shard count would cost one more job
+        // per shard in the declared-query regime the gate exists to keep
+        // cheap. Correctness is unaffected either way — the nudge only
+        // times a GC.
         if (n / shards >= 1000000L) System.gc()
         System.err.println(
           s"[similarity] semanticDedupHierSharded: shard ${s + 1}/$shards flagged")
@@ -1425,21 +1462,24 @@ object Similarity {
     val k2Ex =
       if (k2Divisor <= 1) k2BaseEx
       else s"GREATEST(CAST(1 AS BIGINT), ($k2BaseEx + ${k2Divisor - 1}) DIV $k2Divisor)"
-    val k2 = withCell.groupBy("cluster")
-      .agg(count(lit(1)).as("m"))
-      .select(col("cluster"), expr(k2Ex).as("k2"))
     // seeds: the k₂ lowest vec_ids in each cell (reproducible "sampling",
-    // the kmeansAssign init convention applied per cell). The packed
-    // argmin below requires every seed id in [0, 2^34); out-of-range ids
-    // would otherwise pack into the dist bits (silently wrong argmin) or
-    // overflow decimal(11,0) to null (silently dropped by min) — so the
-    // guard fails LOUDLY here, on the Σk₂-row seed table, the one place
-    // every packed cid flows through (ADVICE_r17).
+    // the kmeansAssign init convention applied per cell). k₂ comes from
+    // the cell's size m via a COUNT WINDOW over the same cluster
+    // partitioning as the row_number (round 21): both windows share ONE
+    // exchange + sort, replacing the former separate groupBy(cluster)
+    // aggregate and its join back onto withCell (guide §2.4 — two
+    // operations keyed the same way share one exchange). m is identical
+    // to the old agg's count, so k₂ and the seed set are bit-identical.
+    // The packed argmin below requires every seed id in [0, 2^34);
+    // out-of-range ids would otherwise pack into the dist bits (silently
+    // wrong argmin) or overflow decimal(11,0) to null (silently dropped
+    // by min) — so the guard fails LOUDLY here, on the Σk₂-row seed
+    // table, the one place every packed cid flows through (ADVICE_r17).
+    val wCell = Window.partitionBy(col("cluster"))
     val seeds = withCell
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
-      .join(k2, "cluster")
-      .filter(col("rn") <= col("k2"))
+      .withColumn("rn", row_number().over(wCell.orderBy(col("vec_id"))))
+      .withColumn("m", count(lit(1)).over(wCell))
+      .filter(col("rn") <= expr(k2Ex))
       .select(col("cluster"),
         when(col("vec_id") < 0 || col("vec_id") >= lit(1L << 34),
           raise_error(concat(

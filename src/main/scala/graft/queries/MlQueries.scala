@@ -369,7 +369,16 @@ object MlQueries {
     "emb_ann_recall" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceKnn(emb, qs, k = 5)
+      // ONE unit-vector table for the whole eval (round 21, VERDICT_r20
+      // #4): brute-force ground truth, LSH, and IVF all score cosines
+      // over the same corpus — the pre-r21 form normalized and persisted
+      // the corpus once per method (3× the normalize pass + cache). The
+      // shared table is released after the last method; output values
+      // are untouched (same unit vectors flow into the same dot
+      // products), so the oracle hash is unchanged.
+      val unit = Similarity.unitVectors(emb)
+      val exact = Similarity.bruteForceKnn(emb, qs, k = 5,
+          unitOpt = Some(unit))
         .select(col("query_id"), col("neighbor_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def recallOf(method: String, approx: DataFrame): DataFrame =
@@ -387,11 +396,13 @@ object MlQueries {
       val res = recallOf("mrl",
           Similarity.mrlKnn(emb, qs, k = 5, prefixDims = 16, nCand = 50))
         .unionByName(recallOf("lsh",
-          Similarity.lshKnn(emb, k = 5, bits = Similarity.NumPlanes)
+          Similarity.lshKnn(emb, k = 5, bits = Similarity.NumPlanes,
+              unitOpt = Some(unit))
             .filter(col("query_id") < 10)))
         .unionByName(recallOf("ivf",
-          Similarity.ivfKnn(emb, qs, k = 5, nLists = 16, nprobe = 2)))
-      graft.operators.Caching.materializeAndRelease(res, exact)
+          Similarity.ivfKnn(emb, qs, k = 5, nLists = 16, nprobe = 2,
+            unitOpt = Some(unit))))
+      graft.operators.Caching.materializeAndRelease(res, exact, unit)
     }),
 
     // SemDeDup (cluster-blocked semantic dedup): k-means is the blocking,

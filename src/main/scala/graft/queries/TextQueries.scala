@@ -1064,9 +1064,17 @@ object TextQueries {
           concat(lit(" call 555-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit("")))
+      // key_hash (the doc_dedup_exact 64-char normalized key) is computed
+      // HERE, once per doc on the scrubbed text, instead of after the
+      // dedup join (round 21, guide §2.3 "project before the exchange"):
+      // the join below then carries only (doc_id, key_hash) — the text
+      // column never crosses the dedup exchange. Same md5 over the same
+      // clean text, so the surviving set (and the oracle hash) is
+      // unchanged.
       val cleanDf = train.select(col("doc_id"),
         regexp_replace(regexp_replace(body, PiiEmailPat, "<EMAIL>"),
           PiiPhonePat, "<PHONE>").as("text"))
+        .withColumn("key_hash", md5(substring(lower(col("text")), 1, 64)))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val rows = Lm.tokenStream(cleanDf)
       val uni = Lm.unigrams(rows).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1078,8 +1086,7 @@ object TextQueries {
       val kept = scored.filter(col("ppl_bits_q") <=
         expr("(select sum(nll_q) div sum(n_tokens) from graft_pipe_scored)"))
       val wDedup = Window.partitionBy(col("key_hash")).orderBy(col("doc_id"))
-      val deduped = kept.join(cleanDf, "doc_id")
-        .withColumn("key_hash", md5(substring(lower(col("text")), 1, 64)))
+      val deduped = kept.join(cleanDf.select("doc_id", "key_hash"), "doc_id")
         .withColumn("rn", row_number().over(wDedup))
         .filter(col("rn") === 1)
         .select("doc_id", "n_tokens")
